@@ -70,7 +70,7 @@ def test_differential_azidist_matches_exact_geodesy():
         ed = geo.distance(plat, plon, blat, blon)
         assert abs(float(nd - ed)) < 0.01, (dn, de)  # meters
         assert abs(float(nb - eb)) < 1e-9, (dn, de)
-        convergence = abs(de) * np.tan(alat) / geo.EARTHRADIUS
+        convergence = np.hypot(dn, de) * np.tan(alat) / geo.EARTHRADIUS
         assert abs(float(na - ea)) < convergence + 1e-9, (dn, de)
 
 
