@@ -1,0 +1,603 @@
+"""Seismogram synthesis: GF superposition on TPU.
+
+This replaces the reference's hot loop (seismogram.f90:36-301 make_seismogram
++ sparse_trace.f90 trace_multiply_add): for every source centroid, gather the
+bilinear neighborhood of Green's-function traces, weight them by the
+azimuth-dependent moment-tensor combination, time-shift fractionally and
+accumulate into per-component displacement traces.
+
+Two implementations:
+
+* `synthesize_ard_direct` -- a transparent vmap-over-centroids port of the
+  reference dataflow (per-centroid gathers).  Used as the semantics oracle.
+* `synthesize_ard` -- the TPU-first formulation: the per-centroid work is
+  collapsed into a scatter of weights onto a (GF-node, component, time-tap)
+  lattice followed by ONE dense convolution of the edge-extended GF window
+  with that weight kernel.  Linear in exactly the same terms, so it matches
+  the direct path to float32 roundoff while mapping onto the MXU.
+
+Geometry notes: the per-receiver geodesy (azimuths, spheroid distance) is
+precomputed host-side in exact float64 (TPU f64 transcendentals are emulated
+to only ~1e-8 absolute accuracy); the per-centroid differential geodesy uses
+a vector formulation plus polynomial small-angle trig so that the only
+in-kernel transcendentals act on well-conditioned quantities.
+
+Component channels ("ard"): 0 = away, 1 = right, 2 = down, in the
+receiver-local frame; north/east come from rotating (away, right) by
+backazimuth+pi (seismogram.f90:268-283).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import geo
+from .gf.store import GFStore
+from .gf.trace import sample_ext
+
+F32 = jnp.float32
+F64 = jnp.float64
+I32 = jnp.int32
+
+
+# ---------------------------------------------------------------------------
+# receiver geometry (host precompute, exact f64)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ReceiverGeometry:
+    """Per-receiver geodesy relative to the source origin (float64 host)."""
+
+    azi: np.ndarray  # [R] azimuth source->receiver (rad)
+    bazi: np.ndarray  # [R] backazimuth
+    dist: np.ndarray  # [R] spheroid distance (m), distance_accurate50m
+    sin_azi: np.ndarray
+    cos_azi: np.ndarray
+    sin_b: np.ndarray  # sin/cos of dist/earthradius
+    cos_b: np.ndarray
+    depth: np.ndarray  # [R] receiver depth (m), float32
+
+    @property
+    def nreceivers(self):
+        return self.azi.shape[0]
+
+    def device(self):
+        return {
+            "azi": jnp.asarray(self.azi, F64),
+            "bazi": jnp.asarray(self.bazi, F64),
+            "dist": jnp.asarray(self.dist, F64),
+            "sin_azi": jnp.asarray(self.sin_azi, F64),
+            "cos_azi": jnp.asarray(self.cos_azi, F64),
+            "sin_b": jnp.asarray(self.sin_b, F64),
+            "cos_b": jnp.asarray(self.cos_b, F64),
+            "depth": jnp.asarray(self.depth, F32),
+        }
+
+
+def precompute_receiver_geometry(src_lat, src_lon, rec_lat, rec_lon, rec_depth=None):
+    """Host-side exact geodesy (azibazi + distance_accurate50m per receiver).
+
+    All angles in radians.  Mirrors make_seismogram's per-receiver setup
+    (seismogram.f90:99-100).
+    """
+    rec_lat = np.atleast_1d(np.asarray(rec_lat, dtype=np.float64))
+    rec_lon = np.atleast_1d(np.asarray(rec_lon, dtype=np.float64))
+    if rec_depth is None:
+        rec_depth = np.zeros_like(rec_lat)
+    rec_depth = np.atleast_1d(np.asarray(rec_depth, dtype=np.float64))
+
+    t = np.cos(src_lat) * np.cos(rec_lat) * np.sin(rec_lon - src_lon)
+    cd = np.sin(src_lat) * np.sin(rec_lat) + np.cos(src_lat) * np.cos(rec_lat) * np.cos(
+        rec_lon - src_lon
+    )
+    azi = np.arctan2(t, np.sin(rec_lat) - np.sin(src_lat) * cd)
+    bazi = np.arctan2(-t, np.sin(src_lat) - np.sin(rec_lat) * cd)
+
+    # Meeus spheroid distance (orthodrome.f90:193-229)
+    f = (src_lat + rec_lat) / 2.0
+    g = (src_lat - rec_lat) / 2.0
+    ll = (src_lon - rec_lon) / 2.0
+    s = np.sin(g) ** 2 * np.cos(ll) ** 2 + np.cos(f) ** 2 * np.sin(ll) ** 2
+    c = np.cos(g) ** 2 * np.cos(ll) ** 2 + np.sin(f) ** 2 * np.sin(ll) ** 2
+    w = np.arctan(np.sqrt(s / c))
+    r = np.sqrt(s * c) / w
+    d = 2.0 * w * geo.EARTHRADIUS_EQUATOR
+    h1 = (3.0 * r - 1.0) / (2.0 * c)
+    h2 = (3.0 * r + 1.0) / (2.0 * s)
+    dist = d * (
+        1.0
+        + geo.EARTH_OBLATENESS * h1 * np.sin(f) ** 2 * np.cos(g) ** 2
+        - geo.EARTH_OBLATENESS * h2 * np.cos(f) ** 2 * np.sin(g) ** 2
+    )
+
+    b = dist / geo.EARTHRADIUS
+    return ReceiverGeometry(
+        azi=azi,
+        bazi=bazi,
+        dist=dist,
+        sin_azi=np.sin(azi),
+        cos_azi=np.cos(azi),
+        sin_b=np.sin(b),
+        cos_b=np.cos(b),
+        depth=rec_depth.astype(np.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-centroid differential geodesy (in-jit, f64, TPU-emulation-safe)
+# ---------------------------------------------------------------------------
+
+
+def _poly_sincos(a):
+    """sin/cos by Taylor series; exact to f64 for |a| < ~0.05 rad (300 km)."""
+    a2 = a * a
+    sin_a = a * (1.0 - a2 / 6.0 * (1.0 - a2 / 20.0 * (1.0 - a2 / 42.0)))
+    cos_a = 1.0 - a2 / 2.0 * (1.0 - a2 / 12.0 * (1.0 - a2 / 30.0))
+    return sin_a, cos_a
+
+
+def centroid_geodesy(dnorth, deast, rec):
+    """(azi, bazi, dist) from a centroid displaced (dnorth, deast) m.
+
+    Numerically-stable equivalent of approx_differential_azidist's exact
+    spherical branch (orthodrome.f90:121-152): the arc distance is computed
+    as atan2(|P x B|, P.B) of unit vectors in the source-origin tangent
+    frame, with sin/cos of the receiver arc precomputed host-side and
+    sin/cos of the small centroid arc from polynomials.  Quadrant fixes and
+    azimuth conventions follow the reference exactly.
+
+    rec: dict from ReceiverGeometry.device() sliced to one receiver.
+    """
+    dn = dnorth.astype(F64)
+    de = deast.astype(F64)
+    r = jnp.sqrt(dn * dn + de * de)
+    a = r / geo.EARTHRADIUS
+    sin_a, cos_a = _poly_sincos(a)
+
+    safe_r = jnp.where(r == 0.0, 1.0, r)
+    sin_lam = de / safe_r
+    cos_lam = jnp.where(r == 0.0, 1.0, dn / safe_r)
+    lam = jnp.arctan2(de, dn)
+
+    sin_b, cos_b = rec["sin_b"], rec["cos_b"]
+    sin_azi, cos_azi = rec["sin_azi"], rec["cos_azi"]
+
+    # unit vectors in (east, north, up) at the source origin
+    pe, pn, pu = sin_a * sin_lam, sin_a * cos_lam, cos_a
+    be, bn, bu = sin_b * sin_azi, sin_b * cos_azi, cos_b
+
+    cos_c = pe * be + pn * bn + pu * bu
+    cx = pn * bu - pu * bn
+    cy = pu * be - pe * bu
+    cz = pe * bn - pn * be
+    sin_c = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+    c = jnp.arctan2(sin_c, cos_c)
+
+    sin_gamma = sin_azi * cos_lam - cos_azi * sin_lam  # sin(azi - lam)
+    safe_sin_c = jnp.where(sin_c == 0.0, 1.0, sin_c)
+    alpha = jnp.arcsin(jnp.clip(sin_a * sin_gamma / safe_sin_c, -1.0, 1.0))
+    beta = jnp.arcsin(jnp.clip(sin_b * sin_gamma / safe_sin_c, -1.0, 1.0))
+
+    pi = jnp.pi
+    alpha = jnp.where(
+        cos_a - cos_b * cos_c < 0,
+        jnp.where(alpha > 0, pi - alpha, -pi - alpha),
+        alpha,
+    )
+    beta = jnp.where(
+        cos_b - cos_a * cos_c < 0,
+        jnp.where(beta > 0, pi - beta, -pi - beta),
+        beta,
+    )
+
+    new_dist = c * geo.EARTHRADIUS
+    new_bazi = geo.wrap(rec["bazi"] + alpha, -pi, pi)
+    new_azi = geo.wrap(lam - pi - beta, -pi, pi)
+
+    is0 = r == 0.0
+    return (
+        jnp.where(is0, rec["azi"], new_azi),
+        jnp.where(is0, rec["bazi"], new_bazi),
+        jnp.where(is0, rec["dist"], new_dist),
+    )
+
+
+def make_weights(azimuth, m6):
+    """Azimuth-dependent MT combination weights f1..f6 (seismogram.f90:316-336).
+
+    azimuth: f32 scalar/array; m6: f32[..., 6] as (mxx,myy,mzz,mxy,mxz,myz).
+    """
+    azimuth = azimuth.astype(F32)
+    sa = jnp.sin(azimuth)
+    ca = jnp.cos(azimuth)
+    s2a = jnp.sin(2.0 * azimuth)
+    c2a = jnp.cos(2.0 * azimuth)
+    m = m6
+    f1 = m[..., 0] * ca**2 + m[..., 1] * sa**2 + m[..., 3] * s2a
+    f2 = m[..., 4] * ca + m[..., 5] * sa
+    f3 = m[..., 2]
+    f4 = 0.5 * (m[..., 1] - m[..., 0]) * s2a + m[..., 3] * c2a
+    f5 = m[..., 5] * ca - m[..., 4] * sa
+    f6 = m[..., 0] * sa**2 + m[..., 1] * ca**2 - m[..., 3] * s2a
+    return jnp.stack([f1, f2, f3, f4, f5, f6], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# static synthesis configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SynthConfig:
+    """Static (compile-time) parameters of the synthesis kernel."""
+
+    # GF grid metadata
+    dt: float
+    dx: float
+    dz: float
+    firstx: float
+    firstz: float
+    ng: int
+    nt: int  # stored trace length
+    # GF window (node subrange held in VMEM/HBM for this problem)
+    ix0: int
+    nxw: int
+    iz0: int
+    nzw: int
+    # output time window (absolute sample indices, time = i*dt)
+    out_it0: int
+    nt_out: int
+    # integer-shift tap range: ish in [s_base, s_base + s_len)
+    s_base: int
+    s_len: int
+    # options (minimizer_engine.f90:85-87)
+    interpolate: bool = True
+    xunder: int = 1
+    zunder: int = 1
+
+
+def gf_indices(cfg: SynthConfig, x, z):
+    """Window-relative bilinear indices + fractional weights.
+
+    Port of gfdb_get_indices / gfdb_get_indices_bilin (gfdb.f90:781-815),
+    0-based, computed in float32 like the reference (it passes real(dist)).
+    Returns ix[2], iz[2] (window-relative, clipped), dix, diz, valid.
+    """
+    x = x.astype(F32)
+    z = z.astype(F32)
+    dxf = jnp.asarray(cfg.dx, F32)
+    dzf = jnp.asarray(cfg.dz, F32)
+    fx = jnp.asarray(cfg.firstx, F32)
+    fz = jnp.asarray(cfg.firstz, F32)
+    if cfg.interpolate:
+        xu = jnp.asarray(cfg.xunder, F32)
+        zu = jnp.asarray(cfg.zunder, F32)
+        ix1 = (jnp.floor((x - fx) / (dxf * xu)) * cfg.xunder).astype(I32)
+        iz1 = (jnp.floor((z - fz) / (dzf * zu)) * cfg.zunder).astype(I32)
+        ix2 = ix1 + cfg.xunder
+        iz2 = iz1 + cfg.zunder
+        dix = (x - fx - ix1.astype(F32) * dxf) / (dxf * xu)
+        diz = (z - fz - iz1.astype(F32) * dzf) / (dzf * zu)
+    else:
+        from .gf.trace import jnint
+
+        ix1 = jnint((x - fx) / dxf)
+        iz1 = jnint((z - fz) / dzf)
+        ix2 = ix1 + 1
+        iz2 = iz1 + 1
+        dix = jnp.zeros_like(x)
+        diz = jnp.zeros_like(z)
+
+    ixs = jnp.stack([ix1, ix2]) - cfg.ix0
+    izs = jnp.stack([iz1, iz2]) - cfg.iz0
+    valid = (
+        (ixs[0] >= 0)
+        & (ixs[1] < cfg.nxw)
+        & (izs[0] >= 0)
+        & (izs[1] < cfg.nzw)
+    )
+    ixs = jnp.clip(ixs, 0, cfg.nxw - 1)
+    izs = jnp.clip(izs, 0, cfg.nzw - 1)
+    return ixs, izs, dix, diz, valid
+
+
+def _group_weights(f, cos_l, sin_l, ng):
+    """Per-GF-component weights for the three ard channels.
+
+    Implements the component/weight mapping of seismogram.f90:171-251 with
+    the per-centroid backazimuth rotation (:195-204) folded in:
+      away  channel: cos(l)*[f1,f2,f3 on g=0..2, f6 on g=8] - sin(l)*[f4,f5 on g=3..4]
+      right channel: sin(l)*[...] + cos(l)*[f4,f5]
+      down  channel: f1,f2,f3 on g=5..7, f6 on g=9
+    Returns wg[..., 3, ng].
+    """
+    z = jnp.zeros_like(f[..., 0])
+    f1, f2, f3, f4, f5, f6 = (f[..., i] for i in range(6))
+    away = [cos_l * f1, cos_l * f2, cos_l * f3, -sin_l * f4, -sin_l * f5, z, z, z]
+    right = [sin_l * f1, sin_l * f2, sin_l * f3, cos_l * f4, cos_l * f5, z, z, z]
+    down = [z, z, z, z, z, f1, f2, f3]
+    if ng == 10:
+        away += [cos_l * f6, z]
+        right += [sin_l * f6, z]
+        down += [z, f6]
+    return jnp.stack(
+        [jnp.stack(away, axis=-1), jnp.stack(right, axis=-1), jnp.stack(down, axis=-1)],
+        axis=-2,
+    )
+
+
+def _centroid_kinematics(cfg: SynthConfig, rec, centroids):
+    """Shared per-centroid computation: geodesy, weights, indices, taps.
+
+    centroids: dict with north, east, depth, time f32[C]; m f32[C, 6].
+    Returns dict of per-centroid quantities.
+    """
+    azi, bazi, dist = jax.vmap(
+        lambda dn, de: centroid_geodesy(dn, de, rec)
+    )(centroids["north"], centroids["east"])
+
+    f = make_weights(azi.astype(F32), centroids["m"])  # [C, 6]
+    lam = (bazi - rec["bazi"]).astype(F32)
+    cos_l = jnp.cos(lam)
+    sin_l = jnp.sin(lam)
+
+    z = centroids["depth"] - rec["depth"].astype(F32)
+    ixs, izs, dix, diz, valid = jax.vmap(
+        lambda x, zz: gf_indices(cfg, x, zz)
+    )(dist.astype(F32), z)
+
+    rshift = centroids["time"].astype(F32) / jnp.asarray(cfg.dt, F32)
+    ish = jnp.floor(rshift).astype(I32)
+    frac = rshift - ish.astype(F32)
+
+    # bilinear spatial weights (gfdb.f90:945-948); exact-node case keeps the
+    # same values since dix==diz==0 collapses to the single trace
+    w00 = (1.0 - dix) * (1.0 - diz)
+    w01 = (1.0 - dix) * diz
+    w10 = dix * (1.0 - diz)
+    w11 = dix * diz
+    wsp = jnp.stack([w00, w01, w10, w11], axis=-1)  # [C, 4]
+
+    wg = _group_weights(f, cos_l, sin_l, cfg.ng)  # [C, 3, ng]
+
+    return {
+        "ixs": ixs,  # [C, 2] window-relative
+        "izs": izs,
+        "wsp": wsp,  # [C, 4] order (00, 01, 10, 11)
+        "wg": wg,  # [C, 3, ng]
+        "ish": ish,  # [C]
+        "frac": frac,  # [C]
+        "valid": valid,  # [C]
+        "bazi": rec["bazi"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# direct (oracle) path
+# ---------------------------------------------------------------------------
+
+
+def synthesize_ard_direct(gf_data, gf_itmin, cfg: SynthConfig, rec, centroids):
+    """Reference-dataflow synthesis: per-centroid gathers (semantics oracle).
+
+    gf_data: f32[nxw, nzw, ng, nt] window of the store; gf_itmin likewise.
+    Returns ard f32[3, nt_out].
+    """
+    kin = _centroid_kinematics(cfg, rec, centroids)
+    jout = cfg.out_it0 + jnp.arange(cfg.nt_out)
+
+    def one_centroid(ixs, izs, wsp, wg, ish, frac, valid):
+        rows = gf_data[ixs[:, None], izs[None, :]]  # [2, 2, ng, nt]
+        its = gf_itmin[ixs[:, None], izs[None, :]]  # [2, 2, ng]
+        idx = (jout - ish)[None, None, None, :]
+        v0 = sample_ext(rows, its, jnp.broadcast_to(idx, rows.shape[:3] + (cfg.nt_out,)))
+        v1 = sample_ext(rows, its, jnp.broadcast_to(idx - 1, rows.shape[:3] + (cfg.nt_out,)))
+        v = (1.0 - frac) * v0 + frac * v1  # [2, 2, ng, nt_out]
+        wsp4 = wsp.reshape(2, 2)
+        blended = jnp.einsum("ab,abgt->gt", wsp4, v)  # [ng, nt_out]
+        out = jnp.einsum("og,gt->ot", wg, blended)  # [3, nt_out]
+        return jnp.where(valid, 1.0, 0.0) * out
+
+    ard = jax.vmap(one_centroid)(
+        kin["ixs"], kin["izs"], kin["wsp"], kin["wg"], kin["ish"], kin["frac"], kin["valid"]
+    ).sum(axis=0)
+    return ard
+
+
+# ---------------------------------------------------------------------------
+# fast path: scatter + convolution
+# ---------------------------------------------------------------------------
+
+
+def materialize_window(gf_data, gf_itmin, cfg: SynthConfig):
+    """Edge-extend the GF window onto the absolute index range needed by the
+    convolution: e0 = out_it0 - s_base - s_len, length nt_out + s_len (the
+    tap axis has s_len + 1 entries; the extra tap covers the
+    fractional-shift sample).
+
+    Returns ext f32[nxw, nzw, ng, nt_ext]; precomputed once per config and
+    reused for every source (it replaces the reference's in-loop cache of
+    interpolated traces, gfdb.f90:912-943).
+    """
+    e0 = cfg.out_it0 - cfg.s_base - cfg.s_len
+    nt_ext = cfg.nt_out + cfg.s_len
+    idx = e0 + jnp.arange(nt_ext)
+    shape = gf_data.shape[:3] + (nt_ext,)
+    return sample_ext(gf_data, gf_itmin, jnp.broadcast_to(idx, shape))
+
+
+def scatter_weight_kernel(cfg: SynthConfig, kin):
+    """Accumulate per-centroid weights onto the (node, g, tap) lattice.
+
+    The fractional shift becomes two taps at ish and ish+1 with weights
+    (1-frac, frac) -- exactly trace_multiply_add's linear interpolation
+    (sparse_trace.f90:639-646).  Returns W f32[3, nxw, nzw, ng, s_len + 1].
+    """
+    c = kin["ish"].shape[0]
+    s_rel = kin["ish"] - cfg.s_base  # [C]
+    taps = jnp.stack([1.0 - kin["frac"], kin["frac"]], axis=-1)  # [C, 2]
+    svals = jnp.stack([s_rel, s_rel + 1], axis=-1)  # [C, 2]
+
+    vmask = jnp.where(kin["valid"], 1.0, 0.0)
+    # [C, 4, 2] spatial x tap weights
+    wst = (vmask[:, None] * kin["wsp"])[:, :, None] * taps[:, None, :]
+    # full value tensor [C, 4, 2, 3, ng]
+    vals = wst[:, :, :, None, None] * kin["wg"][:, None, None, :, :]
+
+    ixn = jnp.broadcast_to(
+        jnp.repeat(kin["ixs"], 2, axis=-1)[:, :, None], (c, 4, 2)
+    )  # order 00,01,10,11 -> ix: [x1,x1,x2,x2]
+    izn = jnp.broadcast_to(jnp.tile(kin["izs"], (1, 2))[:, :, None], (c, 4, 2))
+    sn = jnp.clip(jnp.broadcast_to(svals[:, None, :], (c, 4, 2)), 0, cfg.s_len)
+
+    w = jnp.zeros((cfg.nxw, cfg.nzw, cfg.s_len + 1, 3, cfg.ng), dtype=F32)
+    w = w.at[ixn, izn, sn].add(vals)
+    return jnp.moveaxis(jnp.moveaxis(w, 3, 0), -1, 3)  # [3, nxw, nzw, ng, s+1]
+
+
+def synthesize_ard(ext, cfg: SynthConfig, rec, centroids):
+    """Fast synthesis: weight scatter + one convolution against the
+    pre-extended GF window `ext` (from materialize_window)."""
+    kin = _centroid_kinematics(cfg, rec, centroids)
+    w = scatter_weight_kernel(cfg, kin)  # [3, nxw, nzw, ng, S]
+
+    s = cfg.s_len + 1
+    feat = cfg.nxw * cfg.nzw * cfg.ng
+    lhs = ext.reshape(1, feat, -1)  # [1, F, nt_ext]
+    rhs = jnp.flip(w.reshape(3, feat, s), axis=-1)  # correlation -> conv kernel
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=F32,
+    )
+    return out[0]  # [3, nt_out]
+
+
+# ---------------------------------------------------------------------------
+# final component assembly
+# ---------------------------------------------------------------------------
+
+# component ids as in receiver.f90:35-48
+C_AWAY, C_RIGHT, C_DOWN, C_NORTH, C_EAST = 1, 2, 3, 4, 5
+COMPONENT_IDS = {
+    "a": C_AWAY, "c": -C_AWAY,
+    "r": C_RIGHT, "l": -C_RIGHT,
+    "d": C_DOWN, "u": -C_DOWN,
+    "n": C_NORTH, "s": -C_NORTH,
+    "e": C_EAST, "w": -C_EAST,
+}
+
+
+def ard_to_components(ard, bazi, component_ids):
+    """Map (away, right, down) channels to requested components.
+
+    component_ids: static tuple of signed ids (COMPONENT_IDS values).
+    north/east = rotate (away, right) by bazi+pi (seismogram.f90:268-283).
+    Returns f32[ncomp, nt_out].
+    """
+    away, right, down = ard[0], ard[1], ard[2]
+    cl = jnp.cos(bazi + jnp.pi).astype(F32)
+    sl = jnp.sin(bazi + jnp.pi).astype(F32)
+    north = cl * away - sl * right
+    east = cl * right + sl * away
+    basis = {C_AWAY: away, C_RIGHT: right, C_DOWN: down, C_NORTH: north, C_EAST: east}
+    rows = [jnp.sign(cid) * basis[abs(cid)] for cid in component_ids]
+    return jnp.stack(rows, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# config construction helpers (host side)
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x, m):
+    return -(-int(x) // m) * m
+
+
+def plan_config(
+    store: GFStore,
+    geom: ReceiverGeometry,
+    extent_m: float,
+    depth_range: tuple,
+    time_range: tuple,
+    interpolate: bool = True,
+    xunder: int = 1,
+    zunder: int = 1,
+) -> SynthConfig:
+    """Choose static window/tap/output bounds covering a source search space.
+
+    extent_m: max horizontal half-extent of any discretized source (m);
+    depth_range: (min, max) centroid depth (m); time_range: (min, max)
+    centroid time (s).  Bounds are conservative; sizes are rounded up to
+    limit recompilation across configs.
+    """
+    dist_lo = float(geom.dist.min()) - extent_m
+    dist_hi = float(geom.dist.max()) + extent_m
+    ix_lo = int(np.floor((dist_lo - store.firstx) / (store.dx * xunder))) * xunder - 1
+    ix_hi = int(np.ceil((dist_hi - store.firstx) / (store.dx * xunder))) * xunder + xunder + 1
+    ix_lo = max(ix_lo, 0)
+    ix_hi = min(ix_hi, store.nx - 1)
+
+    zmin = depth_range[0] - float(geom.depth.max())
+    zmax = depth_range[1] - float(geom.depth.min())
+    iz_lo = int(np.floor((zmin - store.firstz) / (store.dz * zunder))) * zunder - 1
+    iz_hi = int(np.ceil((zmax - store.firstz) / (store.dz * zunder))) * zunder + zunder + 1
+    iz_lo = max(iz_lo, 0)
+    iz_hi = min(iz_hi, store.nz - 1)
+
+    nxw = _round_up(ix_hi - ix_lo + 1, 2)
+    nzw = _round_up(iz_hi - iz_lo + 1, 2)
+    nxw = min(nxw, store.nx - ix_lo)
+    nzw = min(nzw, store.nz - iz_lo)
+
+    s_base = int(np.floor(time_range[0] / store.dt)) - 1
+    s_hi = int(np.ceil(time_range[1] / store.dt)) + 1
+    s_len = _round_up(s_hi - s_base + 1, 8)
+
+    # span of stored traces inside the window
+    sub_n = store.nsamples[ix_lo : ix_lo + nxw, iz_lo : iz_lo + nzw]
+    sub_i = store.itmin[ix_lo : ix_lo + nxw, iz_lo : iz_lo + nzw]
+    used = sub_n > 0
+    if used.any():
+        tr_lo = int(sub_i[used].min())
+        tr_hi = int((sub_i + sub_n - 1)[used].max())
+    else:
+        tr_lo, tr_hi = 0, 1
+    out_it0 = tr_lo + s_base
+    nt_out = _round_up(tr_hi - tr_lo + 1 + s_len + 2, 16)
+
+    return SynthConfig(
+        dt=store.dt,
+        dx=store.dx,
+        dz=store.dz,
+        firstx=store.firstx,
+        firstz=store.firstz,
+        ng=store.ng,
+        nt=store.nt,
+        ix0=ix_lo,
+        nxw=nxw,
+        iz0=iz_lo,
+        nzw=nzw,
+        out_it0=out_it0,
+        nt_out=nt_out,
+        s_base=s_base,
+        s_len=s_len,
+        interpolate=interpolate,
+        xunder=xunder,
+        zunder=zunder,
+    )
+
+
+def window_arrays(store: GFStore, cfg: SynthConfig):
+    """Device arrays of the GF window selected by cfg."""
+    sl = np.s_[cfg.ix0 : cfg.ix0 + cfg.nxw, cfg.iz0 : cfg.iz0 + cfg.nzw]
+    return jnp.asarray(store.data[sl]), jnp.asarray(store.itmin[sl])
