@@ -1,0 +1,481 @@
+"""Waveform misfit engine (probes, tapers, spectral filters, norms).
+
+Replaces comparator.f90 + the misfit parts of receiver.f90.  A "probe" is a
+power-of-two-length float32 array over a static absolute index span
+[ps0, ps0+pl), with the reference's extension convention: zeros left of the
+data span, last value repeated to the right (comparator.f90:59, :264-267).
+
+Differences from the reference, by design:
+* probe spans are unified across receivers/components per configuration (the
+  reference grows each probe pair's pow2 span dynamically,
+  comparator.f90:464-486; values of time-domain norms are unaffected because
+  norms are restricted to data/taper spans; amplitude-spectrum norms see a
+  different df but converge to the same continuous-integral value).
+* per-source dynamic spans are those of a fresh engine session (the
+  reference's spans can only grow within a session, making misfits weakly
+  order-dependent across a sweep; we evaluate each source independently).
+
+Norms (comparator.f90:33-42): l2, l1, ampspec_l2, ampspec_l1,
+scalar_product, peak, floating_l2, floating_l1 -- the floating ones scan a
+reference-shift range and pick the minimum summed misfit per receiver
+(receiver.f90:439-510).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .plf import PLF
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+L2NORM = 1
+L1NORM = 2
+AMPSPEC_L2NORM = 3
+AMPSPEC_L1NORM = 4
+SCALAR_PRODUCT = 5
+PEAK = 6
+FLOATING_L2NORM = 7
+FLOATING_L1NORM = 8
+
+NORM_NAMES = {
+    "l2norm": L2NORM,
+    "l1norm": L1NORM,
+    "ampspec_l2norm": AMPSPEC_L2NORM,
+    "ampspec_l1norm": AMPSPEC_L1NORM,
+    "scalar_product": SCALAR_PRODUCT,
+    "peak": PEAK,
+    "floating_l2norm": FLOATING_L2NORM,
+    "floating_l1norm": FLOATING_L1NORM,
+}
+
+
+def next_pow2(n):
+    return 1 << max(0, int(np.ceil(np.log2(max(1, n)))))
+
+
+def allowed_span(span, minlength):
+    """Pow2 padding of a span (comparator.f90:1092-1109)."""
+    lo, hi = int(span[0]), int(span[1])
+    length = hi - lo + 1
+    lengthp = next_pow2(max(length, minlength))
+    lo2 = lo - int(np.floor((lengthp - length) / 2.0))
+    return lo2, lo2 + lengthp - 1
+
+
+# ---------------------------------------------------------------------------
+# host-side setup
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ProbeStatic:
+    """Static probe-grid parameters."""
+
+    ps0: int  # absolute index of first probe sample
+    pl: int  # probe length (power of two)
+    dt: float
+
+    @property
+    def df(self):
+        return 1.0 / (self.pl * self.dt)
+
+
+class MisfitSetup:
+    """Host-side builder of the device misfit context.
+
+    nrc: number of (receiver, component) rows; receiver_ids maps each row to
+    its receiver (for floating-shift grouping and enable/disable).
+    """
+
+    def __init__(self, static: ProbeStatic, receiver_ids):
+        self.static = static
+        self.receiver_ids = np.asarray(receiver_ids, dtype=np.int32)
+        nrc = self.receiver_ids.shape[0]
+        self.nrc = nrc
+        pl = static.pl
+        nf = pl // 2 + 1
+        self.ref = np.zeros((nrc, pl), dtype=np.float32)
+        self.ref_lo = np.full(nrc, static.ps0, dtype=np.int32)
+        self.ref_hi = np.full(nrc, static.ps0, dtype=np.int32)
+        self.has_ref = np.zeros(nrc, dtype=bool)
+        self.taper_w = np.ones((nrc, pl), dtype=np.float32)
+        self.taper_zero_one = np.ones((nrc, pl), dtype=np.float32)
+        self.has_taper = np.zeros(nrc, dtype=bool)
+        self.taper_lo = np.full(nrc, static.ps0, dtype=np.int32)
+        self.taper_hi = np.full(nrc, static.ps0 + pl - 1, dtype=np.int32)
+        self.filter_w = np.ones((nrc, nf), dtype=np.float32)
+        self.has_filter = np.zeros(nrc, dtype=bool)
+        self.syn_factor = np.ones(nrc, dtype=np.float32)
+        self.enabled = np.ones(nrc, dtype=bool)
+
+    # -- mutation (host) -----------------------------------------------------
+
+    def set_ref(self, irc, values, itmin):
+        """Place a reference trace (absolute start index itmin) on the probe
+        span with probe extension semantics (probe_set_array,
+        comparator.f90:222-271)."""
+        ps0, pl = self.static.ps0, self.static.pl
+        v = np.asarray(values, dtype=np.float32)
+        arr = np.zeros(pl, dtype=np.float32)
+        lo = itmin - ps0
+        hi = lo + v.shape[0] - 1
+        if lo < 0 or hi >= pl:
+            raise ValueError(
+                f"reference trace [{itmin}, {itmin + len(v) - 1}] exceeds probe span "
+                f"[{ps0}, {ps0 + pl - 1}]"
+            )
+        arr[lo : hi + 1] = v
+        arr[hi + 1 :] = v[-1]
+        self.ref[irc] = arr
+        self.ref_lo[irc] = itmin
+        self.ref_hi[irc] = itmin + v.shape[0] - 1
+        self.has_ref[irc] = True
+
+    def set_taper(self, irc, taper: PLF):
+        """receiver_set_taper -> probe taper (comparator.f90:1173-1184)."""
+        ps0, pl, dt = self.static.ps0, self.static.pl, self.static.dt
+        span = (ps0, ps0 + pl - 1)
+        self.taper_w[irc] = taper.taper_weights(span, dt, ip="cos").astype(np.float32)
+        self.taper_zero_one[irc] = taper.taper_weights(span, dt, ip="zero_one").astype(
+            np.float32
+        )
+        dlo, dhi = taper.discrete_span(dt)
+        self.taper_lo[irc] = max(dlo, span[0])
+        self.taper_hi[irc] = min(dhi, span[1])
+        self.has_taper[irc] = True
+
+    def set_filter(self, irc, filt: PLF):
+        """Spectral filter on rfft bins, coordinate k*df
+        (comparator.f90:1218-1231)."""
+        nf = self.static.pl // 2 + 1
+        self.filter_w[irc] = filt.taper_weights((0, nf - 1), self.static.df, ip="cos").astype(
+            np.float32
+        )
+        self.has_filter[irc] = True
+
+    def device(self):
+        return {
+            "ref": jnp.asarray(self.ref),
+            "ref_lo": jnp.asarray(self.ref_lo),
+            "ref_hi": jnp.asarray(self.ref_hi),
+            "taper_w": jnp.asarray(self.taper_w),
+            "taper_zero_one": jnp.asarray(self.taper_zero_one),
+            "has_taper": jnp.asarray(self.has_taper),
+            "taper_lo": jnp.asarray(self.taper_lo),
+            "taper_hi": jnp.asarray(self.taper_hi),
+            "filter_w": jnp.asarray(self.filter_w),
+            "has_filter": jnp.asarray(self.has_filter),
+            "syn_factor": jnp.asarray(self.syn_factor),
+            "enabled": jnp.asarray(self.enabled),
+            "receiver_ids": jnp.asarray(self.receiver_ids),
+        }
+
+
+# ---------------------------------------------------------------------------
+# device-side probe processing
+# ---------------------------------------------------------------------------
+
+
+def place_on_probe(values, it0, st: ProbeStatic):
+    """Put trace rows (f32[..., NT]) starting at absolute it0 onto the probe
+    span with zero-left / repeat-right extension."""
+    nt = values.shape[-1]
+    j = st.ps0 + jnp.arange(st.pl)
+    rel = j - it0
+    out = jnp.take(values, jnp.clip(rel, 0, nt - 1), axis=-1)
+    return jnp.where(rel < 0, 0.0, out)
+
+
+def shift_probe(arr, lo, hi, s, st: ProbeStatic):
+    """probe_shift: move the data span by s samples, re-extending
+    (comparator.f90:273-288).  arr: f32[RC, PL]; lo/hi absolute dataspans;
+    s: integer scalar shift applied to all rows."""
+    j = jnp.arange(st.pl)
+    rel = j[None, :] - s  # source sample (probe-relative) for each output j
+    lo_rel = lo[:, None] - st.ps0
+    hi_rel = hi[:, None] - st.ps0
+    relc = jnp.clip(rel, lo_rel, hi_rel)  # clamp into the data span: edge ext
+    v = jnp.take_along_axis(arr, jnp.broadcast_to(relc, arr.shape), axis=-1)
+    return jnp.where(rel < lo_rel, 0.0, v)
+
+
+def _taper_arrays(ctx, arr):
+    """array_tapered per row (no-op rows keep the plain array)."""
+    return jnp.where(ctx["has_taper"][..., None], arr * ctx["taper_w"], arr)
+
+
+def processed_arrays(ctx, arr, st: ProbeStatic):
+    """(plain, tapered, filtered, amp, amp_filtered) per row.
+
+    Follows the probe dataflow (comparator.f90:1171-1263): taper with cosine
+    interpolation, rfft, spectral PLF filter, irfft, zero where taper is
+    zero.
+    """
+    tapered = _taper_arrays(ctx, arr)
+    spec = jnp.fft.rfft(tapered, axis=-1)
+    amp = jnp.abs(spec).astype(F32)
+    specf = spec * ctx["filter_w"]
+    ampf = jnp.where(ctx["has_filter"][..., None], amp * ctx["filter_w"], amp)
+    filtered = jnp.fft.irfft(specf, n=st.pl, axis=-1).astype(F32)
+    filtered = jnp.where(ctx["has_taper"][..., None], filtered * ctx["taper_zero_one"], filtered)
+    filtered = jnp.where(ctx["has_filter"][..., None], filtered, tapered)
+    return tapered, filtered, amp, ampf
+
+
+def _span_mask(lo, hi, st: ProbeStatic):
+    j = st.ps0 + jnp.arange(st.pl)
+    return ((j >= lo[..., None]) & (j <= hi[..., None])).astype(F32)
+
+
+def norm_spans(ctx, syn_lo, syn_hi, st: ProbeStatic):
+    """Span over which time-domain norms integrate
+    (probes_norm_timedomain, comparator.f90:770-822): the taper span when
+    tapers are set, else the union of data spans."""
+    lo = jnp.where(ctx["has_taper"], ctx["taper_lo"], jnp.minimum(ctx["ref_lo"], syn_lo))
+    hi = jnp.where(ctx["has_taper"], ctx["taper_hi"], jnp.maximum(ctx["ref_hi"], syn_hi))
+    return lo, hi
+
+
+def _accum(x, mask):
+    return jnp.sum((x * mask).astype(jnp.float64), axis=-1)
+
+
+def pair_norms(ctx, ref_arr, syn_arr, mask, method, st: ProbeStatic):
+    """misfit = |ref - syn| and norm factor = |ref| under `method`.
+
+    ref/syn are the *processed* arrays to compare (filtered > tapered >
+    plain, chosen by the caller); fa=1 for references, fb = syn_factor
+    (l2norm_func etc., comparator.f90:627-697; double accumulation as in
+    the reference).
+    """
+    dt = jnp.float64(st.dt)
+    fb = ctx["syn_factor"][..., None]
+    diff = ref_arr - fb * syn_arr
+    if method == L2NORM:
+        m = jnp.sqrt(dt * _accum(diff * diff, mask))
+        n = jnp.sqrt(dt * _accum(ref_arr * ref_arr, mask))
+    elif method == L1NORM:
+        m = dt * _accum(jnp.abs(diff), mask)
+        n = dt * _accum(jnp.abs(ref_arr), mask)
+    elif method == SCALAR_PRODUCT:
+        m = _accum(ref_arr * fb * syn_arr, mask)
+        n = _accum(ref_arr * ref_arr, mask)
+    elif method == PEAK:
+        fb2 = ctx["syn_factor"][..., None]
+        m = jnp.max(jnp.sqrt((ref_arr**2 + (fb2 * syn_arr) ** 2).astype(jnp.float64)) * mask, axis=-1)
+        n = jnp.max(jnp.abs(ref_arr).astype(jnp.float64) * mask, axis=-1)
+    else:
+        raise ValueError(f"unsupported time-domain method {method}")
+    return m.astype(F32), n.astype(F32)
+
+
+def ampspec_norms(ctx, ref_amp, syn_amp, method, st: ProbeStatic):
+    """Frequency-domain norms over all rfft bins with dt := df
+    (probes_norm_frequencydomain, comparator.f90:861-909)."""
+    df = jnp.float64(st.df)
+    fb = ctx["syn_factor"][..., None]
+    diff = ref_amp - fb * syn_amp
+    if method == AMPSPEC_L2NORM:
+        m = jnp.sqrt(df * jnp.sum((diff * diff).astype(jnp.float64), axis=-1))
+        n = jnp.sqrt(df * jnp.sum((ref_amp * ref_amp).astype(jnp.float64), axis=-1))
+    elif method == AMPSPEC_L1NORM:
+        m = df * jnp.sum(jnp.abs(diff).astype(jnp.float64), axis=-1)
+        n = df * jnp.sum(jnp.abs(ref_amp).astype(jnp.float64), axis=-1)
+    else:
+        raise ValueError(f"unsupported frequency-domain method {method}")
+    return m.astype(F32), n.astype(F32)
+
+
+# ---------------------------------------------------------------------------
+# top-level misfit evaluation
+# ---------------------------------------------------------------------------
+
+
+def fold_stf_weights(risetime, dt, nshift_max):
+    """Boxcar-fold weights for post-synthesis rise time
+    (receiver_scaled_seismograms_to_probes, receiver.f90:866-886).
+
+    Returns (weights f32[2*nshift_max+1], integer shifts implied as
+    k - nshift_max).  Weights are zero beyond the live range; risetime==0
+    gives the identity kernel.
+    """
+    k = jnp.arange(2 * nshift_max + 1, dtype=F32) - nshift_max
+    ts = k * dt
+    lo = jnp.maximum(-risetime / 2.0, ts - dt / 2.0)
+    hi = jnp.minimum(risetime / 2.0, ts + dt / 2.0)
+    w = jnp.maximum(0.0, hi - lo)
+    # live count per the reference: nshifts = 1 + 2*nint(0.5*risetime/dt)
+    from .gf.trace import jnint
+
+    nlive = 1 + 2 * jnint(0.5 * risetime / dt)
+    half = (nlive - 1) // 2
+    w = jnp.where(jnp.abs(k) <= half.astype(F32), w, 0.0)
+    total = jnp.sum(w)
+    w = jnp.where(total > 0, w / jnp.where(total > 0, total, 1.0), jnp.where(k == 0, 1.0, 0.0))
+    return w
+
+
+def apply_fold(vals, w):
+    """Fold rows [..., NT] with integer-shift kernel w[K] (K = 2*h+1),
+    using edge extension like strip_fold + trace_multiply_add.
+
+    out[j] = sum_k w[k] * x_ext(j - (k - h)).
+    """
+    k = w.shape[-1]
+    h = (k - 1) // 2
+    nt = vals.shape[-1]
+    idx = jnp.arange(nt)[None, :] - (jnp.arange(k)[:, None] - h)  # [K, NT]
+    gathered = jnp.take(vals, jnp.clip(idx, 0, nt - 1), axis=-1)  # [..., K, NT]
+    gathered = jnp.where(idx < 0, 0.0, gathered)
+    return jnp.einsum("k,...kt->...t", w, gathered)
+
+
+def evaluate_misfits(
+    ctx,
+    syn_traces,
+    syn_it0,
+    syn_lo,
+    syn_hi,
+    method,
+    st: ProbeStatic,
+    nrec,
+    moment=1.0,
+    risetime=None,
+    fold_nshift_max=0,
+    shiftrange=(0, 0),
+):
+    """Per-(receiver,component) misfits and norm factors for one source.
+
+    syn_traces: f32[RC, NT_out] raw synthesis output; syn_it0: its absolute
+    start index (static); syn_lo/syn_hi: i32[RC] physical data spans;
+    moment: scalar factor applied like probe_set_array's factor_
+    (receiver.f90:894-896); risetime: optional post-synthesis STF fold.
+
+    Returns (misfit[RC], norm[RC], floating_shift[R]).
+    """
+    if risetime is not None and fold_nshift_max > 0:
+        w = fold_stf_weights(risetime, jnp.float32(st.dt), fold_nshift_max)
+        syn_traces = apply_fold(syn_traces, w)
+        syn_lo = syn_lo - fold_nshift_max
+        syn_hi = syn_hi + fold_nshift_max
+
+    syn = place_on_probe(syn_traces, syn_it0, st) * jnp.float32(moment)
+
+    if method in (FLOATING_L2NORM, FLOATING_L1NORM):
+        base = L2NORM if method == FLOATING_L2NORM else L1NORM
+        s1, s2 = shiftrange
+        nshift = s2 - s1 + 1
+
+        tap_s, filt_s, amp_s, ampf_s = processed_arrays(ctx, syn, st)
+        syn_proc = jnp.where(ctx["has_filter"][..., None], filt_s, tap_s)
+
+        def one_shift(s):
+            ref_shifted = shift_probe(ctx["ref"], ctx["ref_lo"], ctx["ref_hi"], s, st)
+            tap_r, filt_r, _, _ = processed_arrays(ctx, ref_shifted, st)
+            ref_proc = jnp.where(ctx["has_filter"][..., None], filt_r, tap_r)
+            lo, hi = norm_spans(
+                ctx | {"ref_lo": ctx["ref_lo"] + s, "ref_hi": ctx["ref_hi"] + s},
+                syn_lo,
+                syn_hi,
+                st,
+            )
+            mask = _span_mask(lo, hi, st)
+            return pair_norms(ctx, ref_proc, syn_proc, mask, base, st)
+
+        shifts = jnp.arange(s1, s2 + 1)
+        ms, ns = jax.lax.map(lambda s: one_shift(jnp.full((), s)), shifts)  # [S, RC]
+        ms = jnp.where(ctx["enabled"][None, :], ms, 0.0)
+        ns = jnp.where(ctx["enabled"][None, :], ns, 0.0)
+
+        # per-receiver selection (receiver.f90:475-501)
+        per_rec = jax.vmap(
+            lambda row: jax.ops.segment_sum(row, ctx["receiver_ids"], num_segments=nrec)
+        )(ms**2 if base == L2NORM else ms)
+        iloc = jnp.argmin(per_rec, axis=0)  # [R]
+        shift_sel = shifts[iloc]
+        m = jnp.take_along_axis(ms, iloc[ctx["receiver_ids"]][None, :], axis=0)[0]
+        n = jnp.mean(ns, axis=0)
+        return m, n, shift_sel
+
+    tap_s, filt_s, amp_s, ampf_s = processed_arrays(ctx, syn, st)
+    if method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM):
+        tap_r, filt_r, amp_r, ampf_r = processed_arrays(ctx, ctx["ref"], st)
+        use_f = ctx["has_filter"][..., None]
+        m, n = ampspec_norms(
+            ctx, jnp.where(use_f, ampf_r, amp_r), jnp.where(use_f, ampf_s, amp_s), method, st
+        )
+    else:
+        tap_r, filt_r, _, _ = processed_arrays(ctx, ctx["ref"], st)
+        ref_proc = jnp.where(ctx["has_filter"][..., None], filt_r, tap_r)
+        syn_proc = jnp.where(ctx["has_filter"][..., None], filt_s, tap_s)
+        lo, hi = norm_spans(ctx, syn_lo, syn_hi, st)
+        mask = _span_mask(lo, hi, st)
+        m, n = pair_norms(ctx, ref_proc, syn_proc, mask, method, st)
+
+    m = jnp.where(ctx["enabled"], m, 0.0)
+    n = jnp.where(ctx["enabled"], n, 0.0)
+    return m, n, jnp.zeros((nrec,), dtype=I32)
+
+
+def global_misfit(misfits, norms):
+    """sqrt(sum m^2)/sqrt(sum n^2) (minimizer_engine.f90:935-942)."""
+    return jnp.sqrt(jnp.sum(misfits.astype(jnp.float64) ** 2)) / jnp.sqrt(
+        jnp.sum(norms.astype(jnp.float64) ** 2)
+    )
+
+
+def cross_correlation(ctx, syn, shiftrange, st: ProbeStatic):
+    """Windowed cross correlation: scalar products of syn against ref
+    shifted through its window (probes_windowed_cross_corr,
+    comparator.f90:1061-1090).  Returns [S, RC]."""
+    s1, s2 = shiftrange
+
+    def one_shift(s):
+        ref_shifted = shift_probe(ctx["ref"], ctx["ref_lo"], ctx["ref_hi"], s, st)
+        tap_r, filt_r, _, _ = processed_arrays(ctx, ref_shifted, st)
+        ref_proc = jnp.where(ctx["has_filter"][..., None], filt_r, tap_r)
+        tap_s, filt_s, _, _ = processed_arrays(ctx, syn, st)
+        syn_proc = jnp.where(ctx["has_filter"][..., None], filt_s, tap_s)
+        lo, hi = norm_spans(
+            ctx | {"ref_lo": ctx["ref_lo"] + s, "ref_hi": ctx["ref_hi"] + s},
+            ctx["ref_lo"] * 0 + st.ps0,
+            ctx["ref_hi"] * 0 + st.ps0 + st.pl - 1,
+            st,
+        )
+        mask = _span_mask(lo, hi, st)
+        m, _ = pair_norms(ctx, syn_proc, ref_proc, mask, SCALAR_PRODUCT, st)
+        return m
+
+    return jax.lax.map(lambda s: one_shift(jnp.full((), s)), jnp.arange(s1, s2 + 1))
+
+
+def peak_amplitude(ctx, syn_rows, mask, differentiate, st: ProbeStatic):
+    """max |d^k u/dt^k| vector norm over grouped components
+    (max_vecnorm_d1/d2, comparator.f90:519-589).  syn_rows: f32[G, PL] --
+    already grouped; mask applies to the first finite-difference sample."""
+    dt = jnp.float64(st.dt)
+    if differentiate == 1:
+        d = (syn_rows[..., :-1] - syn_rows[..., 1:]).astype(jnp.float64)
+        power = jnp.sum(d * d, axis=0)
+        return jnp.sqrt(jnp.max(power * mask[..., :-1])) / dt
+    else:
+        d = (
+            syn_rows[..., :-2] - 2.0 * syn_rows[..., 1:-1] + syn_rows[..., 2:]
+        ).astype(jnp.float64)
+        power = jnp.sum(d * d, axis=0)
+        return jnp.sqrt(jnp.max(power * mask[..., :-2])) / dt**2
+
+
+def arias_intensity(syn_rows, mask, st: ProbeStatic):
+    """pi/(2g) * dt * sum of squared second differences / dt^2
+    (arias_intensity_*, comparator.f90:591-625)."""
+    dt = jnp.float64(st.dt)
+    d = (syn_rows[..., :-2] - 2.0 * syn_rows[..., 1:-1] + syn_rows[..., 2:]).astype(jnp.float64)
+    total = jnp.sum(jnp.sum(d * d, axis=0) * mask[..., :-2])
+    return jnp.pi / (2.0 * 9.81) * dt * total / dt**2

@@ -1,0 +1,179 @@
+"""Misfit engine tests (counterpart of test_comparator.f90)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from kiwi_tpu import misfit as mf
+from kiwi_tpu.plf import PLF
+
+
+def make_setup(nrc=2, ps0=-8, pl=64, dt=0.5, receiver_ids=None):
+    st = mf.ProbeStatic(ps0=ps0, pl=pl, dt=dt)
+    if receiver_ids is None:
+        receiver_ids = list(range(nrc))
+    return mf.MisfitSetup(st, receiver_ids), st
+
+
+def test_place_on_probe_extension():
+    st = mf.ProbeStatic(ps0=-4, pl=16, dt=0.1)
+    vals = jnp.asarray(np.array([[1.0, 2.0, 3.0]], dtype=np.float32))
+    out = np.asarray(mf.place_on_probe(vals, 2, st))[0]
+    # ps0=-4: indices -4..11; trace at 2,3,4; edge extension after
+    expected = [0, 0, 0, 0, 0, 0, 1, 2, 3, 3, 3, 3, 3, 3, 3, 3]
+    np.testing.assert_allclose(out, expected)
+
+
+def test_shift_probe():
+    st = mf.ProbeStatic(ps0=0, pl=8, dt=0.1)
+    arr = jnp.asarray(np.array([[0, 0, 5.0, 6, 7, 7, 7, 7]], dtype=np.float32))
+    lo = jnp.asarray([2])
+    hi = jnp.asarray([4])
+    out = np.asarray(mf.shift_probe(arr, lo, hi, jnp.int32(2), st))[0]
+    np.testing.assert_allclose(out, [0, 0, 0, 0, 5, 6, 7, 7])
+    out = np.asarray(mf.shift_probe(arr, lo, hi, jnp.int32(-2), st))[0]
+    np.testing.assert_allclose(out, [5, 6, 7, 7, 7, 7, 7, 7])
+
+
+def _eval(setup, st, syn, it0, lo, hi, method, nrec=None, **kw):
+    ctx = setup.device()
+    nrec = nrec if nrec is not None else int(setup.receiver_ids.max()) + 1
+    return mf.evaluate_misfits(
+        ctx,
+        jnp.asarray(syn, jnp.float32),
+        it0,
+        jnp.asarray(lo, jnp.int32),
+        jnp.asarray(hi, jnp.int32),
+        method,
+        st,
+        nrec,
+        **kw,
+    )
+
+
+def test_l2_l1_norms_no_taper():
+    setup, st = make_setup(nrc=1, ps0=0, pl=32, dt=0.5)
+    ref = np.array([1.0, 2.0, -1.0, 0.5], dtype=np.float32)
+    setup.set_ref(0, ref, 4)
+    syn = np.zeros((1, 10), dtype=np.float32)
+    syn[0, 2:6] = [0.5, 1.5, -0.5, 0.25]  # placed at it0=2 -> abs 4..7
+    m, n, _ = _eval(setup, st, syn, 2, [4], [7], mf.L2NORM)
+    # union of dataspans = [4, 7]; diff = [0.5, 0.5, -0.5, 0.25]
+    exp_m = np.sqrt(0.5 * (0.25 + 0.25 + 0.25 + 0.0625))
+    exp_n = np.sqrt(0.5 * (1 + 4 + 1 + 0.25))
+    assert abs(float(m[0]) - exp_m) < 1e-6
+    assert abs(float(n[0]) - exp_n) < 1e-6
+
+    m, n, _ = _eval(setup, st, syn, 2, [4], [7], mf.L1NORM)
+    assert abs(float(m[0]) - 0.5 * 1.75) < 1e-6
+    assert abs(float(n[0]) - 0.5 * 4.5) < 1e-6
+
+
+def test_extension_contributes_outside_physical_span():
+    # ref has static offset; syn zero: the repeated end value must enter the
+    # norm across the union span
+    setup, st = make_setup(nrc=1, ps0=0, pl=32, dt=1.0)
+    setup.set_ref(0, np.array([2.0, 2.0], dtype=np.float32), 4)
+    syn = np.zeros((1, 8), dtype=np.float32)
+    # syn dataspan [2, 9]: union span [2, 9]; ref extended = 2 at 4..9, 0 at 2..3
+    m, n, _ = _eval(setup, st, syn, 2, [2], [9], mf.L1NORM)
+    assert abs(float(m[0]) - 2.0 * 6) < 1e-6
+
+
+def test_taper_restricts_span_and_weights():
+    setup, st = make_setup(nrc=1, ps0=0, pl=64, dt=1.0)
+    ref = np.ones(20, dtype=np.float32)
+    setup.set_ref(0, ref, 0)
+    taper = PLF([2.0, 6.0, 10.0, 14.0], [0.0, 1.0, 1.0, 0.0])
+    setup.set_taper(0, taper)
+    syn = np.zeros((1, 20), dtype=np.float32)
+    m, n, _ = _eval(setup, st, syn, 0, [0], [19], mf.L1NORM)
+    w = taper.taper_weights((2, 14), 1.0)  # taper span [2, 14]
+    # misfit = dt * sum |taper*ref - 0| over the taper span
+    assert abs(float(m[0]) - w.sum()) < 1e-5
+    assert abs(float(n[0]) - w.sum()) < 1e-5
+
+
+def test_filter_roundtrip_identity():
+    # an all-pass filter (flat plf over the full band) must reproduce the
+    # tapered trace up to fft roundoff
+    setup, st = make_setup(nrc=1, ps0=0, pl=64, dt=0.25)
+    rng = np.random.default_rng(3)
+    ref = rng.normal(size=30).astype(np.float32)
+    ref[-1] = 0.0  # avoid edge extension differences beyond the trace
+    setup.set_ref(0, ref, 5)
+    nyq = 1.0 / (2 * 0.25)
+    setup.set_filter(0, PLF([-0.1, -0.05, nyq * 2.0, nyq * 2.1], [0.0, 1.0, 1.0, 0.0]))
+    syn = np.zeros((1, 40), dtype=np.float32)
+    syn[0, :35] = np.concatenate([np.zeros(5), ref])
+    m_f, n_f, _ = _eval(setup, st, syn, 0, [0], [39], mf.L2NORM)
+    assert float(m_f[0]) < 1e-5 * float(n_f[0]) + 1e-6
+
+
+def test_lowpass_filter_kills_nyquist():
+    setup, st = make_setup(nrc=1, ps0=0, pl=64, dt=1.0)
+    # pure alternating signal = energy at nyquist 0.5 Hz
+    ref = (np.cos(np.pi * np.arange(41)) * np.hanning(41)).astype(np.float32)
+    ref[-1] = 0.0
+    setup.set_ref(0, ref, 0)
+    setup.set_filter(0, PLF([0.0, 0.0, 0.05, 0.1], [0.0, 1.0, 1.0, 0.0]))
+    syn = np.zeros((1, 41), dtype=np.float32)
+    m, n, _ = _eval(setup, st, syn, 0, [0], [40], mf.L2NORM)
+    # filtered ref ~ 0 -> misfit ~ 0 relative to unfiltered energy
+    raw = np.sqrt(1.0 * (ref**2).sum())
+    assert float(m[0]) < 0.02 * raw
+
+
+def test_ampspec_shift_invariance():
+    # amplitude spectra ignore time shifts (of circularly-contained signals)
+    setup, st = make_setup(nrc=1, ps0=0, pl=128, dt=0.5)
+    sig = (np.exp(-0.5 * ((np.arange(30) - 15) / 4.0) ** 2) * np.hanning(30)).astype(np.float32)
+    sig[0] = sig[-1] = 0.0  # no edge extension: pure shift invariance
+    setup.set_ref(0, sig, 10)
+    syn = np.zeros((1, 60), dtype=np.float32)
+    syn[0, 20:50] = sig
+    m, n, _ = _eval(setup, st, syn, 0, [20], [49], mf.AMPSPEC_L2NORM)
+    assert float(m[0]) < 2e-5 * float(n[0])
+
+
+def test_floating_norm_recovers_shift():
+    setup, st = make_setup(nrc=2, ps0=-16, pl=128, dt=0.5, receiver_ids=[0, 0])
+    sig = np.sin(np.arange(24) / 3.0).astype(np.float32) * np.hanning(24).astype(np.float32)
+    # reference = signal at 10; synthetic = same signal at 13 (shift +3)
+    setup.set_ref(0, sig, 10)
+    setup.set_ref(1, 0.5 * sig, 10)
+    syn = np.zeros((2, 40), dtype=np.float32)
+    syn[0, 13:37] = sig
+    syn[1, 13:37] = 0.5 * sig
+    m, n, fshift = _eval(
+        setup, st, syn, 0, [13, 13], [36, 36], mf.FLOATING_L1NORM, nrec=1,
+        shiftrange=(-6, 6),
+    )
+    assert int(fshift[0]) == 3
+    assert float(m[0]) < 1e-6
+    assert float(m[1]) < 1e-6
+    assert float(n[0]) > 0
+
+
+def test_global_misfit():
+    m = jnp.asarray([3.0, 4.0])
+    n = jnp.asarray([5.0, 0.0])
+    assert abs(float(mf.global_misfit(m, n)) - 1.0) < 1e-12
+
+
+def test_fold_stf_weights():
+    w = np.asarray(mf.fold_stf_weights(jnp.float32(4.0), jnp.float32(1.0), 4))
+    # risetime=4dt: nshifts=5, overlaps [.5,1,1,1,.5]/4 -> normalized /4
+    expected = np.array([0, 0, 0.5, 1, 1, 1, 0.5, 0, 0]) / 4.0
+    np.testing.assert_allclose(w, expected, atol=1e-7)
+    # zero risetime: identity kernel
+    w0 = np.asarray(mf.fold_stf_weights(jnp.float32(0.0), jnp.float32(1.0), 4))
+    np.testing.assert_allclose(w0, [0, 0, 0, 0, 1, 0, 0, 0, 0], atol=1e-7)
+
+
+def test_apply_fold_edge_extension():
+    vals = jnp.asarray(np.array([[0, 0, 1.0, 1, 1, 1, 1, 1]], dtype=np.float32))
+    w = jnp.asarray(np.array([0.25, 0.5, 0.25], dtype=np.float32))
+    out = np.asarray(mf.apply_fold(vals, w))[0]
+    # step smoothed; tail stays 1 (edge extension)
+    np.testing.assert_allclose(out[-1], 1.0)
+    np.testing.assert_allclose(out[2], 0.75)  # 0.25*x(3)+0.5*x(2)+0.25*x(1)
