@@ -1,0 +1,402 @@
+"""Session engine: source + GF store + receivers -> seismograms -> misfits.
+
+The TPU-native counterpart of minimizer_engine.f90: one object holds the
+configured database, receiver set, source, misfit setup, and produces
+synthetic seismograms and misfits.  Instead of the reference's dirty-flag
+recompute chain over mutable Fortran state, configuration changes invalidate
+a compiled "plan" (static window/probe geometry + jitted forward); source
+parameter changes are just new inputs to the same compiled program, and a
+whole batch of sources is evaluated in one device call (the reference
+evaluates sources strictly serially, seismosizer.py:703-718 -- this batching
+is where the TPU speedup lives).
+
+Units at this API: latitudes/longitudes in degrees (like the reference's
+receiver files and set_source_location command), distances/depths in meters,
+times in seconds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import misfit as mf
+from . import synth
+from .gf.store import GFStore
+from .gf.trace import dataspan, fnint
+from .plf import PLF
+from .sources import get_source_model
+
+F32 = jnp.float32
+
+
+@dataclasses.dataclass
+class Receiver:
+    lat_deg: float
+    lon_deg: float
+    components: str  # e.g. "ned" (receiver.f90:35-56)
+    depth: float = 0.0
+    enabled: bool = True
+    name: str = ""
+
+
+class Engine:
+    """A minimizer session (single controller, device-resident data)."""
+
+    def __init__(self, store: GFStore | None = None):
+        self.store = store
+        self.receivers: list[Receiver] = []
+        self.src_lat_deg = None
+        self.src_lon_deg = None
+        self.ref_time = 0.0
+        self.source_type = None
+        self.source_params = None
+        self.effective_dt = 1.0
+        self.misfit_method = mf.L2NORM
+        self.interpolate = False
+        self.xunder = 1
+        self.zunder = 1
+        self.synthetics_factor = 1.0
+        self.floating_shiftrange_s = (0.0, 0.0)
+        # host-side reference traces / tapers / filters, keyed by rc row
+        self._refs: dict = {}  # irc -> (values f32[n], itmin int)
+        self._tapers: dict = {}  # irc -> PLF
+        self._filters: dict = {}  # irc -> PLF
+        self._plan = None
+        self._plan_key = None
+
+    # -- configuration (each invalidates the compiled plan as needed) --------
+
+    def set_database(self, store: GFStore):
+        self.store = store
+        self._invalidate()
+
+    def set_local_interpolation(self, on: bool):
+        self.interpolate = bool(on)
+        self._invalidate()
+
+    def set_spacial_undersampling(self, xunder: int, zunder: int):
+        if xunder < 1 or zunder < 1:
+            raise ValueError("invalid undersampling value")
+        self.xunder, self.zunder = int(xunder), int(zunder)
+        self._invalidate()
+
+    def set_receivers(self, receivers: list[Receiver]):
+        self.receivers = list(receivers)
+        self._refs.clear()
+        self._tapers.clear()
+        self._filters.clear()
+        self._invalidate()
+
+    def switch_receiver(self, irec: int, on: bool):
+        self.receivers[irec].enabled = bool(on)
+        self._invalidate()
+
+    def set_source_location(self, lat_deg, lon_deg, ref_time=0.0):
+        self.src_lat_deg = float(lat_deg)
+        self.src_lon_deg = float(lon_deg)
+        self.ref_time = float(ref_time)
+        self._invalidate()
+
+    def set_source_params(self, source_type: str, params):
+        self.source_type = source_type
+        self.source_params = np.asarray(params, dtype=np.float32)
+        model = get_source_model(source_type)
+        if self.source_params.shape != (model.nparams,):
+            raise ValueError(
+                f"{source_type} needs {model.nparams} params, got {self.source_params.shape}"
+            )
+
+    def set_effective_dt(self, dt):
+        self.effective_dt = float(dt)
+
+    def set_misfit_method(self, method):
+        self.misfit_method = mf.NORM_NAMES[method] if isinstance(method, str) else int(method)
+        self._invalidate()
+
+    def set_misfit_taper(self, irec, x, y):
+        plf = PLF(x, y)
+        for irc, (r, _c) in enumerate(self._rc_layout()):
+            if r == irec:
+                self._tapers[irc] = plf
+        self._invalidate()
+
+    def set_misfit_filter(self, irec, x, y):
+        """irec = None applies to all receivers (minimizer_engine.f90:632-666)."""
+        plf = PLF(x, y)
+        for irc, (r, _c) in enumerate(self._rc_layout()):
+            if irec is None or r == irec:
+                self._filters[irc] = plf
+        self._invalidate()
+
+    def set_synthetics_factor(self, factor):
+        self.synthetics_factor = float(factor)
+        self._invalidate()
+
+    def set_floating_shiftrange(self, tmin, tmax):
+        self.floating_shiftrange_s = (float(tmin), float(tmax))
+        self._invalidate()
+
+    def set_ref_seismogram(self, irec, comp_char, values, itmin):
+        """Install a reference trace for (receiver, component); itmin is the
+        absolute sample index of the first value (time = itmin*dt)."""
+        for irc, (r, c) in enumerate(self._rc_layout()):
+            if r == irec and c == comp_char:
+                self._refs[irc] = (np.asarray(values, np.float32), int(itmin))
+                self._invalidate()
+                return
+        raise KeyError(f"receiver {irec} has no component {comp_char!r}")
+
+    # -- internals ------------------------------------------------------------
+
+    def _invalidate(self):
+        self._plan = None
+        self._plan_key = None
+
+    def _rc_layout(self):
+        """[(irec, comp_char)] rows in receiver-major order."""
+        out = []
+        for irec, r in enumerate(self.receivers):
+            for c in r.components:
+                out.append((irec, c))
+        return out
+
+    def _require_ready(self):
+        if self.store is None:
+            raise RuntimeError("no database set")
+        if not self.receivers:
+            raise RuntimeError("no receivers set")
+        if self.src_lat_deg is None:
+            raise RuntimeError("no source location set")
+
+    def _geometry(self):
+        lats = np.radians([r.lat_deg for r in self.receivers])
+        lons = np.radians([r.lon_deg for r in self.receivers])
+        depths = np.array([r.depth for r in self.receivers])
+        return synth.precompute_receiver_geometry(
+            np.radians(self.src_lat_deg), np.radians(self.src_lon_deg), lats, lons, depths
+        )
+
+    @staticmethod
+    def _bucket(value, step):
+        return float(np.ceil(max(value, step) / step) * step)
+
+    def _centroid_stats(self, cbatch):
+        """Conservative host bounds from a discretized centroid batch."""
+        dn = np.asarray(cbatch["north"], np.float64)
+        de = np.asarray(cbatch["east"], np.float64)
+        act = np.asarray(cbatch["active"])
+        r = np.where(act, np.hypot(dn, de), 0.0)
+        depth = np.asarray(cbatch["depth"], np.float64)
+        t = np.asarray(cbatch["time"], np.float64)
+        dmin = float(np.where(act, depth, depth.mean()).min())
+        dmax = float(np.where(act, depth, depth.mean()).max())
+        tmin = float(np.where(act, t, 0.0).min())
+        tmax = float(np.where(act, t, 0.0).max())
+        return float(r.max()), (dmin, dmax), (tmin, tmax)
+
+    def _make_plan(self, extent, depth_range, time_range, risetime_max, nshape):
+        self._require_ready()
+        store = self.store
+        geom = self._geometry()
+        cfg = synth.plan_config(
+            store, geom, extent, depth_range, time_range,
+            interpolate=self.interpolate, xunder=self.xunder, zunder=self.zunder,
+        )
+        gfd, gfi = synth.window_arrays(store, cfg)
+        sl = np.s_[cfg.ix0 : cfg.ix0 + cfg.nxw, cfg.iz0 : cfg.iz0 + cfg.nzw]
+        gfn = jnp.asarray(store.nsamples[sl])
+        ext = synth.materialize_window(gfd, gfi, cfg)
+
+        fold_max = int(np.ceil(0.5 * risetime_max / store.dt)) + 1 if risetime_max > 0 else 0
+
+        # probe span: union of the synthesis window and every reference trace
+        lo = cfg.out_it0 - fold_max
+        hi = cfg.out_it0 + cfg.nt_out - 1 + fold_max
+        maxreflen = 1
+        s1 = int(fnint(np.float32(self.floating_shiftrange_s[0]) / np.float32(store.dt)))
+        s2 = int(fnint(np.float32(self.floating_shiftrange_s[1]) / np.float32(store.dt)))
+        for irc, (values, itmin) in self._refs.items():
+            lo = min(lo, itmin + s1)
+            hi = max(hi, itmin + len(values) - 1 + s2)
+            maxreflen = max(maxreflen, len(values))
+        minlength = 2 * max(cfg.nt_out, maxreflen)
+        ps0, ps1 = mf.allowed_span((lo, hi), minlength)
+        st = mf.ProbeStatic(ps0=ps0, pl=ps1 - ps0 + 1, dt=store.dt)
+
+        layout = self._rc_layout()
+        rc_rec = np.array([r for r, _ in layout], dtype=np.int32)
+        rc_chan = np.array(
+            [abs(synth.COMPONENT_IDS[c]) - 1 for _, c in layout], dtype=np.int32
+        )
+        rc_sign = np.array(
+            [np.sign(synth.COMPONENT_IDS[c]) for _, c in layout], dtype=np.float32
+        )
+        span_of_chan = np.array([0, 1, 2, 0, 0], dtype=np.int32)
+
+        setup = mf.MisfitSetup(st, rc_rec)
+        for irc, (values, itmin) in self._refs.items():
+            setup.set_ref(irc, values, itmin)
+        for irc, plf in self._tapers.items():
+            setup.set_taper(irc, plf)
+        for irc, plf in self._filters.items():
+            setup.set_filter(irc, plf)
+        setup.syn_factor[:] = self.synthetics_factor
+        for irc, (r, _c) in enumerate(layout):
+            setup.enabled[irc] = self.receivers[r].enabled
+        ctx = setup.device()
+
+        recs = self._geometry().device()
+        nrec = len(self.receivers)
+        method = self.misfit_method
+        shiftrange = (s1, s2)
+
+        rc_rec_j = jnp.asarray(rc_rec)
+        rc_chan_j = jnp.asarray(rc_chan)
+        rc_sign_j = jnp.asarray(rc_sign)
+        span_idx_j = jnp.asarray(span_of_chan[rc_chan])
+
+        def synth_rc(cent):
+            """One source -> component traces + spans: f32[RC, nt_out]."""
+            def per_rec(i):
+                rec = {k: v[i] for k, v in recs.items()}
+                ard, lo_, hi_ = synth.synthesize_with_spans(ext, gfi, gfn, cfg, rec, cent)
+                canon = synth.ard_to_components(ard, rec["bazi"], (1, 2, 3, 4, 5))
+                return canon, lo_, hi_
+
+            canon, los, his = jax.vmap(per_rec)(jnp.arange(nrec))
+            syn_rc = canon[rc_rec_j, rc_chan_j] * rc_sign_j[:, None]
+            lo_rc = los[rc_rec_j, span_idx_j]
+            hi_rc = his[rc_rec_j, span_idx_j]
+            return syn_rc, lo_rc, hi_rc
+
+        def forward_one(cent, moment, risetime):
+            syn_rc, lo_rc, hi_rc = synth_rc(cent)
+            return mf.evaluate_misfits(
+                ctx, syn_rc, cfg.out_it0, lo_rc, hi_rc, method, st, nrec,
+                moment=moment, risetime=risetime, fold_nshift_max=fold_max,
+                shiftrange=shiftrange,
+            )
+
+        forward_batch = jax.jit(jax.vmap(forward_one))
+
+        def _scaled_traces(cent, moment, risetime):
+            syn_rc, lo_rc, hi_rc = synth_rc(cent)
+            if fold_max > 0:
+                w = mf.fold_stf_weights(risetime, jnp.float32(st.dt), fold_max)
+                syn_rc = mf.apply_fold(syn_rc, w)
+                lo_rc = lo_rc - fold_max
+                hi_rc = hi_rc + fold_max
+            return syn_rc * moment, lo_rc, hi_rc
+
+        synth_one = jax.jit(_scaled_traces)
+
+        return {
+            "cfg": cfg,
+            "st": st,
+            "ctx": ctx,
+            "setup": setup,
+            "fold_max": fold_max,
+            "forward_batch": forward_batch,
+            "synth_one": synth_one,
+            "layout": layout,
+            "nrec": nrec,
+        }
+
+    def _discretize_batch(self, params_batch):
+        model = get_source_model(self.source_type)
+        pb = np.atleast_2d(np.asarray(params_batch, dtype=np.float32))
+        shapes = {model.grid_shape(p, self.effective_dt) for p in pb}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"source batch has mixed grid shapes {shapes}; bucket the batch "
+                "by shape (gridsearch does this automatically)"
+            )
+        shape = shapes.pop()
+        disc = jax.jit(
+            jax.vmap(lambda p: model.discretize(p, self.effective_dt, shape))
+        )
+        cbatch = disc(jnp.asarray(pb))
+        pf = np.array([model.post_factors(p) for p in pb], dtype=np.float32)
+        return cbatch, pf[:, 0], pf[:, 1], shape
+
+    def _ensure_plan(self, cbatch, risetime_max, shape):
+        extent, depth_range, time_range = self._centroid_stats(cbatch)
+        extent_b = self._bucket(extent * 1.25 + 1.0, 2000.0)
+        dr = (np.floor(depth_range[0] / 2000.0) * 2000.0, self._bucket(depth_range[1], 2000.0))
+        tr = (np.floor(time_range[0] / 4.0) * 4.0, self._bucket(time_range[1] + 1.0, 4.0))
+        rt = self._bucket(risetime_max, 2.0) if risetime_max > 0 else 0.0
+        key = (extent_b, dr, tr, rt)
+        if self._plan is None or self._plan_key != key:
+            self._plan = self._make_plan(extent_b, dr, tr, rt, shape)
+            self._plan_key = key
+        return self._plan
+
+    # -- queries --------------------------------------------------------------
+
+    def misfits_for_source_batch(self, params_batch):
+        """(misfits [B, RC], norms [B, RC], floating_shifts [B, R])."""
+        cbatch, moments, risetimes, shape = self._discretize_batch(params_batch)
+        plan = self._ensure_plan(cbatch, float(risetimes.max(initial=0.0)), shape)
+        m, n, fs = plan["forward_batch"](cbatch, jnp.asarray(moments), jnp.asarray(risetimes))
+        return m, n, fs
+
+    def global_misfits_for_source_batch(self, params_batch):
+        m, n, _ = self.misfits_for_source_batch(params_batch)
+        return jax.vmap(mf.global_misfit)(m, n)
+
+    def get_misfits(self):
+        """Per-(receiver, component) (misfit, norm) for the current source."""
+        m, n, fs = self.misfits_for_source_batch(self.source_params[None, :])
+        return np.asarray(m[0]), np.asarray(n[0]), np.asarray(fs[0])
+
+    def get_global_misfit(self):
+        m, n, _ = self.misfits_for_source_batch(self.source_params[None, :])
+        return float(mf.global_misfit(m[0], n[0]))
+
+    def get_synthetic_seismograms(self):
+        """[(values f32[n], itmin)] per rc row, scaled (moment + rise time),
+        trimmed to the physical data span -- probe_get_plain equivalents."""
+        cbatch, moments, risetimes, shape = self._discretize_batch(self.source_params[None, :])
+        plan = self._ensure_plan(cbatch, float(risetimes.max(initial=0.0)), shape)
+        cent = {k: v[0] for k, v in cbatch.items()}
+        syn, lo, hi = plan["synth_one"](
+            cent, jnp.float32(moments[0]), jnp.float32(risetimes[0])
+        )
+        syn = np.asarray(syn)
+        lo = np.asarray(lo)
+        hi = np.asarray(hi)
+        out = []
+        it0 = plan["cfg"].out_it0
+        nt = plan["cfg"].nt_out
+        for irc in range(syn.shape[0]):
+            a = max(int(lo[irc]) - it0, 0)
+            b = min(int(hi[irc]) - it0, nt - 1)
+            out.append((syn[irc, a : b + 1].copy(), it0 + a))
+        return out
+
+    def set_synthetic_reference(self):
+        """Synthesize the current source and install it as the reference
+        (seismosizer.py:523-527's self-consistency hook)."""
+        traces = self.get_synthetic_seismograms()
+        for irc, (values, itmin) in enumerate(traces):
+            span = dataspan(values, itmin)
+            if span is None:
+                values = np.zeros(1, np.float32)
+            else:
+                values = values[span[0] - itmin : span[1] - itmin + 1]
+                itmin = span[0]
+            self._refs[irc] = (np.asarray(values, np.float32), int(itmin))
+        self._invalidate()
+
+    def get_distances(self):
+        geom = self._geometry()
+        return np.asarray(geom.dist), np.asarray(geom.azi)
+
+    def get_floating_shifts(self):
+        _m, _n, fs = self.misfits_for_source_batch(self.source_params[None, :])
+        return np.asarray(fs[0]) * self.store.dt

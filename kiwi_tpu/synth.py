@@ -366,6 +366,9 @@ def _centroid_kinematics(cfg: SynthConfig, rec, centroids):
 
     wg = _group_weights(f, cos_l, sin_l, cfg.ng)  # [C, 3, ng]
 
+    if "active" in centroids:
+        valid = valid & centroids["active"]
+
     return {
         "ixs": ixs,  # [C, 2] window-relative
         "izs": izs,
@@ -480,6 +483,67 @@ def synthesize_ard(ext, cfg: SynthConfig, rec, centroids):
         preferred_element_type=F32,
     )
     return out[0]  # [3, nt_out]
+
+
+def physical_spans(gf_itmin, gf_nsamples, cfg: SynthConfig, kin):
+    """Per-channel physical data spans of the synthesized traces.
+
+    Mirrors the span growth of trace_multiply_add (sparse_trace.f90:648-668):
+    each centroid contributes [union(4-neighbor trace spans) + ish,
+    ... + ish + 1] (the +1 is the fractional-shift extra sample); the away
+    and right channels share a span (strip_extend_to_same_span in
+    seismogram.f90:109-130).  Returns (lo i32[3], hi i32[3]) absolute
+    indices, clipped to the output window.
+    """
+    rows_lo = gf_itmin[kin["ixs"][:, :, None], kin["izs"][:, None, :]]  # [C,2,2,ng]
+    n = gf_nsamples[kin["ixs"][:, :, None], kin["izs"][:, None, :]]
+    rows_hi = rows_lo + jnp.maximum(n - 1, 0)
+    big = jnp.int32(1 << 30)
+    empty = n == 0
+    lo4 = jnp.where(empty, big, rows_lo).min(axis=(1, 2))  # [C, ng]
+    hi4 = jnp.where(empty, -big, rows_hi).max(axis=(1, 2))
+
+    groups = {
+        0: [0, 1, 2, 3, 4] + ([8] if cfg.ng == 10 else []),  # away+right share
+        2: [5, 6, 7] + ([9] if cfg.ng == 10 else []),
+    }
+    active = kin["valid"]
+    lo_out = []
+    hi_out = []
+    for ch in (0, 0, 2):
+        gs = groups[ch]
+        glo = lo4[:, gs].min(axis=1) + kin["ish"]
+        ghi = hi4[:, gs].max(axis=1) + kin["ish"] + 1
+        glo = jnp.where(active, glo, big)
+        ghi = jnp.where(active, ghi, -big)
+        lo_out.append(glo.min())
+        hi_out.append(ghi.max())
+    lo = jnp.clip(jnp.stack(lo_out), cfg.out_it0, cfg.out_it0 + cfg.nt_out - 1)
+    hi = jnp.clip(jnp.stack(hi_out), cfg.out_it0, cfg.out_it0 + cfg.nt_out - 1)
+    return lo, hi
+
+
+def synthesize_with_spans(ext, gf_itmin, gf_nsamples, cfg: SynthConfig, rec, centroids):
+    """Fast-path synthesis plus physical span tracking.
+
+    Returns (ard f32[3, nt_out], lo i32[3], hi i32[3]).
+    """
+    kin = _centroid_kinematics(cfg, rec, centroids)
+    w = scatter_weight_kernel(cfg, kin)
+    s = cfg.s_len + 1
+    feat = cfg.nxw * cfg.nzw * cfg.ng
+    lhs = ext.reshape(1, feat, -1)
+    rhs = jnp.flip(w.reshape(3, feat, s), axis=-1)
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=F32,
+    )[0]
+    lo, hi = physical_spans(gf_itmin, gf_nsamples, cfg, kin)
+    return out, lo, hi
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,155 @@
+"""End-to-end engine tests: the self-consistency loop of the reference
+(synthesize -> set as reference -> misfit == 0 -> perturbed source > 0),
+mirroring kiwibench's syntheseis setup in miniature."""
+
+import numpy as np
+import pytest
+
+from kiwi_tpu import geo
+from kiwi_tpu.engine import Engine, Receiver
+from kiwi_tpu.gf import elseis
+
+
+def boxramp_stf():
+    return np.array([0, 0, 0, 0.2, 0.5, 0.8, 1, 1, 1], dtype=np.float64)
+
+
+@pytest.fixture(scope="module")
+def store():
+    return elseis.build_ahfull_store(
+        nx=45, nz=8, dt=0.1, dx=100.0, dz=100.0, firstx=100.0, firstz=0.0,
+        material=(2300.0, 3200.0, 1600.0), stf=boxramp_stf(),
+    )
+
+
+@pytest.fixture()
+def engine(store):
+    eng = Engine(store)
+    olat, olon = 30.0, 70.0
+    recs = []
+    for d, az in [(1500.0, 0.0), (2300.0, 1.2), (3100.0, -2.0)]:
+        la, lo = geo.ne_to_latlon(
+            np.radians(olat), np.radians(olon), d * np.cos(az), d * np.sin(az)
+        )
+        recs.append(Receiver(np.degrees(float(la)), np.degrees(float(lo)), "ned"))
+    eng.set_receivers(recs)
+    eng.set_source_location(olat, olon, 0.0)
+    eng.set_effective_dt(0.1)
+    eng.set_local_interpolation(True)
+    return eng
+
+
+BILAT = np.array(
+    [0.0, 0.0, 0.0, 400.0, 1e12, 91.0, 87.0, 164.0, 0.0, 300.0, 200.0, 250.0, 2500.0, 0.2],
+    dtype=np.float32,
+)
+
+
+def test_self_consistency_bilateral(engine):
+    engine.set_source_params("bilateral", BILAT)
+    engine.set_misfit_method("l2norm")
+    engine.set_synthetic_reference()
+
+    gm = engine.get_global_misfit()
+    assert gm < 1e-5, gm
+
+    p2 = BILAT.copy()
+    p2[5] = 121.0  # strike
+    engine.set_source_params("bilateral", p2)
+    gm2 = engine.get_global_misfit()
+    assert gm2 > 0.05
+
+
+def test_self_consistency_moment_tensor(engine):
+    p = np.array([0.2, 50.0, -30.0, 400.0, 1e12, -5e11, 2e11, 3e11, -1e11, 5e11, 0.4],
+                 dtype=np.float32)
+    engine.set_source_params("moment_tensor", p)
+    engine.set_misfit_method("l1norm")
+    engine.set_synthetic_reference()
+    assert engine.get_global_misfit() < 1e-5
+
+    p2 = p.copy()
+    p2[4] *= 1.5
+    engine.set_source_params("moment_tensor", p2)
+    assert engine.get_global_misfit() > 0.01
+
+
+def test_moment_scaling_linearity(engine):
+    engine.set_source_params("bilateral", BILAT)
+    traces1 = engine.get_synthetic_seismograms()
+    p2 = BILAT.copy()
+    p2[4] *= 3.0
+    engine.set_source_params("bilateral", p2)
+    traces2 = engine.get_synthetic_seismograms()
+    for (v1, i1), (v2, i2) in zip(traces1, traces2):
+        assert i1 == i2
+        np.testing.assert_allclose(v2, 3.0 * v1, rtol=1e-5)
+
+
+def test_floating_misfit_recovers_time_shift(engine):
+    engine.set_source_params("bilateral", BILAT)
+    engine.set_misfit_method("floating_l1norm")
+    engine.set_floating_shiftrange(-1.0, 1.0)
+    engine.set_synthetic_reference()
+
+    p2 = BILAT.copy()
+    p2[0] = 0.3  # shift source in time by 3 samples
+    engine.set_source_params("bilateral", p2)
+    m, n, fs = engine.get_misfits()
+    # floating misfit should detect the 3-sample shift and be near zero
+    np.testing.assert_array_equal(fs, [3, 3, 3])
+    gm = engine.get_global_misfit()
+    assert gm < 0.02, gm
+
+
+def test_batch_matches_serial(engine):
+    engine.set_source_params("bilateral", BILAT)
+    engine.set_misfit_method("l2norm")
+    engine.set_synthetic_reference()
+
+    strikes = [45.0, 91.0, 133.0, 177.0]
+    batch = np.stack([BILAT] * len(strikes))
+    batch[:, 5] = strikes
+    gms = np.asarray(engine.global_misfits_for_source_batch(batch))
+
+    serial = []
+    for s in strikes:
+        p = BILAT.copy()
+        p[5] = s
+        engine.set_source_params("bilateral", p)
+        serial.append(engine.get_global_misfit())
+    np.testing.assert_allclose(gms, serial, rtol=1e-5, atol=1e-7)
+    # the true strike must win
+    assert np.argmin(gms) == 1
+
+
+def test_engine_synthetics_match_oracle(engine, store):
+    from oracle import synthesize_oracle
+    import jax
+
+    engine.set_source_params("bilateral", BILAT)
+    model_traces = engine.get_synthetic_seismograms()
+
+    # discretize on host exactly like the engine does
+    from kiwi_tpu.sources import get_source_model
+
+    model = get_source_model("bilateral")
+    shape = model.grid_shape(BILAT, 0.1)
+    cent = jax.jit(lambda p: model.discretize(p, 0.1, shape))(BILAT)
+    cent = {k: np.asarray(v) for k, v in cent.items()}
+
+    src_lat, src_lon = np.radians(30.0), np.radians(70.0)
+    rec = engine.receivers[0]
+    it0 = model_traces[0][1]
+    nt = len(model_traces[0][0])
+    ard, bazi0 = synthesize_oracle(
+        store, src_lat, src_lon, np.radians(rec.lat_deg), np.radians(rec.lon_deg),
+        0.0, cent, it0, nt,
+    )
+    moment = BILAT[4]
+    # component 'n': rotate (away, right) by bazi0+pi
+    cl, sl = np.cos(bazi0 + np.pi), np.sin(bazi0 + np.pi)
+    north = (cl * ard[0] - sl * ard[1]) * moment
+    got = model_traces[0][0]
+    scale = np.abs(north).max()
+    np.testing.assert_allclose(got, north, atol=3e-6 * scale)
