@@ -254,6 +254,9 @@ class Engine:
         nrec = len(self.receivers)
         method = self.misfit_method
         shiftrange = (s1, s2)
+        any_taper = bool(setup.has_taper.any())
+        any_filter = bool(setup.has_filter.any())
+        rctx = mf.precompute_ref_context(ctx, method, st, shiftrange, any_taper, any_filter)
 
         rc_rec_j = jnp.asarray(rc_rec)
         rc_chan_j = jnp.asarray(rc_chan)
@@ -279,10 +282,12 @@ class Engine:
             return mf.evaluate_misfits(
                 ctx, syn_rc, cfg.out_it0, lo_rc, hi_rc, method, st, nrec,
                 moment=moment, risetime=risetime, fold_nshift_max=fold_max,
-                shiftrange=shiftrange,
+                shiftrange=shiftrange, rctx=rctx,
+                any_taper=any_taper, any_filter=any_filter,
             )
 
-        forward_batch = jax.jit(jax.vmap(forward_one))
+        forward_batch_raw = jax.vmap(forward_one)
+        forward_batch = jax.jit(forward_batch_raw)
 
         def _scaled_traces(cent, moment, risetime):
             syn_rc, lo_rc, hi_rc = synth_rc(cent)
@@ -302,6 +307,7 @@ class Engine:
             "setup": setup,
             "fold_max": fold_max,
             "forward_batch": forward_batch,
+            "forward_batch_raw": forward_batch_raw,
             "synth_one": synth_one,
             "layout": layout,
             "nrec": nrec,

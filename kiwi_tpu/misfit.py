@@ -210,14 +210,17 @@ def _taper_arrays(ctx, arr):
     return jnp.where(ctx["has_taper"][..., None], arr * ctx["taper_w"], arr)
 
 
-def processed_arrays(ctx, arr, st: ProbeStatic):
-    """(plain, tapered, filtered, amp, amp_filtered) per row.
+def processed_arrays(ctx, arr, st: ProbeStatic, use_fft=True):
+    """(tapered, filtered, amp, amp_filtered) per row.
 
     Follows the probe dataflow (comparator.f90:1171-1263): taper with cosine
     interpolation, rfft, spectral PLF filter, irfft, zero where taper is
-    zero.
+    zero.  With use_fft=False (no filters configured and no spectral norms)
+    the FFT stage is skipped entirely and `filtered` aliases `tapered`.
     """
     tapered = _taper_arrays(ctx, arr)
+    if not use_fft:
+        return tapered, tapered, None, None
     spec = jnp.fft.rfft(tapered, axis=-1)
     amp = jnp.abs(spec).astype(F32)
     specf = spec * ctx["filter_w"]
@@ -336,6 +339,90 @@ def apply_fold(vals, w):
     return jnp.einsum("k,...kt->...t", w, gathered)
 
 
+def ref_norm_spans(ctx, st: ProbeStatic):
+    """Span for the reference-only norm factor (probe_norm_timedomain,
+    comparator.f90:824-859): taper span if defined, else the ref data span."""
+    lo = jnp.where(ctx["has_taper"], ctx["taper_lo"], ctx["ref_lo"])
+    hi = jnp.where(ctx["has_taper"], ctx["taper_hi"], ctx["ref_hi"])
+    return lo, hi
+
+
+def _ref_norm(ref_proc, mask, method, st: ProbeStatic):
+    dt = jnp.float64(st.dt)
+    if method == L2NORM:
+        return jnp.sqrt(dt * _accum(ref_proc * ref_proc, mask)).astype(F32)
+    if method == L1NORM:
+        return (dt * _accum(jnp.abs(ref_proc), mask)).astype(F32)
+    if method == SCALAR_PRODUCT:
+        return _accum(ref_proc * ref_proc, mask).astype(F32)
+    if method == PEAK:
+        return jnp.max(jnp.abs(ref_proc).astype(jnp.float64) * mask, axis=-1).astype(F32)
+    raise ValueError(f"unsupported method {method}")
+
+
+def precompute_ref_context(ctx, method, st: ProbeStatic, shiftrange=(0, 0),
+                           any_taper=True, any_filter=True):
+    """Source-independent misfit quantities, computed once per plan:
+    processed reference arrays (per shift for floating norms) and the
+    reference norm factors.  Replaces the per-source reference probe updates
+    of the reference implementation."""
+    use_fft = any_filter
+    if method in (FLOATING_L2NORM, FLOATING_L1NORM):
+        base = L2NORM if method == FLOATING_L2NORM else L1NORM
+        s1, s2 = shiftrange
+        shifts = np.arange(s1, s2 + 1)
+
+        refs = []
+        norms = []
+        for s in shifts:
+            sj = jnp.int32(int(s))
+            ref_s = shift_probe(ctx["ref"], ctx["ref_lo"], ctx["ref_hi"], sj, st)
+            tap_r, filt_r, _, _ = processed_arrays(ctx, ref_s, st, use_fft=use_fft)
+            ref_proc = jnp.where(ctx["has_filter"][..., None], filt_r, tap_r)
+            nlo, nhi = ref_norm_spans(
+                ctx | {"ref_lo": ctx["ref_lo"] + int(s), "ref_hi": ctx["ref_hi"] + int(s)}, st
+            )
+            norms.append(_ref_norm(ref_proc, _span_mask(nlo, nhi, st), base, st))
+            refs.append(ref_proc)
+        ref_proc = jnp.stack(refs)  # [S, RC, PL]
+        norm = jnp.mean(jnp.stack(norms), axis=0)  # misfits_norm_factors
+        return {
+            "method": method,
+            "base": base,
+            "shifts": jnp.asarray(shifts, I32),
+            "ref_proc": ref_proc,
+            "ref_lo_s": ctx["ref_lo"][None, :] + jnp.asarray(shifts, I32)[:, None],
+            "ref_hi_s": ctx["ref_hi"][None, :] + jnp.asarray(shifts, I32)[:, None],
+            "norm": jnp.where(ctx["enabled"], norm, 0.0),
+        }
+
+    tap_r, filt_r, amp_r, ampf_r = processed_arrays(
+        ctx, ctx["ref"], st, use_fft=use_fft or method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM)
+    )
+    if method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM):
+        use_f = ctx["has_filter"][..., None]
+        ref_amp = jnp.where(use_f, ampf_r, amp_r)
+        df = jnp.float64(st.df)
+        if method == AMPSPEC_L2NORM:
+            norm = jnp.sqrt(df * jnp.sum((ref_amp * ref_amp).astype(jnp.float64), axis=-1))
+        else:
+            norm = df * jnp.sum(jnp.abs(ref_amp).astype(jnp.float64), axis=-1)
+        return {
+            "method": method,
+            "ref_amp": ref_amp,
+            "norm": jnp.where(ctx["enabled"], norm.astype(F32), 0.0),
+        }
+
+    ref_proc = jnp.where(ctx["has_filter"][..., None], filt_r, tap_r)
+    nlo, nhi = ref_norm_spans(ctx, st)
+    norm = _ref_norm(ref_proc, _span_mask(nlo, nhi, st), method, st)
+    return {
+        "method": method,
+        "ref_proc": ref_proc,
+        "norm": jnp.where(ctx["enabled"], norm, 0.0),
+    }
+
+
 def evaluate_misfits(
     ctx,
     syn_traces,
@@ -349,16 +436,24 @@ def evaluate_misfits(
     risetime=None,
     fold_nshift_max=0,
     shiftrange=(0, 0),
+    rctx=None,
+    any_taper=True,
+    any_filter=True,
 ):
     """Per-(receiver,component) misfits and norm factors for one source.
 
     syn_traces: f32[RC, NT_out] raw synthesis output; syn_it0: its absolute
     start index (static); syn_lo/syn_hi: i32[RC] physical data spans;
     moment: scalar factor applied like probe_set_array's factor_
-    (receiver.f90:894-896); risetime: optional post-synthesis STF fold.
+    (receiver.f90:894-896); risetime: optional post-synthesis STF fold;
+    rctx: precomputed reference context (precompute_ref_context) -- built on
+    the fly if not supplied.
 
     Returns (misfit[RC], norm[RC], floating_shift[R]).
     """
+    if rctx is None:
+        rctx = precompute_ref_context(ctx, method, st, shiftrange, any_taper, any_filter)
+
     if risetime is not None and fold_nshift_max > 0:
         w = fold_stf_weights(risetime, jnp.float32(st.dt), fold_nshift_max)
         syn_traces = apply_fold(syn_traces, w)
@@ -366,61 +461,62 @@ def evaluate_misfits(
         syn_hi = syn_hi + fold_nshift_max
 
     syn = place_on_probe(syn_traces, syn_it0, st) * jnp.float32(moment)
+    use_fft = any_filter or method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM)
+    tap_s, filt_s, amp_s, ampf_s = processed_arrays(ctx, syn, st, use_fft=use_fft)
 
     if method in (FLOATING_L2NORM, FLOATING_L1NORM):
         base = L2NORM if method == FLOATING_L2NORM else L1NORM
-        s1, s2 = shiftrange
-        nshift = s2 - s1 + 1
-
-        tap_s, filt_s, amp_s, ampf_s = processed_arrays(ctx, syn, st)
         syn_proc = jnp.where(ctx["has_filter"][..., None], filt_s, tap_s)
 
-        def one_shift(s):
-            ref_shifted = shift_probe(ctx["ref"], ctx["ref_lo"], ctx["ref_hi"], s, st)
-            tap_r, filt_r, _, _ = processed_arrays(ctx, ref_shifted, st)
-            ref_proc = jnp.where(ctx["has_filter"][..., None], filt_r, tap_r)
-            lo, hi = norm_spans(
-                ctx | {"ref_lo": ctx["ref_lo"] + s, "ref_hi": ctx["ref_hi"] + s},
-                syn_lo,
-                syn_hi,
-                st,
-            )
-            mask = _span_mask(lo, hi, st)
-            return pair_norms(ctx, ref_proc, syn_proc, mask, base, st)
+        # misfit spans per shift: taper span (static) or union of data spans
+        lo = jnp.where(
+            ctx["has_taper"][None, :],
+            ctx["taper_lo"][None, :],
+            jnp.minimum(rctx["ref_lo_s"], syn_lo[None, :]),
+        )
+        hi = jnp.where(
+            ctx["has_taper"][None, :],
+            ctx["taper_hi"][None, :],
+            jnp.maximum(rctx["ref_hi_s"], syn_hi[None, :]),
+        )
+        j = st.ps0 + jnp.arange(st.pl)
+        mask = ((j >= lo[..., None]) & (j <= hi[..., None])).astype(F32)  # [S, RC, PL]
+        fb = ctx["syn_factor"][None, :, None]
+        diff = rctx["ref_proc"] - fb * syn_proc[None, :, :]
+        dt = jnp.float64(st.dt)
+        if base == L2NORM:
+            ms = jnp.sqrt(dt * jnp.sum((diff * diff * mask).astype(jnp.float64), axis=-1))
+        else:
+            ms = dt * jnp.sum((jnp.abs(diff) * mask).astype(jnp.float64), axis=-1)
+        ms = jnp.where(ctx["enabled"][None, :], ms.astype(F32), 0.0)
 
-        shifts = jnp.arange(s1, s2 + 1)
-        ms, ns = jax.lax.map(lambda s: one_shift(jnp.full((), s)), shifts)  # [S, RC]
-        ms = jnp.where(ctx["enabled"][None, :], ms, 0.0)
-        ns = jnp.where(ctx["enabled"][None, :], ns, 0.0)
-
-        # per-receiver selection (receiver.f90:475-501)
         per_rec = jax.vmap(
             lambda row: jax.ops.segment_sum(row, ctx["receiver_ids"], num_segments=nrec)
         )(ms**2 if base == L2NORM else ms)
         iloc = jnp.argmin(per_rec, axis=0)  # [R]
-        shift_sel = shifts[iloc]
+        shift_sel = rctx["shifts"][iloc]
         m = jnp.take_along_axis(ms, iloc[ctx["receiver_ids"]][None, :], axis=0)[0]
-        n = jnp.mean(ns, axis=0)
-        return m, n, shift_sel
+        return m, rctx["norm"], shift_sel
 
-    tap_s, filt_s, amp_s, ampf_s = processed_arrays(ctx, syn, st)
+    zero_shift = jnp.zeros((nrec,), dtype=I32)
     if method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM):
-        tap_r, filt_r, amp_r, ampf_r = processed_arrays(ctx, ctx["ref"], st)
         use_f = ctx["has_filter"][..., None]
-        m, n = ampspec_norms(
-            ctx, jnp.where(use_f, ampf_r, amp_r), jnp.where(use_f, ampf_s, amp_s), method, st
-        )
-    else:
-        tap_r, filt_r, _, _ = processed_arrays(ctx, ctx["ref"], st)
-        ref_proc = jnp.where(ctx["has_filter"][..., None], filt_r, tap_r)
-        syn_proc = jnp.where(ctx["has_filter"][..., None], filt_s, tap_s)
-        lo, hi = norm_spans(ctx, syn_lo, syn_hi, st)
-        mask = _span_mask(lo, hi, st)
-        m, n = pair_norms(ctx, ref_proc, syn_proc, mask, method, st)
+        syn_amp = jnp.where(use_f, ampf_s, amp_s)
+        df = jnp.float64(st.df)
+        diff = rctx["ref_amp"] - ctx["syn_factor"][..., None] * syn_amp
+        if method == AMPSPEC_L2NORM:
+            m = jnp.sqrt(df * jnp.sum((diff * diff).astype(jnp.float64), axis=-1))
+        else:
+            m = df * jnp.sum(jnp.abs(diff).astype(jnp.float64), axis=-1)
+        m = jnp.where(ctx["enabled"], m.astype(F32), 0.0)
+        return m, rctx["norm"], zero_shift
 
+    syn_proc = jnp.where(ctx["has_filter"][..., None], filt_s, tap_s)
+    lo, hi = norm_spans(ctx, syn_lo, syn_hi, st)
+    mask = _span_mask(lo, hi, st)
+    m, _ = pair_norms(ctx, rctx["ref_proc"], syn_proc, mask, method, st)
     m = jnp.where(ctx["enabled"], m, 0.0)
-    n = jnp.where(ctx["enabled"], n, 0.0)
-    return m, n, jnp.zeros((nrec,), dtype=I32)
+    return m, rctx["norm"], zero_shift
 
 
 def global_misfit(misfits, norms):

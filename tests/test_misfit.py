@@ -77,6 +77,9 @@ def test_extension_contributes_outside_physical_span():
     # syn dataspan [2, 9]: union span [2, 9]; ref extended = 2 at 4..9, 0 at 2..3
     m, n, _ = _eval(setup, st, syn, 2, [2], [9], mf.L1NORM)
     assert abs(float(m[0]) - 2.0 * 6) < 1e-6
+    # the norm factor integrates over the REFERENCE's own data span only
+    # (probe_norm, comparator.f90:824-859): dt * (2 + 2) = 4
+    assert abs(float(n[0]) - 4.0) < 1e-6
 
 
 def test_taper_restricts_span_and_weights():
