@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark: the kiwibench 'syntheseis' sweep on TPU.
+
+Reproduces benchmark/kiwibench.py of the reference: build the analytic
+200x200x10 fullspace GF database ('makedb', dt=0.1s, dx=dz=50m), then sweep
+3610 strike values of a bilateral source over 10 receivers x 3 components
+with floating_l1norm misfits and bilinear GF interpolation, and report MPS
+(source models evaluated per second).
+
+The reference evaluates the sweep serially across 4 OS processes; here the
+whole sweep is a handful of batched device calls.
+
+Prints ONE json line:
+  {"metric": "kiwibench_syntheseis_mps", "value": ..., "unit": "models/sec",
+   "vs_baseline": ...}
+
+vs_baseline divides by an ASSUMED Fortran 4-process baseline of 1000
+models/sec for this benchmark configuration (the reference repo publishes no
+absolute numbers and no Fortran toolchain exists in this image to measure
+one; see BASELINE.md).  Adjust ASSUMED_FORTRAN_MPS when a measured number
+becomes available.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ASSUMED_FORTRAN_MPS = 1000.0
+
+CACHE = os.environ.get("KIWI_BENCHDB", "/tmp/kiwi_tpu_benchdb.npz")
+
+KIWIBENCH_STF = np.array(
+    [0, 0, 0, 0, 0, 0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1, 1, 1, 1, 1],
+    dtype=np.float64,
+)  # benchmark/kiwibench.py:50-70
+
+
+def get_store(log):
+    from kiwi_tpu.gf.store import GFStore
+
+    if os.path.exists(CACHE):
+        log(f"loading cached benchdb from {CACHE}")
+        return GFStore.load(CACHE)
+    from kiwi_tpu.gf import elseis
+
+    log("building benchdb (200x200x10 analytic fullspace, near+far field)...")
+    t0 = time.time()
+    store = elseis.build_ahfull_store(
+        nx=200, nz=200, dt=0.1, dx=50.0, dz=50.0, firstx=50.0, firstz=0.0,
+        material=(2300.0, 3200.0, 1600.0), stf=KIWIBENCH_STF,
+        progress=lambda i, n: log(f"  distance row {i}/{n}") if i % 50 == 0 else None,
+    )
+    log(f"  built in {time.time() - t0:.1f}s")
+    try:
+        store.save(CACHE)
+    except OSError:
+        pass
+    return store
+
+
+def main():
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    store = get_store(log)
+
+    from kiwi_tpu import geo
+    from kiwi_tpu.engine import Engine, Receiver
+
+    olat, olon = 30.0, 70.0
+    eng = Engine(store)
+    recs = []
+    for d in np.linspace(3000.0, 4000.0, 10):
+        la, lo = geo.ne_to_latlon(np.radians(olat), np.radians(olon), float(d), 0.0)
+        recs.append(Receiver(np.degrees(float(la)), np.degrees(float(lo)), "ned"))
+    eng.set_receivers(recs)
+    eng.set_source_location(olat, olon, 0.0)
+    eng.set_effective_dt(0.1)
+    eng.set_local_interpolation(True)
+
+    # bilateral point source of kiwibench.py:116-117
+    base = np.array(
+        [0, 0, 0, 5000.0, 1e12, 91.0, 87.0, 164.0, 0.0, 0.0, 0.0, 0.0, 2500.0, 0.2],
+        dtype=np.float32,
+    )
+    eng.set_source_params("bilateral", base)
+    eng.set_synthetic_reference()
+    eng.set_floating_shiftrange(-1.0, 1.0)
+    eng.set_misfit_method("floating_l1norm")
+
+    nstrikes = 3610
+    strikes = np.linspace(0.0, 360.0, nstrikes).astype(np.float32)
+    chunk = 512
+
+    def run_chunk(sl):
+        batch = np.tile(base, (len(sl), 1))
+        batch[:, 5] = sl
+        m, n, fs = eng.misfits_for_source_batch(batch)
+        return np.asarray(m), np.asarray(fs)
+
+    # warmup/compile
+    log("compiling...")
+    t0 = time.time()
+    run_chunk(strikes[:chunk])
+    log(f"  compile+first chunk: {time.time() - t0:.1f}s")
+
+    log(f"sweeping {nstrikes} strikes...")
+    t0 = time.time()
+    best = (np.inf, None)
+    for i in range(0, nstrikes, chunk):
+        sl = strikes[i : i + chunk]
+        if len(sl) < chunk:  # pad to keep one compiled shape
+            sl = np.concatenate([sl, np.full(chunk - len(sl), sl[-1], np.float32)])
+        m, fs = run_chunk(sl)
+        g = np.sqrt((m**2).sum(axis=1))
+        j = int(np.argmin(g))
+        if g[j] < best[0]:
+            best = (float(g[j]), float(sl[j]))
+    elapsed = time.time() - t0
+    mps = nstrikes / elapsed
+
+    log(f"sweep: {elapsed:.2f}s, best strike {best[1]:.1f} (true 91.0), "
+        f"MPS {mps:.1f}")
+    print(json.dumps({
+        "metric": "kiwibench_syntheseis_mps",
+        "value": round(mps, 1),
+        "unit": "models/sec",
+        "vs_baseline": round(mps / ASSUMED_FORTRAN_MPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

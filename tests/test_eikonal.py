@@ -1,0 +1,79 @@
+"""Eikonal solver tests (counterpart of test_eikonal.f90: FMM vs analytic
+circular front) plus fast-sweeping vs FMM agreement."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from kiwi_tpu import eikonal
+
+
+def test_fmm_uniform_speed_circular_front():
+    n = 61
+    d = 100.0
+    speed = np.full((n, n), 2500.0)
+    first = (0.0, 0.0)
+    p0 = (n // 2 * d, n // 2 * d)
+    times = eikonal.fmm_solve(speed, (d, d), first, p0)
+    xs = np.arange(n) * d
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    dist = np.hypot(X - p0[0], Y - p0[1])
+    exact = dist / 2500.0
+    err = np.abs(times - exact)
+    # FMM first-order error ~ O(h); worst along diagonals
+    assert err.max() < 2.0 * d / 2500.0
+    interior = err[5:-5, 5:-5]
+    assert np.median(interior) < 1.0 * d / 2500.0
+
+
+def test_fmm_anisotropic_spacing():
+    speed = np.full((41, 21), 1000.0)
+    times = eikonal.fmm_solve(speed, (50.0, 100.0), (0.0, 0.0), (1000.0, 1000.0))
+    # along the axes the times are exact
+    assert abs(times[20, 10]) < 1e-12
+    assert abs(times[30, 10] - 10 * 50.0 / 1000.0) < 1e-6
+    assert abs(times[20, 15] - 5 * 100.0 / 1000.0) < 1e-6
+
+
+def test_sweep_matches_fmm_uniform():
+    n = 41
+    d = 100.0
+    speed = np.full((n, n), 3000.0)
+    p0 = (1700.0, 2300.0)
+    t_fmm = eikonal.fmm_solve(speed, (d, d), (0.0, 0.0), p0)
+    t_swp = np.asarray(
+        eikonal.sweep_solve(jnp.asarray(speed, jnp.float32), (d, d), (0.0, 0.0), p0)
+    )
+    # both are first-order schemes on the same stencil; agreement much
+    # tighter than the discretization error
+    assert np.abs(t_swp - t_fmm).max() < 0.5 * d / 3000.0
+
+
+def test_sweep_matches_fmm_variable_speed():
+    rng = np.random.default_rng(5)
+    n = 48
+    d = 50.0
+    speed = 2000.0 + 800.0 * rng.random((n, n))
+    p0 = (12 * d, 30 * d)
+    t_fmm = eikonal.fmm_solve(speed, (d, d), (0.0, 0.0), p0)
+    t_swp = np.asarray(
+        eikonal.sweep_solve(jnp.asarray(speed, jnp.float32), (d, d), (0.0, 0.0), p0, n_rounds=12)
+    )
+    denom = np.maximum(t_fmm, 1e-3)
+    rel = np.abs(t_swp - t_fmm) / denom
+    assert np.median(rel) < 0.01
+    assert rel.max() < 0.08
+
+
+def test_sweep_slow_barrier():
+    # rupture must go around a slow barrier, not through it
+    n = 41
+    d = 100.0
+    speed = np.full((n, n), 3000.0)
+    speed[18:23, :30] = 300.0  # slow wall with a gap at the top
+    p0 = (5 * d, 15 * d)
+    t = np.asarray(eikonal.sweep_solve(jnp.asarray(speed, jnp.float32), (d, d), (0.0, 0.0), p0, n_rounds=16))
+    t_fmm = eikonal.fmm_solve(speed, (d, d), (0.0, 0.0), p0)
+    # behind the wall, the front must have traveled around (longer path)
+    direct = np.hypot((35 - 5) * d, 0.0) / 3000.0
+    assert t[35, 15] > 1.4 * direct
+    assert abs(t[35, 15] - t_fmm[35, 15]) / t_fmm[35, 15] < 0.05
