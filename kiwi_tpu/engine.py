@@ -210,7 +210,15 @@ class Engine:
         gfd, gfi = synth.window_arrays(store, cfg)
         sl = np.s_[cfg.ix0 : cfg.ix0 + cfg.nxw, cfg.iz0 : cfg.iz0 + cfg.nzw]
         gfn = jnp.asarray(store.nsamples[sl])
-        ext = synth.materialize_window(gfd, gfi, cfg)
+
+        # pick the synthesis formulation by per-source cost: the dense
+        # scatter+conv kernel scales with window*taps, the direct gather path
+        # with centroids*output length
+        ncent = int(np.prod(nshape))
+        conv_cost = cfg.nxw * cfg.nzw * cfg.ng * (cfg.s_len + 1)
+        direct_cost = ncent * 4 * cfg.ng * cfg.nt_out * 2
+        path = "direct" if direct_cost < conv_cost else "conv"
+        ext = synth.materialize_window(gfd, gfi, cfg) if path == "conv" else None
 
         fold_max = int(np.ceil(0.5 * risetime_max / store.dt)) + 1 if risetime_max > 0 else 0
 
@@ -267,7 +275,9 @@ class Engine:
             """One source -> component traces + spans: f32[RC, nt_out]."""
             def per_rec(i):
                 rec = {k: v[i] for k, v in recs.items()}
-                ard, lo_, hi_ = synth.synthesize_with_spans(ext, gfi, gfn, cfg, rec, cent)
+                ard, lo_, hi_ = synth.synthesize_with_spans(
+                    ext, gfi, gfn, cfg, rec, cent, gf_data=gfd, path=path
+                )
                 canon = synth.ard_to_components(ard, rec["bazi"], (1, 2, 3, 4, 5))
                 return canon, lo_, hi_
 
@@ -332,11 +342,21 @@ class Engine:
 
     def _ensure_plan(self, cbatch, risetime_max, shape):
         extent, depth_range, time_range = self._centroid_stats(cbatch)
-        extent_b = self._bucket(extent * 1.25 + 1.0, 2000.0)
-        dr = (np.floor(depth_range[0] / 2000.0) * 2000.0, self._bucket(depth_range[1], 2000.0))
-        tr = (np.floor(time_range[0] / 4.0) * 4.0, self._bucket(time_range[1] + 1.0, 4.0))
-        rt = self._bucket(risetime_max, 2.0) if risetime_max > 0 else 0.0
-        key = (extent_b, dr, tr, rt)
+        st = self.store
+        xstep = 4.0 * st.dx
+        zstep = 4.0 * st.dz
+        tstep = 8.0 * st.dt
+        extent_b = self._bucket(extent * 1.1 + 0.01, xstep)
+        dr = (
+            np.floor(depth_range[0] / zstep) * zstep,
+            self._bucket(depth_range[1] + 0.01, zstep),
+        )
+        tr = (
+            np.floor(time_range[0] / tstep) * tstep,
+            self._bucket(time_range[1] + st.dt, tstep),
+        )
+        rt = self._bucket(risetime_max, 4.0 * st.dt) if risetime_max > 0 else 0.0
+        key = (extent_b, dr, tr, rt, np.prod(shape))
         if self._plan is None or self._plan_key != key:
             self._plan = self._make_plan(extent_b, dr, tr, rt, shape)
             self._plan_key = key

@@ -523,25 +523,56 @@ def physical_spans(gf_itmin, gf_nsamples, cfg: SynthConfig, kin):
     return lo, hi
 
 
-def synthesize_with_spans(ext, gf_itmin, gf_nsamples, cfg: SynthConfig, rec, centroids):
-    """Fast-path synthesis plus physical span tracking.
+def _direct_accumulate(gf_data, gf_itmin, cfg: SynthConfig, kin):
+    """Per-centroid gather accumulation (the reference dataflow, vectorized).
 
+    Cheaper than the conv path when the source has few centroids relative to
+    the GF window size (point/compact sources over wide search windows).
+    """
+    jout = cfg.out_it0 + jnp.arange(cfg.nt_out)
+
+    def one_centroid(ixs, izs, wsp, wg, ish, frac, valid):
+        rows = gf_data[ixs[:, None], izs[None, :]]  # [2, 2, ng, nt]
+        its = gf_itmin[ixs[:, None], izs[None, :]]
+        idx = (jout - ish)[None, None, None, :]
+        shp = rows.shape[:3] + (cfg.nt_out,)
+        v0 = sample_ext(rows, its, jnp.broadcast_to(idx, shp))
+        v1 = sample_ext(rows, its, jnp.broadcast_to(idx - 1, shp))
+        v = (1.0 - frac) * v0 + frac * v1
+        blended = jnp.einsum("ab,abgt->gt", wsp.reshape(2, 2), v)
+        return jnp.where(valid, 1.0, 0.0) * jnp.einsum("og,gt->ot", wg, blended)
+
+    return jax.vmap(one_centroid)(
+        kin["ixs"], kin["izs"], kin["wsp"], kin["wg"], kin["ish"], kin["frac"], kin["valid"]
+    ).sum(axis=0)
+
+
+def synthesize_with_spans(ext, gf_itmin, gf_nsamples, cfg: SynthConfig, rec, centroids,
+                          gf_data=None, path="conv"):
+    """Synthesis plus physical span tracking.
+
+    path="conv": scatter+convolution over the window (best for many
+    centroids / compact windows); path="direct": per-centroid gathers (best
+    for few centroids / wide search windows; requires gf_data).
     Returns (ard f32[3, nt_out], lo i32[3], hi i32[3]).
     """
     kin = _centroid_kinematics(cfg, rec, centroids)
-    w = scatter_weight_kernel(cfg, kin)
-    s = cfg.s_len + 1
-    feat = cfg.nxw * cfg.nzw * cfg.ng
-    lhs = ext.reshape(1, feat, -1)
-    rhs = jnp.flip(w.reshape(3, feat, s), axis=-1)
-    out = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=F32,
-    )[0]
+    if path == "direct":
+        out = _direct_accumulate(gf_data, gf_itmin, cfg, kin)
+    else:
+        w = scatter_weight_kernel(cfg, kin)
+        s = cfg.s_len + 1
+        feat = cfg.nxw * cfg.nzw * cfg.ng
+        lhs = ext.reshape(1, feat, -1)
+        rhs = jnp.flip(w.reshape(3, feat, s), axis=-1)
+        out = jax.lax.conv_general_dilated(
+            lhs,
+            rhs,
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=F32,
+        )[0]
     lo, hi = physical_spans(gf_itmin, gf_nsamples, cfg, kin)
     return out, lo, hi
 
