@@ -1,0 +1,3 @@
+from .source import Source, source_grid  # noqa: F401
+from .gridsearch import MisfitGrid, MisfitGridStats, make_global_misfits  # noqa: F401
+from .lm import minimize_lm  # noqa: F401

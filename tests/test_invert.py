@@ -1,0 +1,106 @@
+"""Grid search + bootstrap + LM tests (counterpart of the reference's
+self-consistency inversion recovery)."""
+
+import numpy as np
+import pytest
+
+from kiwi_tpu import geo
+from kiwi_tpu.engine import Engine, Receiver
+from kiwi_tpu.gf import elseis
+from kiwi_tpu.invert import MisfitGrid, Source, make_global_misfits, minimize_lm
+
+
+@pytest.fixture(scope="module")
+def engine():
+    stf = np.array([0, 0, 0.3, 0.7, 1, 1, 1], dtype=np.float64)
+    store = elseis.build_ahfull_store(
+        nx=45, nz=8, dt=0.1, dx=100.0, dz=100.0, firstx=100.0, firstz=0.0,
+        material=(2300.0, 3200.0, 1600.0), stf=stf,
+    )
+    eng = Engine(store)
+    olat, olon = 30.0, 70.0
+    recs = []
+    for d, az in [(1500.0, 0.0), (2300.0, 1.2), (3100.0, -2.0), (2700.0, 2.6)]:
+        la, lo = geo.ne_to_latlon(
+            np.radians(olat), np.radians(olon), d * np.cos(az), d * np.sin(az)
+        )
+        recs.append(Receiver(np.degrees(float(la)), np.degrees(float(lo)), "ned"))
+    eng.set_receivers(recs)
+    eng.set_source_location(olat, olon, 0.0)
+    eng.set_effective_dt(0.1)
+    eng.set_local_interpolation(True)
+    return eng
+
+
+TRUE = dict(sourcetype="bilateral")
+TRUE_PARAMS = np.array(
+    [0.0, 0.0, 0.0, 400.0, 1e12, 91.0, 87.0, 164.0, 0.0, 300.0, 200.0, 250.0, 2500.0, 0.2],
+    dtype=np.float32,
+)
+
+
+def test_source_object():
+    s = Source("bilateral", TRUE_PARAMS)
+    assert s["strike"] == pytest.approx(91.0)
+    s["strike"] = 45.0
+    assert s.params[5] == 45.0
+    assert "moment" in s.keys()
+
+
+def test_make_global_misfits_l2():
+    m = np.ones((2, 3, 2))
+    n = np.full((2, 3, 2), 2.0)
+    g, g_sr = make_global_misfits(m, n, outer_norm="l2norm")
+    np.testing.assert_allclose(g, 0.5)
+    g, _ = make_global_misfits(m, n, outer_norm="l1norm")
+    np.testing.assert_allclose(g, 0.5)
+
+
+def test_gridsearch_recovers_strike_with_bootstrap(engine):
+    engine.set_source_params("bilateral", TRUE_PARAMS)
+    engine.set_misfit_method("l2norm")
+    engine.set_floating_shiftrange(0.0, 0.0)
+    engine.set_synthetic_reference()
+
+    base = Source("bilateral", TRUE_PARAMS)
+    grid = MisfitGrid(base, [("strike", np.arange(31.0, 151.0, 10.0))])
+    grid.compute(engine, chunk=64)
+    best, g, stats = grid.postprocess(bootstrap_iterations=50, outer_norm="l2norm")
+    assert best["strike"] == pytest.approx(91.0)
+    st = stats["strike"]
+    assert st.percentile16 <= 91.0 <= st.percentile84
+    # noise-free self-consistent data: bootstrap must concentrate at truth
+    assert abs(st.median - 91.0) < 10.0
+
+
+def test_gridsearch_2d(engine):
+    engine.set_source_params("bilateral", TRUE_PARAMS)
+    engine.set_misfit_method("l1norm")
+    engine.set_synthetic_reference()
+    base = Source("bilateral", TRUE_PARAMS)
+    grid = MisfitGrid(
+        base,
+        [("strike", np.array([71.0, 91.0, 111.0])), ("depth", np.array([300.0, 400.0, 500.0]))],
+    )
+    grid.compute(engine)
+    best, g, stats = grid.postprocess(bootstrap_iterations=10, outer_norm="l1norm")
+    assert best["strike"] == pytest.approx(91.0)
+    assert best["depth"] == pytest.approx(400.0)
+    assert g.shape == (9,)
+
+
+def test_lm_refines_to_truth(engine):
+    engine.set_source_params("bilateral", TRUE_PARAMS)
+    engine.set_misfit_method("l2norm")
+    engine.set_synthetic_reference()
+
+    start = TRUE_PARAMS.copy()
+    start[5] = 96.0  # strike off by 5 degrees
+    start[0] = 0.05  # time off by half a sample
+    engine.set_source_params("bilateral", start)
+    mask = np.zeros(14, dtype=bool)
+    mask[[0, 5]] = True
+    info, nfev, gm = minimize_lm(engine, mask=mask)
+    assert nfev > 2
+    assert gm < 0.02, (info, nfev, gm)
+    assert abs(engine.source_params[5] - 91.0) < 0.5
