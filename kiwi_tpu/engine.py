@@ -68,6 +68,7 @@ class Engine:
         self._filters: dict = {}  # irc -> PLF
         self._plan = None
         self._plan_key = None
+        self._disc_cache = {}
 
     # -- configuration (each invalidates the compiled plan as needed) --------
 
@@ -333,9 +334,12 @@ class Engine:
                 "by shape (gridsearch does this automatically)"
             )
         shape = shapes.pop()
-        disc = jax.jit(
-            jax.vmap(lambda p: model.discretize(p, self.effective_dt, shape))
-        )
+        key = (self.source_type, shape, self.effective_dt)
+        disc = self._disc_cache.get(key)
+        if disc is None:
+            edt = self.effective_dt
+            disc = jax.jit(jax.vmap(lambda p: model.discretize(p, edt, shape)))
+            self._disc_cache[key] = disc
         cbatch = disc(jnp.asarray(pb))
         pf = np.array([model.post_factors(p) for p in pb], dtype=np.float32)
         return cbatch, pf[:, 0], pf[:, 1], shape
