@@ -62,6 +62,8 @@ class Engine:
         self.zunder = 1
         self.synthetics_factor = 1.0
         self.floating_shiftrange_s = (0.0, 0.0)
+        self.crustal_thickness_limit = 0.0
+        self._user_constraints = None
         # host-side reference traces / tapers / filters, keyed by rc row
         self._refs: dict = {}  # irc -> (values f32[n], itmin int)
         self._tapers: dict = {}  # irc -> PLF
@@ -102,6 +104,57 @@ class Engine:
         self.src_lon_deg = float(lon_deg)
         self.ref_time = float(ref_time)
         self._invalidate()
+
+    def set_source_constraints(self, points, normals):
+        """Explicit rupture constraints (minimizer_engine.f90:469-477);
+        points/normals: [N, 3] arrays in NED meters."""
+        self._user_constraints = [
+            (np.asarray(p, np.float64), np.asarray(n, np.float64))
+            for p, n in zip(points, normals)
+        ]
+
+    def set_source_crustal_thickness_limit(self, limit):
+        self.crustal_thickness_limit = float(limit)
+
+    def source_constraints(self):
+        """Active constraint half-spaces: user-set, or the defaults from
+        crust2x2 (psm_set_default_constraints, parameterized_source.f90:
+        127-145): surface at z >= 1500 m and the crust bottom."""
+        if self._user_constraints is not None:
+            return list(self._user_constraints)
+        from .crust2x2 import default_model
+
+        m = default_model()
+        vp, vs, rho, th, _elev = m.profile(self.src_lat_deg, self.src_lon_deg)
+        _vvp, _vvs, _vrho, thickness = m.profile_averages(vp, vs, rho, th)
+        if self.crustal_thickness_limit > 0:
+            thickness = min(self.crustal_thickness_limit, thickness)
+        return [
+            (np.array([0.0, 0.0, 1500.0]), np.array([0.0, 0.0, -1.0])),
+            (np.array([0.0, 0.0, thickness]), np.array([0.0, 0.0, 1.0])),
+        ]
+
+    def eikonal_context(self):
+        from .crust2x2 import default_model
+        from .sources.eikonal import EikonalContext
+
+        m = default_model()
+        depths, _vp, vs, _rho = m.layers_at(self.src_lat_deg, self.src_lon_deg)
+        return EikonalContext(
+            constraints=self.source_constraints(),
+            layer_depths=depths,
+            layer_vs=vs,
+        )
+
+    def get_source_crustal_thickness(self):
+        from .crust2x2 import default_model
+
+        m = default_model()
+        vp, vs, rho, th, _elev = m.profile(self.src_lat_deg, self.src_lon_deg)
+        _vvp, _vvs, _vrho, thickness = m.profile_averages(vp, vs, rho, th)
+        if self.crustal_thickness_limit > 0:
+            thickness = min(self.crustal_thickness_limit, thickness)
+        return thickness
 
     def set_source_params(self, source_type: str, params):
         self.source_type = source_type
@@ -188,17 +241,18 @@ class Engine:
 
     def _centroid_stats(self, cbatch):
         """Conservative host bounds from a discretized centroid batch."""
-        dn = np.asarray(cbatch["north"], np.float64)
-        de = np.asarray(cbatch["east"], np.float64)
         act = np.asarray(cbatch["active"])
-        r = np.where(act, np.hypot(dn, de), 0.0)
-        depth = np.asarray(cbatch["depth"], np.float64)
-        t = np.asarray(cbatch["time"], np.float64)
-        dmin = float(np.where(act, depth, depth.mean()).min())
-        dmax = float(np.where(act, depth, depth.mean()).max())
-        tmin = float(np.where(act, t, 0.0).min())
-        tmax = float(np.where(act, t, 0.0).max())
-        return float(r.max()), (dmin, dmax), (tmin, tmax)
+        if not act.any():
+            raise ValueError("no active centroids in source batch")
+        dn = np.asarray(cbatch["north"], np.float64)[act]
+        de = np.asarray(cbatch["east"], np.float64)[act]
+        depth = np.asarray(cbatch["depth"], np.float64)[act]
+        t = np.asarray(cbatch["time"], np.float64)[act]
+        return (
+            float(np.hypot(dn, de).max()),
+            (float(depth.min()), float(depth.max())),
+            (float(t.min()), float(t.max())),
+        )
 
     def _make_plan(self, extent, depth_range, time_range, risetime_max, nshape):
         self._require_ready()
@@ -327,6 +381,8 @@ class Engine:
     def _discretize_batch(self, params_batch):
         model = get_source_model(self.source_type)
         pb = np.atleast_2d(np.asarray(params_batch, dtype=np.float32))
+        if model.host_discretize:
+            return self._discretize_batch_host(model, pb)
         shapes = {model.grid_shape(p, self.effective_dt) for p in pb}
         if len(shapes) != 1:
             raise ValueError(
@@ -343,6 +399,30 @@ class Engine:
         cbatch = disc(jnp.asarray(pb))
         pf = np.array([model.post_factors(p) for p in pb], dtype=np.float32)
         return cbatch, pf[:, 0], pf[:, 1], shape
+
+    def _discretize_batch_host(self, model, pb):
+        """Host-side discretization (eikonal models): pad the per-source
+        centroid tables to a common length with active=False."""
+        ctx = self.eikonal_context()
+        tables = [model.discretize(p, self.effective_dt, ctx) for p in pb]
+        cmax = max(t["north"].shape[0] for t in tables)
+        cmax = -(-cmax // 16) * 16
+        out = {}
+        for k in ("north", "east", "depth", "time"):
+            arr = np.zeros((len(tables), cmax), dtype=np.float32)
+            for i, t in enumerate(tables):
+                arr[i, : t[k].shape[0]] = t[k]
+            out[k] = jnp.asarray(arr)
+        marr = np.zeros((len(tables), cmax, 6), dtype=np.float32)
+        aarr = np.zeros((len(tables), cmax), dtype=bool)
+        for i, t in enumerate(tables):
+            n = t["m"].shape[0]
+            marr[i, :n] = t["m"]
+            aarr[i, :n] = t["active"]
+        out["m"] = jnp.asarray(marr)
+        out["active"] = jnp.asarray(aarr)
+        pf = np.array([model.post_factors(p) for p in pb], dtype=np.float32)
+        return out, pf[:, 0], pf[:, 1], (cmax,)
 
     def _ensure_plan(self, cbatch, risetime_max, shape):
         extent, depth_range, time_range = self._centroid_stats(cbatch)

@@ -45,6 +45,7 @@ class SourceModel:
     grid_shape: typing.Callable  # (params_np, effective_dt) -> shape tuple
     discretize: typing.Callable  # (params_f32, effective_dt, shape) -> centroids
     post_factors: typing.Callable  # params -> (moment, risetime) applied post-synthesis
+    host_discretize: bool = False  # True: discretize(params, edt, ctx) runs on host
 
     @property
     def nparams(self):

@@ -1,0 +1,319 @@
+"""Eikonal rupture-front finite-fault sources (source_eikonal.f90,
+source_mt_eikonal.f90).
+
+Pipeline (psm_to_tdsm_eikonal, source_eikonal.f90:259-316):
+1. rupture boundary = circle polygon trimmed by constraint half-spaces,
+2. fine rectangular grid over its bbox with speed = vs(z) * rel-vrup inside
+   the boundary (crust2x2 profile at the source origin), zero outside,
+3. eikonal solve for rupture onset times from the nucleation point,
+4. downsample fine -> coarse grid (averaged times/speeds/points; durations
+   = 4 * mean |t - mean t| per cell),
+5. centroid table with per-cell boxcar time discretization; the global
+   rise time is applied *post synthesis* (zero risetime here).
+
+This v1 runs the discretization host-side (numpy + the FMM oracle), exactly
+mirroring the reference dataflow; batched searches pad the centroid tables
+to a common length with `active` masks.  A fully-batched on-device variant
+using kiwi_tpu.eikonal.sweep_solve is the planned fast path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .. import eikonal as eik
+from .. import geometry as geom
+from ..euler import init_euler, pt_axes
+from ..plf import PLF
+from .base import SourceModel, register
+
+BIG = np.float32(np.finfo(np.float32).max)
+DEG2RAD_F32 = np.float32(2.0 / 360.0 * 3.14159265358979)
+M_UNROT = np.array([[0.0, 0.0, -1.0], [0.0, 0.0, 0.0], [-1.0, 0.0, 0.0]])
+
+
+@dataclasses.dataclass
+class EikonalContext:
+    """Session data the eikonal discretizers need (engine-provided)."""
+
+    constraints: list  # [(point[3], normal[3])]
+    layer_depths: np.ndarray  # [L] interface depths (m)
+    layer_vs: np.ndarray  # [L+?] vs per interval (crust2x2.layers_at)
+
+
+def _vs_at_depth(ctx: EikonalContext, depth):
+    """vs step-function lookup (crust2x2_get_at_depth semantics)."""
+    k = np.searchsorted(ctx.layer_depths, depth, side="left")
+    return ctx.layer_vs[np.minimum(k, ctx.layer_vs.shape[0] - 1)]
+
+
+def _discretize_subfault_time(dursf, risetime, maxdt):
+    """(tweights, toffsets) (discretize_subfault_time,
+    source_eikonal.f90:714-764)."""
+    durfull = dursf + risetime
+    nt = int(np.floor(durfull / maxdt)) + 1
+    if nt == 1:
+        return np.array([1.0]), np.array([0.0])
+    lo, hi = min(dursf, risetime), max(dursf, risetime)
+    stf = PLF(
+        [-(hi + lo) / 2.0, -(hi - lo) / 2.0, (hi - lo) / 2.0, (hi + lo) / 2.0],
+        [0.0, 1.0 / hi, 1.0 / hi, 0.0],
+    )
+    dt = durfull / nt
+    it = np.arange(nt)
+    w, toff = stf.integrate_and_centroid(stf.x[0] + dt * it, stf.x[0] + dt * (it + 1))
+    return np.atleast_1d(w), np.atleast_1d(toff)
+
+
+def discretize_eikonal_host(p, effective_dt, ctx: EikonalContext, m6_unit, rotmat_rup):
+    """Shared host discretization.
+
+    p: dict with keys time, north, east, depth, bord_shift_x/y, bord_radius,
+    nukl_shift_x/y, rel_vrup; m6_unit: the (unscaled) m6 of one centroid;
+    rotmat_rup: fault-plane rotation.  Returns centroid dict (numpy) or
+    raises ValueError on an empty/invalid rupture configuration.
+    """
+    center3 = np.array([p["north"], p["east"], p["depth"]])
+
+    def rc_to_ned(point_rc):
+        return rotmat_rup @ np.asarray(point_rc) + center3
+
+    def ned_to_rc(point):
+        return rotmat_rup.T @ (np.asarray(point) - center3)
+
+    # 1. boundary polygon (psm_borderline_eikonal, source_eikonal.f90:318-348)
+    circle_center = rc_to_ned([p["bord_shift_x"], p["bord_shift_y"], 0.0])
+    transform = -rotmat_rup * p["bord_radius"]
+    npoints = 180 if p["bord_radius"] != 0.0 else 1
+    poly = geom.circle_to_polygon(circle_center, transform, npoints)
+    poly = geom.trim_polygon_multi(poly, ctx.constraints)
+    if poly.shape[0] == 0:
+        raise ValueError("Empty rupture area")
+    poly_rc = np.array([ned_to_rc(q) for q in poly])
+    min_rc, max_rc = geom.polygon_box(poly_rc)
+
+    # 2. fine grid (psm_make_eikonal_grid, :435-517)
+    deltagrid = min(100.0 * effective_dt / 2.0, 4000.0)
+    first = min_rc[:2]
+    last = max_rc[:2]
+    dims = last - first
+    ndims = np.maximum(np.ceil(dims / deltagrid).astype(int), 1)
+    delta = dims / ndims
+    delta = np.where(delta == 0.0, 1.0, delta)
+
+    # nucleation point must lie inside (psm_initial_point_intolerant_rc, :402-432)
+    nukl = np.array([p["nukl_shift_x"], p["nukl_shift_y"], 0.0])
+    if np.hypot(nukl[0], nukl[1]) > p["bord_radius"] or not geom.point_in_constraints(
+        rc_to_ned(nukl), ctx.constraints
+    ):
+        raise ValueError("position of nucleation point is outside of rupture region")
+
+    ix = np.arange(ndims[0])
+    iy = np.arange(ndims[1])
+    px = first[0] + (ix + 0.5) * delta[0]
+    py = first[1] + (iy + 0.5) * delta[1]
+    PX, PY = np.meshgrid(px, py, indexing="ij")
+    pts_rc = np.stack([PX, PY, np.zeros_like(PX)], axis=-1)  # [nx, ny, 3]
+    pts = np.einsum("ij,xyj->xyi", rotmat_rup, pts_rc) + center3
+
+    rvec = pts - circle_center
+    inside = np.sqrt((rvec**2).sum(-1)) <= p["bord_radius"]
+    for hp, hn in ctx.constraints:
+        inside &= np.einsum("j,xyj->xy", np.asarray(hn), np.asarray(hp) - pts) >= 0.0
+
+    vs = _vs_at_depth(ctx, pts[..., 2])
+    speed = np.where(inside, vs * p["rel_vrup"], 0.0)
+    if not inside.any():
+        raise ValueError("Empty rupture area")
+    minspeed = speed[inside].min()
+    invalid = minspeed * 0.5
+    speed_solver = np.where(speed == 0.0, invalid, speed)
+
+    times = eik.fmm_solve(speed_solver, delta, first, nukl[:2])
+    times = np.where(speed == 0.0, -1.0, times)
+
+    # 3. coarse grid size (:617-638) and downsample (:519-601)
+    maxd = 0.5 * effective_dt * minspeed
+    sizex, sizey = dims
+    nx = max(int(np.floor(sizex / maxd)) + 1, 2) if sizex != 0.0 else 1
+    ny = max(int(np.floor(sizey / maxd)) + 1, 2) if sizey != 0.0 else 1
+
+    cdelta = np.where(np.array([nx, ny]) > 0, dims / np.array([nx, ny]), 1.0)
+    cdelta = np.where(cdelta == 0.0, 1.0, cdelta)
+
+    ctimes = np.full((nx, ny), -1.0)
+    cspeedinv = np.zeros((nx, ny))
+    cpoints = np.zeros((nx, ny, 3))
+    counts = np.zeros((nx, ny))
+
+    valid = times >= 0.0
+    vx, vy = np.nonzero(valid)
+    prc = pts_rc[vx, vy]
+    cix = np.clip(np.floor((prc[:, 0] - first[0]) / cdelta[0]).astype(int), 0, nx - 1)
+    ciy = np.clip(np.floor((prc[:, 1] - first[1]) / cdelta[1]).astype(int), 0, ny - 1)
+    np.add.at(counts, (cix, ciy), 1.0)
+    tt = times[vx, vy]
+    tmp = np.zeros((nx, ny))
+    np.add.at(tmp, (cix, ciy), tt)
+    have = counts > 0
+    ctimes[have] = tmp[have] / counts[have]
+    np.add.at(cspeedinv, (cix, ciy), 1.0 / speed[vx, vy])
+    for k in range(3):
+        tmp = np.zeros((nx, ny))
+        np.add.at(tmp, (cix, ciy), pts[vx, vy, k])
+        cpoints[..., k][have] = tmp[have] / counts[have]
+    npf = vx.size
+    cweights = counts / float(npf)
+
+    cdur = np.zeros((nx, ny))
+    np.add.at(cdur, (cix, ciy), np.abs(tt - ctimes[cix, ciy]))
+    cdur[have] = 4.0 / counts[have] * cdur[have]
+
+    # 4. centroid table (psm_to_tdsm_table_eikonal, :640-712)
+    centertime = float((ctimes[have] * cweights[have]).sum())
+    origin_time = p["time"]
+
+    rows = {k: [] for k in ("north", "east", "depth", "time")}
+    ms = []
+    for iyc in range(ny):
+        for ixc in range(nx):
+            if ctimes[ixc, iyc] < 0.0:
+                continue
+            tw, toff = _discretize_subfault_time(cdur[ixc, iyc], 0.0, effective_dt)
+            for w, to in zip(tw, toff):
+                rows["north"].append(cpoints[ixc, iyc, 0])
+                rows["east"].append(cpoints[ixc, iyc, 1])
+                rows["depth"].append(cpoints[ixc, iyc, 2])
+                rows["time"].append(ctimes[ixc, iyc] + to + origin_time - centertime)
+                ms.append(m6_unit * w * cweights[ixc, iyc])
+
+    n = len(ms)
+    return {
+        "north": np.asarray(rows["north"], np.float32),
+        "east": np.asarray(rows["east"], np.float32),
+        "depth": np.asarray(rows["depth"], np.float32),
+        "time": np.asarray(rows["time"], np.float32),
+        "m": np.asarray(ms, np.float32).reshape(n, 6),
+        "active": np.ones(n, bool),
+    }
+
+
+# -- model: eikonal ---------------------------------------------------------
+
+EIK_NAMES = (
+    "time", "north-shift", "east-shift", "depth", "moment", "strike", "dip",
+    "slip-rake", "bord-shift-x", "bord-shift-y", "bord-radius",
+    "nukl-shift-x", "nukl-shift-y", "rel-rupture-velocity", "rise-time",
+)
+EIK_UNITS = ("s", "m", "m", "m", "Nm", "degrees", "degrees", "degrees",
+             "m", "m", "m", "m", "m", "1", "s")
+# source_eikonal.f90:48-67
+EIK_NORM = np.array([1, 10000, 10000, 10000, 7e18, 360, 90, 360, 10000, 10000,
+                     10000, 360, 10000, 1, 1], np.float32)
+EIK_MIN_HARD = np.array([-BIG, -100000, -100000, 0, 1, -BIG, -BIG, -BIG, -1e7,
+                         -1e7, 0, -1e7, -1e7, 0.1, 0], np.float32)
+EIK_MAX_HARD = np.array([BIG, 100000, 100000, 1000000, 7e25, BIG, BIG, BIG, 1e7,
+                         1e7, 1e7, 1e7, 1e7, 10, 10], np.float32)
+EIK_MIN_SOFT = np.array([-20, -10000, -10000, 0, 1, -180, 0, -180, -100000,
+                         -100000, 0, -100000, -100000, 0.5, 0], np.float32)
+EIK_MAX_SOFT = np.array([20, 10000, 10000, 150000, 7e25, 180, 90, 180, 100000,
+                         100000, 100000, 100000, 100000, 1.5, 5], np.float32)
+EIK_DEFAULTS = np.array([0, 0, 0, 3000, 7e18, 0, 80, 0, 0, 0, 5000, 0, 0, 0.9, 1],
+                        np.float32)
+
+
+def _eik_host(params, effective_dt, ctx: EikonalContext):
+    p = np.asarray(params, np.float64)
+    strike = float(p[5]) * float(DEG2RAD_F32)
+    dip = float(p[6]) * float(DEG2RAD_F32)
+    rake = float(p[7]) * float(DEG2RAD_F32)
+    rotmat_rup = init_euler(dip, strike, 0.0)  # source_eikonal.f90:249
+    rotmat_slip = init_euler(dip, strike, -rake)
+    m_rot = rotmat_slip @ M_UNROT @ rotmat_slip.T
+    m6 = np.array([m_rot[0, 0], m_rot[1, 1], m_rot[2, 2],
+                   m_rot[0, 1], m_rot[0, 2], m_rot[1, 2]])
+    pd = dict(
+        time=float(p[0]), north=float(p[1]), east=float(p[2]), depth=float(p[3]),
+        bord_shift_x=float(p[8]), bord_shift_y=float(p[9]), bord_radius=float(p[10]),
+        nukl_shift_x=float(p[11]), nukl_shift_y=float(p[12]), rel_vrup=float(p[13]),
+    )
+    return discretize_eikonal_host(pd, effective_dt, ctx, m6, rotmat_rup)
+
+
+MODEL_EIKONAL = register(
+    SourceModel(
+        name="eikonal",
+        names=EIK_NAMES,
+        units=EIK_UNITS,
+        norm=EIK_NORM,
+        min_hard=EIK_MIN_HARD,
+        max_hard=EIK_MAX_HARD,
+        min_soft=EIK_MIN_SOFT,
+        max_soft=EIK_MAX_SOFT,
+        defaults=EIK_DEFAULTS,
+        grid_shape=lambda params, edt: ("host",),
+        discretize=_eik_host,
+        post_factors=lambda params: (float(params[4]), float(params[14])),
+        host_discretize=True,
+    )
+)
+
+
+# -- model: mt_eikonal ------------------------------------------------------
+
+MTE_NAMES = (
+    "time", "north-shift", "east-shift", "depth", "moment-factor", "strike",
+    "dip", "bord-shift-x", "bord-shift-y", "bord-radius", "nukl-shift-x",
+    "nukl-shift-y", "rel-rupture-velocity",
+    "mxx", "myy", "mzz", "mxy", "mxz", "myz", "rise-time",
+)
+MTE_UNITS = ("s", "m", "m", "m", "1", "degrees", "degrees", "m", "m", "m",
+             "m", "m", "1", "Nm", "Nm", "Nm", "Nm", "Nm", "Nm", "s")
+# source_mt_eikonal.f90:48-72
+MTE_NORM = np.array([1, 10000, 10000, 10000, 7e18, 360, 90, 10000, 10000, 10000,
+                     360, 10000, 1, 7e18, 7e18, 7e18, 7e18, 7e18, 7e18, 1], np.float32)
+MTE_MIN_HARD = np.array([-BIG, -100000, -100000, 0, 1, -BIG, -BIG, -1e7, -1e7, 0,
+                         -1e7, -1e7, 0.1, -7e25, -7e25, -7e25, -7e25, -7e25, -7e25, 0], np.float32)
+MTE_MAX_HARD = np.array([BIG, 100000, 100000, 1000000, 7e25, BIG, BIG, 1e7, 1e7,
+                         1e7, 1e7, 1e7, 10, 7e25, 7e25, 7e25, 7e25, 7e25, 7e25, 10], np.float32)
+MTE_MIN_SOFT = np.array([-20, -10000, -10000, 0, 1, -180, 0, -100000, -100000, 0,
+                         -100000, -100000, 0.5, -7e25, -7e25, -7e25, -7e25, -7e25, -7e25, 0], np.float32)
+MTE_MAX_SOFT = np.array([20, 10000, 10000, 150000, 7e25, 180, 90, 100000, 100000,
+                         100000, 100000, 100000, 1.5, 7e25, 7e25, 7e25, 7e25, 7e25, 7e25, 5], np.float32)
+MTE_DEFAULTS = np.array([0, 0, 0, 3000, 1, 0, 80, 0, 0, 5000, 0, 0, 0.9,
+                         0, 0, 0, 7e18, 0, 0, 1], np.float32)
+
+
+def _mte_host(params, effective_dt, ctx: EikonalContext):
+    p = np.asarray(params, np.float64)
+    strike = float(p[5]) * float(DEG2RAD_F32)
+    dip = float(p[6]) * float(DEG2RAD_F32)
+    rotmat_rup = init_euler(dip, strike, 0.0)  # source_mt_eikonal.f90:262
+    m6 = p[13:19].copy()
+    pd = dict(
+        time=float(p[0]), north=float(p[1]), east=float(p[2]), depth=float(p[3]),
+        bord_shift_x=float(p[7]), bord_shift_y=float(p[8]), bord_radius=float(p[9]),
+        nukl_shift_x=float(p[10]), nukl_shift_y=float(p[11]), rel_vrup=float(p[12]),
+    )
+    return discretize_eikonal_host(pd, effective_dt, ctx, m6, rotmat_rup)
+
+
+MODEL_MT_EIKONAL = register(
+    SourceModel(
+        name="mt_eikonal",
+        names=MTE_NAMES,
+        units=MTE_UNITS,
+        norm=MTE_NORM,
+        min_hard=MTE_MIN_HARD,
+        max_hard=MTE_MAX_HARD,
+        min_soft=MTE_MIN_SOFT,
+        max_soft=MTE_MAX_SOFT,
+        defaults=MTE_DEFAULTS,
+        grid_shape=lambda params, edt: ("host",),
+        discretize=_mte_host,
+        post_factors=lambda params: (float(params[4]), float(params[19])),
+        host_discretize=True,
+    )
+)

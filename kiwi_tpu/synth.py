@@ -649,6 +649,13 @@ def plan_config(
     iz_lo = max(iz_lo, 0)
     iz_hi = min(iz_hi, store.nz - 1)
 
+    if ix_hi < ix_lo or iz_hi < iz_lo:
+        raise ValueError(
+            "source/receiver geometry lies outside the GF store coverage: "
+            f"distances [{dist_lo:.0f}, {dist_hi:.0f}] m need ix [{ix_lo}, {ix_hi}] "
+            f"(store nx={store.nx}), depths [{zmin:.0f}, {zmax:.0f}] m need "
+            f"iz [{iz_lo}, {iz_hi}] (store nz={store.nz})"
+        )
     nxw = _round_up(ix_hi - ix_lo + 1, 2)
     nzw = _round_up(iz_hi - iz_lo + 1, 2)
     nxw = min(nxw, store.nx - ix_lo)

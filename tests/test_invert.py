@@ -104,3 +104,45 @@ def test_lm_refines_to_truth(engine):
     assert nfev > 2
     assert gm < 0.02, (info, nfev, gm)
     assert abs(engine.source_params[5] - 91.0) < 0.5
+
+
+def test_eikonal_source_self_consistency(engine):
+    """eikonal finite-fault: synthesize -> reference -> misfit ~ 0, and a
+    perturbed rupture geometry degrades it."""
+    p = np.array(
+        [0.0, 0.0, 0.0, 400.0, 1e12, 30.0, 80.0, 164.0,
+         0.0, 0.0, 250.0, 50.0, -50.0, 0.9, 0.3],
+        dtype=np.float32,
+    )
+    engine.set_misfit_method("l2norm")
+    # the tiny test store covers 0..700 m depth; the default crust2x2
+    # constraints (surface at 1500 m) would empty the rupture area
+    engine.set_source_constraints(
+        [[0, 0, 50.0], [0, 0, 700.0]], [[0, 0, -1.0], [0, 0, 1.0]]
+    )
+    engine.set_source_params("eikonal", p)
+    engine.set_synthetic_reference()
+    gm = engine.get_global_misfit()
+    assert gm < 1e-5, gm
+
+    p2 = p.copy()
+    p2[10] = 500.0  # double the rupture radius
+    engine.set_source_params("eikonal", p2)
+    gm2 = engine.get_global_misfit()
+    assert gm2 > 0.005, gm2
+
+
+def test_mt_eikonal_source(engine):
+    p = np.zeros(20, dtype=np.float32)
+    p[:13] = [0.0, 0.0, 0.0, 400.0, 1.0, 30.0, 80.0, 0.0, 0.0, 250.0, 0.0, 0.0, 0.9]
+    p[13:19] = [1e12, -5e11, 2e11, 3e11, -1e11, 5e11]
+    p[19] = 0.2
+    engine.set_misfit_method("l1norm")
+    engine.set_source_params("mt_eikonal", p)
+    engine.set_synthetic_reference()
+    assert engine.get_global_misfit() < 1e-5
+
+    p2 = p.copy()
+    p2[13:19] = [0, 0, 0, 0, 1e12, 0]
+    engine.set_source_params("mt_eikonal", p2)
+    assert engine.get_global_misfit() > 0.05
