@@ -273,7 +273,7 @@ class Engine:
         conv_cost = cfg.nxw * cfg.nzw * cfg.ng * (cfg.s_len + 1)
         direct_cost = ncent * 4 * cfg.ng * cfg.nt_out * 2
         path = "direct" if direct_cost < conv_cost else "conv"
-        ext = synth.materialize_window(gfd, gfi, cfg) if path == "conv" else None
+        ext = synth.materialize_window(gfd, gfi, cfg)
 
         fold_max = int(np.ceil(0.5 * risetime_max / store.dt)) + 1 if risetime_max > 0 else 0
 

@@ -245,8 +245,15 @@ def norm_spans(ctx, syn_lo, syn_hi, st: ProbeStatic):
     return lo, hi
 
 
+# Accumulation dtype: the reference sums norms in double precision
+# (comparator.f90:627-697) because Fortran accumulates serially; XLA reduces
+# with trees, so float32 keeps ~1e-6 relative accuracy while avoiding TPU
+# f64 emulation (an order of magnitude slower) in the hot loop.
+ACCUM = F32
+
+
 def _accum(x, mask):
-    return jnp.sum((x * mask).astype(jnp.float64), axis=-1)
+    return jnp.sum((x * mask).astype(ACCUM), axis=-1)
 
 
 def pair_norms(ctx, ref_arr, syn_arr, mask, method, st: ProbeStatic):
@@ -257,7 +264,7 @@ def pair_norms(ctx, ref_arr, syn_arr, mask, method, st: ProbeStatic):
     (l2norm_func etc., comparator.f90:627-697; double accumulation as in
     the reference).
     """
-    dt = jnp.float64(st.dt)
+    dt = ACCUM(st.dt)
     fb = ctx["syn_factor"][..., None]
     diff = ref_arr - fb * syn_arr
     if method == L2NORM:
@@ -271,8 +278,8 @@ def pair_norms(ctx, ref_arr, syn_arr, mask, method, st: ProbeStatic):
         n = _accum(ref_arr * ref_arr, mask)
     elif method == PEAK:
         fb2 = ctx["syn_factor"][..., None]
-        m = jnp.max(jnp.sqrt((ref_arr**2 + (fb2 * syn_arr) ** 2).astype(jnp.float64)) * mask, axis=-1)
-        n = jnp.max(jnp.abs(ref_arr).astype(jnp.float64) * mask, axis=-1)
+        m = jnp.max(jnp.sqrt((ref_arr**2 + (fb2 * syn_arr) ** 2).astype(ACCUM)) * mask, axis=-1)
+        n = jnp.max(jnp.abs(ref_arr).astype(ACCUM) * mask, axis=-1)
     else:
         raise ValueError(f"unsupported time-domain method {method}")
     return m.astype(F32), n.astype(F32)
@@ -348,7 +355,7 @@ def ref_norm_spans(ctx, st: ProbeStatic):
 
 
 def _ref_norm(ref_proc, mask, method, st: ProbeStatic):
-    dt = jnp.float64(st.dt)
+    dt = ACCUM(st.dt)
     if method == L2NORM:
         return jnp.sqrt(dt * _accum(ref_proc * ref_proc, mask)).astype(F32)
     if method == L1NORM:
@@ -356,7 +363,7 @@ def _ref_norm(ref_proc, mask, method, st: ProbeStatic):
     if method == SCALAR_PRODUCT:
         return _accum(ref_proc * ref_proc, mask).astype(F32)
     if method == PEAK:
-        return jnp.max(jnp.abs(ref_proc).astype(jnp.float64) * mask, axis=-1).astype(F32)
+        return jnp.max(jnp.abs(ref_proc).astype(ACCUM) * mask, axis=-1).astype(F32)
     raise ValueError(f"unsupported method {method}")
 
 
@@ -402,11 +409,11 @@ def precompute_ref_context(ctx, method, st: ProbeStatic, shiftrange=(0, 0),
     if method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM):
         use_f = ctx["has_filter"][..., None]
         ref_amp = jnp.where(use_f, ampf_r, amp_r)
-        df = jnp.float64(st.df)
+        df = ACCUM(st.df)
         if method == AMPSPEC_L2NORM:
-            norm = jnp.sqrt(df * jnp.sum((ref_amp * ref_amp).astype(jnp.float64), axis=-1))
+            norm = jnp.sqrt(df * jnp.sum((ref_amp * ref_amp).astype(ACCUM), axis=-1))
         else:
-            norm = df * jnp.sum(jnp.abs(ref_amp).astype(jnp.float64), axis=-1)
+            norm = df * jnp.sum(jnp.abs(ref_amp).astype(ACCUM), axis=-1)
         return {
             "method": method,
             "ref_amp": ref_amp,
@@ -483,11 +490,11 @@ def evaluate_misfits(
         mask = ((j >= lo[..., None]) & (j <= hi[..., None])).astype(F32)  # [S, RC, PL]
         fb = ctx["syn_factor"][None, :, None]
         diff = rctx["ref_proc"] - fb * syn_proc[None, :, :]
-        dt = jnp.float64(st.dt)
+        dt = ACCUM(st.dt)
         if base == L2NORM:
-            ms = jnp.sqrt(dt * jnp.sum((diff * diff * mask).astype(jnp.float64), axis=-1))
+            ms = jnp.sqrt(dt * jnp.sum((diff * diff * mask).astype(ACCUM), axis=-1))
         else:
-            ms = dt * jnp.sum((jnp.abs(diff) * mask).astype(jnp.float64), axis=-1)
+            ms = dt * jnp.sum((jnp.abs(diff) * mask).astype(ACCUM), axis=-1)
         ms = jnp.where(ctx["enabled"][None, :], ms.astype(F32), 0.0)
 
         per_rec = jax.vmap(
@@ -502,12 +509,12 @@ def evaluate_misfits(
     if method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM):
         use_f = ctx["has_filter"][..., None]
         syn_amp = jnp.where(use_f, ampf_s, amp_s)
-        df = jnp.float64(st.df)
+        df = ACCUM(st.df)
         diff = rctx["ref_amp"] - ctx["syn_factor"][..., None] * syn_amp
         if method == AMPSPEC_L2NORM:
-            m = jnp.sqrt(df * jnp.sum((diff * diff).astype(jnp.float64), axis=-1))
+            m = jnp.sqrt(df * jnp.sum((diff * diff).astype(ACCUM), axis=-1))
         else:
-            m = df * jnp.sum(jnp.abs(diff).astype(jnp.float64), axis=-1)
+            m = df * jnp.sum(jnp.abs(diff).astype(ACCUM), axis=-1)
         m = jnp.where(ctx["enabled"], m.astype(F32), 0.0)
         return m, rctx["norm"], zero_shift
 

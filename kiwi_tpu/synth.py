@@ -523,22 +523,24 @@ def physical_spans(gf_itmin, gf_nsamples, cfg: SynthConfig, kin):
     return lo, hi
 
 
-def _direct_accumulate(gf_data, gf_itmin, cfg: SynthConfig, kin):
-    """Per-centroid gather accumulation (the reference dataflow, vectorized).
+def _direct_accumulate(ext, cfg: SynthConfig, kin):
+    """Per-centroid slice accumulation (the reference dataflow, vectorized).
 
     Cheaper than the conv path when the source has few centroids relative to
     the GF window size (point/compact sources over wide search windows).
+    Works on the pre-extended window `ext` (materialize_window) so the time
+    shift is one contiguous dynamic slice per centroid instead of an
+    elementwise gather -- TPUs move contiguous blocks orders of magnitude
+    faster than per-element indexed loads.
     """
-    jout = cfg.out_it0 + jnp.arange(cfg.nt_out)
+    e0 = cfg.out_it0 - cfg.s_base - cfg.s_len
 
     def one_centroid(ixs, izs, wsp, wg, ish, frac, valid):
-        rows = gf_data[ixs[:, None], izs[None, :]]  # [2, 2, ng, nt]
-        its = gf_itmin[ixs[:, None], izs[None, :]]
-        idx = (jout - ish)[None, None, None, :]
-        shp = rows.shape[:3] + (cfg.nt_out,)
-        v0 = sample_ext(rows, its, jnp.broadcast_to(idx, shp))
-        v1 = sample_ext(rows, its, jnp.broadcast_to(idx - 1, shp))
-        v = (1.0 - frac) * v0 + frac * v1
+        rows = ext[ixs[:, None], izs[None, :]]  # [2, 2, ng, nt_ext]
+        # slice covering absolute indices [out_it0 - ish - 1, ... + nt_out]
+        start = (cfg.out_it0 - e0 - 1) - ish  # in [0, nt_ext - nt_out - 1]
+        sl = jax.lax.dynamic_slice_in_dim(rows, start, cfg.nt_out + 1, axis=-1)
+        v = (1.0 - frac) * sl[..., 1:] + frac * sl[..., :-1]
         blended = jnp.einsum("ab,abgt->gt", wsp.reshape(2, 2), v)
         return jnp.where(valid, 1.0, 0.0) * jnp.einsum("og,gt->ot", wg, blended)
 
@@ -552,13 +554,14 @@ def synthesize_with_spans(ext, gf_itmin, gf_nsamples, cfg: SynthConfig, rec, cen
     """Synthesis plus physical span tracking.
 
     path="conv": scatter+convolution over the window (best for many
-    centroids / compact windows); path="direct": per-centroid gathers (best
-    for few centroids / wide search windows; requires gf_data).
+    centroids / compact windows); path="direct": per-centroid slices of the
+    extended window (best for few centroids / wide search windows).  Both
+    need `ext` from materialize_window.
     Returns (ard f32[3, nt_out], lo i32[3], hi i32[3]).
     """
     kin = _centroid_kinematics(cfg, rec, centroids)
     if path == "direct":
-        out = _direct_accumulate(gf_data, gf_itmin, cfg, kin)
+        out = _direct_accumulate(ext, cfg, kin)
     else:
         w = scatter_weight_kernel(cfg, kin)
         s = cfg.s_len + 1
