@@ -424,8 +424,11 @@ class Engine:
         pf = np.array([model.post_factors(p) for p in pb], dtype=np.float32)
         return out, pf[:, 0], pf[:, 1], (cmax,)
 
-    def _ensure_plan(self, cbatch, risetime_max, shape):
-        extent, depth_range, time_range = self._centroid_stats(cbatch)
+    def _ensure_plan(self, cbatch, risetime_max, shape, stats=None):
+        if stats is not None:
+            extent, depth_range, time_range = stats
+        else:
+            extent, depth_range, time_range = self._centroid_stats(cbatch)
         st = self.store
         xstep = 4.0 * st.dx
         zstep = 4.0 * st.dz
@@ -450,8 +453,13 @@ class Engine:
 
     def misfits_for_source_batch(self, params_batch):
         """(misfits [B, RC], norms [B, RC], floating_shifts [B, R])."""
-        cbatch, moments, risetimes, shape = self._discretize_batch(params_batch)
-        plan = self._ensure_plan(cbatch, float(risetimes.max(initial=0.0)), shape)
+        model = get_source_model(self.source_type)
+        pb = np.atleast_2d(np.asarray(params_batch, dtype=np.float32))
+        stats = model.param_stats(pb) if model.param_stats is not None else None
+        cbatch, moments, risetimes, shape = self._discretize_batch(pb)
+        plan = self._ensure_plan(
+            cbatch, float(risetimes.max(initial=0.0)), shape, stats=stats
+        )
         m, n, fs = plan["forward_batch"](cbatch, jnp.asarray(moments), jnp.asarray(risetimes))
         return m, n, fs
 

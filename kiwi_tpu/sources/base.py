@@ -46,6 +46,10 @@ class SourceModel:
     discretize: typing.Callable  # (params_f32, effective_dt, shape) -> centroids
     post_factors: typing.Callable  # params -> (moment, risetime) applied post-synthesis
     host_discretize: bool = False  # True: discretize(params, edt, ctx) runs on host
+    # optional conservative (extent_m, (depth_lo, depth_hi), (t_lo, t_hi)) bounds
+    # from raw parameter vectors, host-side -- lets the engine plan static
+    # windows without pulling discretized centroids off the device
+    param_stats: typing.Callable = None
 
     @property
     def nparams(self):

@@ -129,6 +129,23 @@ def post_factors(params):
     return float(params[4]), 0.0
 
 
+def param_stats(pb):
+    """Conservative centroid bounds from raw params (host)."""
+    pb = np.atleast_2d(pb)
+    length = pb[:, 9] + pb[:, 10]
+    halfdiag = np.hypot(length / 2.0, pb[:, 11] / 2.0)
+    ext = float((np.hypot(pb[:, 1], pb[:, 2]) + halfdiag).max())
+    d = (
+        float((pb[:, 3] - halfdiag).min()),
+        float((pb[:, 3] + halfdiag).max()),
+    )
+    # tshift in [time - max(la,lb)/2/v, time + (length/2 + max offset)/v];
+    # bound |tshift - time| by length/v; STF cells add +- durfull/2
+    tspan = length / np.maximum(pb[:, 12], 1.0) + pb[:, 13]
+    t = (float((pb[:, 0] - tspan).min()), float((pb[:, 0] + tspan).max()))
+    return ext, d, t
+
+
 MODEL = register(
     SourceModel(
         name="bilateral",
@@ -143,5 +160,6 @@ MODEL = register(
         grid_shape=grid_shape,
         discretize=discretize,
         post_factors=post_factors,
+        param_stats=param_stats,
     )
 )

@@ -122,6 +122,16 @@ def post_factors(params):
     return float(params[4]), 0.0
 
 
+def param_stats(pb):
+    pb = np.atleast_2d(pb)
+    r = pb[:, 8] * np.sqrt(2.0)  # square grid corners may poke past radius
+    ext = float((np.hypot(pb[:, 1], pb[:, 2]) + r).max())
+    d = (float((pb[:, 3] - r).min()), float((pb[:, 3] + r).max()))
+    tspan = 2.0 * pb[:, 8] / np.maximum(pb[:, 9], 1.0) + pb[:, 10]
+    t = (float((pb[:, 0] - tspan).min()), float((pb[:, 0] + tspan).max()))
+    return ext, d, t
+
+
 MODEL = register(
     SourceModel(
         name="circular",
@@ -136,5 +146,6 @@ MODEL = register(
         grid_shape=grid_shape,
         discretize=discretize,
         post_factors=post_factors,
+        param_stats=param_stats,
     )
 )

@@ -71,6 +71,16 @@ def post_factors(params):
     return 1.0, 0.0
 
 
+def param_stats(pb):
+    """Conservative centroid bounds from raw params (host)."""
+    pb = np.atleast_2d(pb)
+    ext = float(np.hypot(pb[:, 1], pb[:, 2]).max())
+    d = (float(pb[:, 3].min()), float(pb[:, 3].max()))
+    half = pb[:, 10] / 2.0
+    t = (float((pb[:, 0] - half).min()), float((pb[:, 0] + half).max()))
+    return ext, d, t
+
+
 MODEL = register(
     SourceModel(
         name="moment_tensor",
@@ -85,5 +95,6 @@ MODEL = register(
         grid_shape=grid_shape,
         discretize=discretize,
         post_factors=post_factors,
+        param_stats=param_stats,
     )
 )

@@ -76,6 +76,14 @@ def post_factors(params):
     return float(params[4]), 0.0
 
 
+def param_stats(pb):
+    pb = np.atleast_2d(pb)
+    ext = float(np.hypot(pb[:, 1], pb[:, 2]).max())
+    d = (float(pb[:, 3].min()), float(pb[:, 3].max()))
+    t = (float(pb[:, 0].min()), float((pb[:, 0] + pb[:, 11] + 1.0).max()))
+    return ext, d, t
+
+
 MODEL = register(
     SourceModel(
         name="point_lp",
@@ -90,5 +98,6 @@ MODEL = register(
         grid_shape=grid_shape,
         discretize=discretize,
         post_factors=post_factors,
+        param_stats=param_stats,
     )
 )
