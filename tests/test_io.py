@@ -1,0 +1,135 @@
+"""I/O round-trip tests (counterpart of test_io.f90 + test_gfdb.f90's
+storage round trip)."""
+
+import numpy as np
+import pytest
+
+from kiwi_tpu.io import readseismogram, writeseismogram
+from kiwi_tpu.io import mseed as ms
+from kiwi_tpu.io.gfdb_hdf5 import load_gfdb, save_gfdb
+from kiwi_tpu.gf.store import GFStoreBuilder
+
+
+def test_table_roundtrip(tmp_path):
+    fn = str(tmp_path / "x.table")
+    data = np.array([0.5, -1.25, 3.0, 0.0, 2.0], dtype=np.float32)
+    writeseismogram(fn, "*", data, 12.25, 0.5)
+    d2, t0, dt = readseismogram(fn)
+    np.testing.assert_allclose(d2, data, rtol=1e-6)
+    assert abs(t0 - 12.25) < 1e-9
+    assert abs(dt - 0.5) < 1e-9
+
+
+def test_mseed_roundtrip(tmp_path):
+    fn = str(tmp_path / "x.mseed")
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=2500).astype(np.float32)  # spans 3 records
+    t0 = 1060000000.12345
+    writeseismogram(fn, "*", data, t0, 0.1, network="KW", station="STA1", channel="nd")
+    d2, t02, dt2 = readseismogram(fn)
+    np.testing.assert_array_equal(d2, data)
+    # the writer rounds to 1e-5 s like the reference (mseed_simple.c:70-78)
+    assert abs(t02 - t0) < 2e-4
+    assert abs(dt2 - 0.1) < 1e-12
+
+
+def test_mseed_nonintegral_rate(tmp_path):
+    fn = str(tmp_path / "y.mseed")
+    data = np.arange(10, dtype=np.float32)
+    ms.write(fn, data, 0.0, 0.3)
+    d2, t0, dt = ms.read(fn)
+    np.testing.assert_array_equal(d2, data)
+    assert abs(dt - 0.3) < 1e-4
+
+
+def test_steim1_decode():
+    # build a tiny synthetic steim1 record payload: one 64-byte frame
+    import struct
+
+    samples = np.array([5, 7, 6, 6, 10], dtype=np.int64)
+    diffs = np.diff(samples, prepend=samples[0])
+    # w1 = x0, w2 = xn, w3 = 4 byte diffs... need 5 diffs: w3: 4x int8, w4: 1x int32
+    frame = bytearray(64)
+    codes = [0, 0, 0, 1, 3] + [0] * 11
+    w0 = 0
+    for i, c in enumerate(codes):
+        w0 |= c << (2 * (15 - i))
+    frame[0:4] = struct.pack(">I", w0)
+    frame[4:8] = struct.pack(">i", samples[0])
+    frame[8:12] = struct.pack(">i", samples[-1])
+    frame[12:16] = struct.pack(">4b", *diffs[:4])
+    frame[16:20] = struct.pack(">i", diffs[4])
+    out = ms._decode_steim(bytes(frame), 5, 1)
+    np.testing.assert_array_equal(out, samples.astype(np.float32))
+
+
+def test_sac_roundtrip(tmp_path):
+    fn = str(tmp_path / "x.sac")
+    data = np.linspace(-1, 1, 300).astype(np.float32)
+    writeseismogram(fn, "*", data, -5.0, 0.25, station="ABC", channel="n")
+    d2, t0, dt = readseismogram(fn)
+    np.testing.assert_array_equal(d2, data)
+    assert abs(t0 + 5.0) < 1e-5
+    assert abs(dt - 0.25) < 1e-7
+
+
+def test_gfdb_hdf5_roundtrip(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    base = str(tmp_path / "db")
+    b = GFStoreBuilder(nx=7, nz=3, ng=10, dt=0.1, dx=50.0, dz=50.0, firstx=50.0)
+    rng = np.random.default_rng(1)
+    for ix in range(7):
+        for iz in range(3):
+            for ig in range(10):
+                if (ix + iz + ig) % 3 == 0:
+                    continue  # leave some traces missing
+                n = rng.integers(4, 30)
+                v = rng.normal(size=n).astype(np.float32)
+                if ig % 2 == 0:
+                    v[-3:] = 0.0  # zero tail
+                b.put_trace(ix, iz, ig, v, int(rng.integers(-5, 40)))
+    store = b.build()
+
+    nchunks = save_gfdb(store, base, nchunks=3)
+    assert nchunks == 3
+    store2 = load_gfdb(base)
+
+    assert store2.nx == store.nx and store2.ng == store.ng
+    assert abs(store2.dt - store.dt) < 1e-7 and store2.firstx == store.firstx
+    for ix in range(7):
+        for iz in range(3):
+            for ig in range(10):
+                a = store.get_trace(ix, iz, ig)
+                c = store2.get_trace(ix, iz, ig)
+                if a is None:
+                    assert c is None
+                    continue
+                va, ia = a
+                vc, ic = c
+                assert ia == ic, (ix, iz, ig)
+                np.testing.assert_array_equal(va, vc)
+
+
+def test_gfdb_hdf5_sparse_gap_elision(tmp_path):
+    pytest.importorskip("h5py")
+    base = str(tmp_path / "db2")
+    b = GFStoreBuilder(nx=1, nz=1, ng=1, dt=0.1, dx=50.0, dz=50.0)
+    v = np.zeros(40, dtype=np.float32)
+    v[2:5] = [1, 2, 3]
+    v[25:28] = [4, 5, 6]  # gap of 20 zeros -> two strips on disk
+    b.put_trace(0, 0, 0, v, 10)
+    store = b.build()
+    save_gfdb(store, base)
+
+    import h5py
+
+    with h5py.File(f"{base}.1.chunk", "r") as f:
+        ds = f["gf/1/1/1"]
+        assert len(ds.attrs["pofs"]) == 2  # two strips
+        assert ds.shape[0] < 30  # gap elided on disk
+
+    store2 = load_gfdb(base)
+    va, ia = store2.get_trace(0, 0, 0)
+    vb, ib = store.get_trace(0, 0, 0)
+    assert ia == ib
+    np.testing.assert_array_equal(va, vb)
