@@ -1,0 +1,213 @@
+"""GF database command-line tools.
+
+Drop-in workflow equivalents of the reference's gfdb_* programs
+(gfdb_build.f90, gfdb_extract.f90, gfdb_info.f90, gfdb_redeploy.f90,
+gfdb_build_ahfull.f90): same argument conventions and stdin line protocols,
+operating on either the reference HDF5 layout (default, extension-less base
+paths) or .npz dense stores.
+"""
+
+from __future__ import annotations
+
+import shlex
+import sys
+
+import numpy as np
+
+from ..gf.store import GFStore, GFStoreBuilder
+from ..gf.trace import fnint
+
+
+def _load_store(path) -> GFStore:
+    if path.endswith(".npz"):
+        return GFStore.load(path)
+    from ..io.gfdb_hdf5 import load_gfdb
+
+    return load_gfdb(path)
+
+
+def _save_store(store, path, nchunks=1):
+    if path.endswith(".npz"):
+        store.save(path)
+    else:
+        from ..io.gfdb_hdf5 import save_gfdb
+
+        save_gfdb(store, path, nchunks=nchunks)
+
+
+def gfdb_build(argv=None):
+    """gfdb_build database [nchunks nx nz ng dt dx dz [firstx firstz]] << 'x z ig file ...'"""
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) not in (1, 8, 10):
+        sys.exit("usage: gfdb_build database [ nchunks nx nz ng dt dx dz [ firstx firstz ] ]")
+    base = argv[0]
+    if len(argv) >= 8:
+        nchunks = int(argv[1])
+        nx, nz, ng = int(argv[2]), int(argv[3]), int(argv[4])
+        dt, dx, dz = float(argv[5]), float(argv[6]), float(argv[7])
+        firstx = float(argv[8]) if len(argv) == 10 else 0.0
+        firstz = float(argv[9]) if len(argv) == 10 else 0.0
+        builder = GFStoreBuilder(nx, nz, ng, dt, dx, dz, firstx, firstz)
+    else:
+        store = _load_store(base)
+        builder = GFStoreBuilder(store.nx, store.nz, store.ng, store.dt,
+                                 store.dx, store.dz, store.firstx, store.firstz)
+        for ix in range(store.nx):
+            for iz in range(store.nz):
+                for ig in range(store.ng):
+                    tr = store.get_trace(ix, iz, ig)
+                    if tr is not None:
+                        builder.put_trace(ix, iz, ig, tr[0], tr[1])
+        nchunks = 1
+
+    from ..io import readseismogram
+
+    for line in sys.stdin:
+        w = shlex.split(line)
+        if not w:
+            continue
+        x, z, ig = float(w[0]), float(w[1]), int(w[2])
+        # multiple files are joined end to end (gfdb_build.f90:58-124)
+        parts = []
+        it0 = None
+        for fn in w[3:]:
+            data, toffset, deltat = readseismogram(fn)
+            itmin = int(fnint(np.float32(toffset) / np.float32(builder.dt)))
+            if it0 is None:
+                it0 = itmin
+                parts.append((itmin, data))
+            else:
+                parts.append((itmin, data))
+        if it0 is None:
+            continue
+        lo = min(p[0] for p in parts)
+        hi = max(p[0] + len(p[1]) for p in parts)
+        dense = np.zeros(hi - lo, dtype=np.float32)
+        for itmin, data in parts:
+            dense[itmin - lo : itmin - lo + len(data)] = data
+        ix = int(fnint(np.float32(x - builder.firstx) / np.float32(builder.dx)))
+        iz = int(fnint(np.float32(z - builder.firstz) / np.float32(builder.dz)))
+        builder.put_trace(ix, iz, ig - 1, dense, lo)
+
+    _save_store(builder.build(), base, nchunks=nchunks)
+
+
+def gfdb_extract(argv=None):
+    """gfdb_extract database << \"x z ig 'outfile'\" (gfdb_extract.f90)."""
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 1:
+        sys.exit("usage: gfdb_extract database")
+    store = _load_store(argv[0])
+    from ..io import writeseismogram
+
+    for line in sys.stdin:
+        w = shlex.split(line)
+        if not w:
+            continue
+        x, z, ig = float(w[0]), float(w[1]), int(w[2])
+        fn = w[3]
+        ix, iz = store.get_indices(x, z)
+        tr = store.get_trace(ix, iz, ig - 1)
+        if tr is None:
+            print(f"nok", flush=True)
+            continue
+        values, itmin = tr
+        writeseismogram(fn, "*", values, itmin * store.dt, store.dt)
+        print("ok", flush=True)
+
+
+def gfdb_info(argv=None):
+    """key=value metadata (gfdb_info.f90; parsed by tunguska/gfdb.py:24-40)."""
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        sys.exit("usage: gfdb_info database")
+    store = _load_store(argv[0])
+    used = int((store.nsamples > 0).sum())
+    total = store.nx * store.nz * store.ng
+    print(f"dt={store.dt:g}")
+    print(f"dx={store.dx:g}")
+    print(f"dz={store.dz:g}")
+    print(f"firstx={store.firstx:g}")
+    print(f"firstz={store.firstz:g}")
+    print(f"nchunks=1")
+    print(f"nx={store.nx}")
+    print(f"nz={store.nz}")
+    print(f"ng={store.ng}")
+    print(f"total_traces={used}/{total}")
+
+
+def gfdb_redeploy(argv=None):
+    """Copy traces between databases (gfdb_redeploy.f90): target grid may
+    subset/resample the source grid; traces are placed at the nearest target
+    node."""
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 2:
+        sys.exit("usage: gfdb_redeploy source-database target-database")
+    src = _load_store(argv[0])
+    dst = _load_store(argv[1])
+    builder = GFStoreBuilder(dst.nx, dst.nz, dst.ng, dst.dt, dst.dx, dst.dz,
+                             dst.firstx, dst.firstz)
+    for ix in range(dst.nx):
+        for iz in range(dst.nz):
+            for ig in range(dst.ng):
+                tr = dst.get_trace(ix, iz, ig)
+                if tr is not None:
+                    builder.put_trace(ix, iz, ig, tr[0], tr[1])
+    if abs(src.dt - dst.dt) > 1e-7:
+        sys.exit("gfdb_redeploy: differing sampling rates not supported yet")
+    for ix in range(src.nx):
+        x = src.firstx + ix * src.dx
+        jx = int(fnint(np.float32(x - dst.firstx) / np.float32(dst.dx)))
+        if not (0 <= jx < dst.nx) or abs(dst.firstx + jx * dst.dx - x) > 1e-3:
+            continue
+        for iz in range(src.nz):
+            z = src.firstz + iz * src.dz
+            jz = int(fnint(np.float32(z - dst.firstz) / np.float32(dst.dz)))
+            if not (0 <= jz < dst.nz) or abs(dst.firstz + jz * dst.dz - z) > 1e-3:
+                continue
+            for ig in range(min(src.ng, dst.ng)):
+                tr = src.get_trace(ix, iz, ig)
+                if tr is not None:
+                    builder.put_trace(jx, jz, ig, tr[0], tr[1])
+    _save_store(builder.build(), argv[1])
+
+
+def gfdb_build_ahfull(argv=None):
+    """gfdb_build_ahfull database material stf << 'x z nfflag ffflag'
+    (gfdb_build_ahfull.f90)."""
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 3:
+        sys.exit("usage: gfdb_build_ahfull database material stf")
+    base, material_fn, stf_fn = argv
+    store = _load_store(base)
+    material = np.loadtxt(material_fn, ndmin=2)[0]
+    stf_tab = np.loadtxt(stf_fn, ndmin=2)
+
+    from ..gf.elseis import FullspaceGF, add_ahfull_traces
+
+    builder = GFStoreBuilder(store.nx, store.nz, store.ng, store.dt,
+                             store.dx, store.dz, store.firstx, store.firstz)
+    fs = FullspaceGF(material[0], material[1], material[2], stf_tab[:, 1], store.dt)
+    for line in sys.stdin:
+        w = line.split()
+        if not w:
+            continue
+        x, z = float(w[0]), float(w[1])
+        nf = w[2] in ("T", "t", "1", "true", "True")
+        ff = w[3] in ("T", "t", "1", "true", "True")
+        add_ahfull_traces(builder, fs, x, z, nf, ff)
+    _save_store(builder.build(), base)
+
+
+if __name__ == "__main__":
+    tool = sys.argv[1] if len(sys.argv) > 1 else ""
+    fns = {
+        "build": gfdb_build,
+        "extract": gfdb_extract,
+        "info": gfdb_info,
+        "redeploy": gfdb_redeploy,
+        "build_ahfull": gfdb_build_ahfull,
+    }
+    if tool not in fns:
+        sys.exit(f"usage: python -m kiwi_tpu.cli.gfdb_tools ({'|'.join(fns)}) args...")
+    fns[tool](sys.argv[2:])

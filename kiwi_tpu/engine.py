@@ -453,6 +453,8 @@ class Engine:
 
     def misfits_for_source_batch(self, params_batch):
         """(misfits [B, RC], norms [B, RC], floating_shifts [B, R])."""
+        if not self._refs:
+            raise RuntimeError("no reference seismograms set")
         model = get_source_model(self.source_type)
         pb = np.atleast_2d(np.asarray(params_batch, dtype=np.float32))
         stats = model.param_stats(pb) if model.param_stats is not None else None
@@ -518,3 +520,269 @@ class Engine:
     def get_floating_shifts(self):
         _m, _n, fs = self.misfits_for_source_batch(self.source_params[None, :])
         return np.asarray(fs[0]) * self.store.dt
+
+    # -- parameter masks / subparameters (minimizer_engine.f90:525-610) -------
+
+    def set_source_params_mask(self, mask):
+        model = get_source_model(self.source_type)
+        mask = np.asarray(mask, dtype=bool)
+        if mask.shape != (model.nparams,):
+            raise ValueError("wrong number of elements in mask")
+        self.params_mask = mask
+        self.subparam_mins = None
+        self.subparam_maxs = None
+
+    def set_source_subparams(self, subparams, normalized=False):
+        if self.source_params is None:
+            raise RuntimeError("source parameters must be set prior to subparams")
+        mask = getattr(self, "params_mask", None)
+        if mask is None:
+            raise RuntimeError("no source params mask set")
+        sub = np.asarray(subparams, dtype=np.float32)
+        if sub.shape[0] != int(mask.sum()):
+            raise ValueError("wrong number of subparams")
+        model = get_source_model(self.source_type)
+        p = self.source_params.copy()
+        p[mask] = sub * model.norm[mask] if normalized else sub
+        self.set_source_params(self.source_type, p)
+
+    def get_source_subparams(self, normalized=False):
+        mask = getattr(self, "params_mask", None)
+        if mask is None:
+            raise RuntimeError("no source params mask set")
+        model = get_source_model(self.source_type)
+        sub = self.source_params[mask]
+        return sub / model.norm[mask] if normalized else sub
+
+    def set_source_subparams_limits(self, mins, maxs):
+        mask = getattr(self, "params_mask", None)
+        n = int(mask.sum()) if mask is not None else 0
+        mins = np.asarray(mins, np.float64)
+        maxs = np.asarray(maxs, np.float64)
+        if mins.shape[0] != n or maxs.shape[0] != n:
+            raise ValueError("wrong number of subparam limits")
+        self.subparam_mins = mins
+        self.subparam_maxs = maxs
+
+    def minimize_lm(self):
+        """(info, iterations, misfit) -- minimizer_engine.f90:729-805."""
+        from .invert import minimize_lm as _lm
+
+        mask = getattr(self, "params_mask", None)
+        return _lm(
+            self,
+            mask=mask,
+            subparam_mins=getattr(self, "subparam_mins", None),
+            subparam_maxs=getattr(self, "subparam_maxs", None),
+        )
+
+    def get_principal_axes(self):
+        """(pax, tax) as (azimuth, colatitude) degrees for sdr-type sources
+        (minimizer_engine.f90:1248-1258)."""
+        from .euler import pt_axes, rotmats_from_sdr
+        from .sources.base import DEG2RAD_F32
+
+        model = get_source_model(self.source_type)
+        names = model.names
+        if "strike" not in names or "dip" not in names or "slip-rake" not in names:
+            return np.zeros(2), np.zeros(2)
+        p = self.source_params
+        strike = float(p[names.index("strike")]) * float(DEG2RAD_F32)
+        dip = float(p[names.index("dip")]) * float(DEG2RAD_F32)
+        rake = float(p[names.index("slip-rake")]) * float(DEG2RAD_F32)
+        _rr, rs = rotmats_from_sdr(strike, dip, rake, 0.0)
+        return pt_axes(rs)
+
+    # -- probe-processed trace access (probe_get_*, comparator.f90:356-433) ---
+
+    def _probe_rows(self, which):
+        """All probe arrays [RC, PL] (plain extension applied) + dataspans."""
+        plan = self._current_plan()
+        st = plan["st"]
+        setup = plan["setup"]
+        if which == "synthetics":
+            cbatch, moments, risetimes, shape = self._discretize_batch(
+                self.source_params[None, :]
+            )
+            cent = {k: v[0] for k, v in cbatch.items()}
+            syn, lo, hi = plan["synth_one"](
+                cent, jnp.float32(moments[0]), jnp.float32(risetimes[0])
+            )
+            arr = np.asarray(mf.place_on_probe(syn, plan["cfg"].out_it0, st))
+            return st, setup, arr, np.asarray(lo), np.asarray(hi)
+        arr = setup.ref.copy()
+        return st, setup, arr, setup.ref_lo.copy(), setup.ref_hi.copy()
+
+    def _current_plan(self):
+        cbatch, moments, risetimes, shape = self._discretize_batch(
+            self.source_params[None, :]
+        )
+        return self._ensure_plan(cbatch, float(risetimes.max(initial=0.0)), shape)
+
+    def get_processed_seismograms(self, which="synthetics", processing="plain"):
+        """[(values, itmin)] rows for output_seismograms: plain/tapered/
+        filtered processing like probe_get (comparator.f90:421-433)."""
+        if which == "synthetics" and processing == "plain":
+            return self.get_synthetic_seismograms()
+        plan = self._current_plan()
+        st = plan["st"]
+        setup = plan["setup"]
+        st_, setup_, arr, lo, hi = self._probe_rows(which)
+        ctx = plan["ctx"]
+        tap, filt, _amp, _ampf = mf.processed_arrays(ctx, jnp.asarray(arr), st)
+        tap = np.asarray(tap)
+        filt = np.asarray(filt)
+        out = []
+        for irc in range(setup.nrc):
+            if processing == "plain":
+                row, a, b = arr[irc], lo[irc], hi[irc]
+            elif processing == "tapered":
+                if setup.has_taper[irc]:
+                    # span = taper span ^ data span, falling back to the data
+                    # span when empty (probe_get_tapered, comparator.f90:380-391)
+                    row = tap[irc]
+                    a = max(setup.taper_lo[irc], int(lo[irc]))
+                    b = min(setup.taper_hi[irc], int(hi[irc]))
+                    if a > b:
+                        a, b = int(lo[irc]), int(hi[irc])
+                else:
+                    row, a, b = arr[irc], lo[irc], hi[irc]
+            elif processing == "filtered":
+                if setup.has_filter[irc]:
+                    row = filt[irc]
+                    a = setup.taper_lo[irc] if setup.has_taper[irc] else lo[irc]
+                    b = setup.taper_hi[irc] if setup.has_taper[irc] else hi[irc]
+                else:
+                    row, a, b = (tap[irc], setup.taper_lo[irc], setup.taper_hi[irc]) \
+                        if setup.has_taper[irc] else (arr[irc], lo[irc], hi[irc])
+            else:
+                raise ValueError(f"unknown processing {processing!r}")
+            a = int(np.clip(a, st.ps0, st.ps0 + st.pl - 1))
+            b = int(np.clip(b, a, st.ps0 + st.pl - 1))
+            out.append((row[a - st.ps0 : b - st.ps0 + 1].copy(), a))
+        return out
+
+    def get_amp_spectra(self, which="synthetics", processing="filtered"):
+        """[(amplitudes, df)] rows (probe_get_amp_spectrum,
+        comparator.f90:333-354)."""
+        plan = self._current_plan()
+        st = plan["st"]
+        ctx = plan["ctx"]
+        setup = plan["setup"]
+        st_, setup_, arr, _lo, _hi = self._probe_rows(which)
+        _tap, _filt, amp, ampf = mf.processed_arrays(ctx, jnp.asarray(arr), st)
+        amp = np.asarray(amp)
+        ampf = np.asarray(ampf)
+        out = []
+        for irc in range(setup.nrc):
+            a = ampf[irc] if (processing == "filtered" and setup.has_filter[irc]) else amp[irc]
+            out.append((a.copy(), st.df))
+        return out
+
+    def get_cross_correlations(self, shiftrange_s):
+        """[S, RC] windowed cross correlations + the shift sample indices
+        (output_cross_correlations, minimizer_engine.f90:1283-1307)."""
+        from .gf.trace import fnint
+
+        plan = self._current_plan()
+        st = plan["st"]
+        ctx = plan["ctx"]
+        s1 = int(fnint(np.float32(shiftrange_s[0]) / np.float32(self.store.dt)))
+        s2 = int(fnint(np.float32(shiftrange_s[1]) / np.float32(self.store.dt)))
+        _st, setup, arr, lo, hi = self._probe_rows("synthetics")
+        cc = mf.cross_correlation(ctx, jnp.asarray(arr), (s1, s2), st)
+        return np.asarray(cc), np.arange(s1, s2 + 1)
+
+    def autoshift_ref_seismograms(self, shiftrange_s, ireceiver=None):
+        """Shift refs to the xcorr-power maximum (receiver_autoshift_...,
+        receiver.f90:816-832).  Returns shift seconds per receiver."""
+        cc, shifts = self.get_cross_correlations(shiftrange_s)
+        layout = self._rc_layout()
+        out = []
+        for irec in range(len(self.receivers)):
+            rows = [i for i, (r, _c) in enumerate(layout) if r == irec]
+            sub = cc[:, rows]  # [S, ncomp]
+            denom = max(1.0, float(sub.max()))
+            power = (np.maximum(sub / denom, 0.0) ** 2).sum(axis=1)
+            imax = int(np.argmax(power))
+            ishift = int(shifts[imax])
+            if ireceiver is None or ireceiver == irec:
+                self.shift_ref_seismogram(irec, ishift)
+                out.append(ishift * self.store.dt)
+        return np.array(out)
+
+    def shift_ref_seismogram(self, irec, ishift):
+        for irc, (r, _c) in enumerate(self._rc_layout()):
+            if r == irec and irc in self._refs:
+                values, itmin = self._refs[irc]
+                self._refs[irc] = (values, itmin + int(ishift))
+        self._invalidate()
+
+    def get_peak_amplitudes(self, differentiate):
+        """Per-receiver max |d^k u/dt^k| vector norms over grouped components
+        (get_peak_amplitudes, minimizer_engine.f90:1174-1212)."""
+        return self._vec_diagnostic(differentiate=differentiate)
+
+    def get_arias_intensities(self):
+        """(minimizer_engine.f90:1214-1246)."""
+        return self._vec_diagnostic(arias=True)
+
+    def _vec_diagnostic(self, differentiate=None, arias=False):
+        plan = self._current_plan()
+        st = plan["st"]
+        setup = plan["setup"]
+        ctx = plan["ctx"]
+        _st, _setup, arr, lo, hi = self._probe_rows("synthetics")
+        tap, filt, _a, _af = mf.processed_arrays(ctx, jnp.asarray(arr), st)
+        tap = np.asarray(tap)
+        filt = np.asarray(filt)
+        layout = self._rc_layout()
+        out = []
+        for irec, rec in enumerate(self.receivers):
+            if not rec.enabled:
+                continue
+            # component grouping (get_component_ids, receiver.f90:512-542)
+            rows = {c: i for i, (r, c) in enumerate(layout) if r == irec}
+            ver = next((rows[c] for c in "du" if c in rows), None)
+            h1 = next((rows[c] for c in "ac" if c in rows), None)
+            h2 = next((rows[c] for c in "rl" if c in rows), None)
+            if h1 is None or h2 is None:
+                h1 = next((rows[c] for c in "ns" if c in rows), None)
+                h2 = next((rows[c] for c in "ew" if c in rows), None)
+            if h1 is None or h2 is None:
+                h1 = h2 = None
+            used = [i for i in (ver, h1, h2) if i is not None]
+            if not used:
+                out.append(0.0)
+                continue
+            dt = st.dt
+            vals = []
+            for i in used:
+                if setup.has_filter[i]:
+                    row = filt[i]
+                elif setup.has_taper[i]:
+                    row = tap[i]
+                else:
+                    row = arr[i]
+                if setup.has_taper[i]:
+                    a = setup.taper_lo[i] - st.ps0
+                    b = setup.taper_hi[i] - st.ps0
+                else:
+                    a = int(lo[i]) - st.ps0
+                    b = int(hi[i]) - st.ps0
+                vals.append(row[a : b + 1].astype(np.float64))
+            n = min(v.shape[0] for v in vals)
+            vals = [v[:n] for v in vals]
+            if arias:
+                d2 = [v[:-2] - 2 * v[1:-1] + v[2:] for v in vals]
+                total = sum((d * d for d in d2), np.zeros(n - 2)).sum()
+                out.append(float(np.pi / (2 * 9.81) * dt * total / dt**2))
+            elif differentiate == 1:
+                d1 = [v[:-1] - v[1:] for v in vals]
+                power = sum((d * d for d in d1), np.zeros(n - 1))
+                out.append(float(np.sqrt(power.max()) / dt))
+            else:
+                d2 = [v[:-2] - 2 * v[1:-1] + v[2:] for v in vals]
+                power = sum((d * d for d in d2), np.zeros(n - 2))
+                out.append(float(np.sqrt(power.max()) / dt**2))
+        return np.array(out)
