@@ -78,7 +78,24 @@ def _btime_to_epoch(year, doy, h, m, s, frac):
 
 def write(filename, data, toffset, deltat, network="", station="", location="",
           channel=""):
-    """FLOAT32 Mini-SEED, 4096-byte records (mseed_simple.c:12-66)."""
+    """FLOAT32 Mini-SEED, 4096-byte records (mseed_simple.c:12-66).
+
+    Uses the native C++ codec when available; write_py is the pure-Python
+    format reference."""
+    try:
+        from .. import native
+
+        if native.mseed_write(filename, data, toffset, deltat, network,
+                              station, location, channel):
+            return
+    except Exception:
+        pass
+    write_py(filename, data, toffset, deltat, network, station, location, channel)
+
+
+def write_py(filename, data, toffset, deltat, network="", station="", location="",
+             channel=""):
+    """Pure-Python record writer (format reference)."""
     data = np.asarray(data, dtype=">f4")
     n = data.shape[0]
     rate = 1.0 / deltat
@@ -189,7 +206,23 @@ def _sx(u, shift, bits, _total):
 
 def read(filename):
     """(data f32[n], toffset epoch-seconds, deltat).  Concatenates the
-    records of the first trace in the file (readmseed, mseed_simple.c:69+)."""
+    records of the first trace in the file (readmseed, mseed_simple.c:69+).
+    Uses the native C++ codec when available."""
+    try:
+        from .. import native
+
+        res = native.mseed_read(filename)
+        if res is not None:
+            return res
+    except IOError:
+        raise
+    except Exception:
+        pass
+    return read_py(filename)
+
+
+def read_py(filename):
+    """Pure-Python record reader (format reference)."""
     segments = []
     toffset = None
     deltat = None

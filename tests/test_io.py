@@ -133,3 +133,50 @@ def test_gfdb_hdf5_sparse_gap_elision(tmp_path):
     vb, ib = store.get_trace(0, 0, 0)
     assert ia == ib
     np.testing.assert_array_equal(va, vb)
+
+
+def test_native_mseed_cross_compat(tmp_path):
+    """The C++ codec and the Python codec must interoperate byte-for-byte."""
+    from kiwi_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable (no g++?)")
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=1500).astype(np.float32)
+    t0 = 123456.789
+    f1 = str(tmp_path / "native.mseed")
+    f2 = str(tmp_path / "python.mseed")
+    assert native.mseed_write(f1, data, t0, 0.25, "KW", "STA", "", "n")
+    ms.write_py(f2, data, t0, 0.25, "KW", "STA", "", "n")
+    with open(f1, "rb") as a, open(f2, "rb") as b:
+        assert a.read() == b.read()
+    # both readers decode the native file
+    d1, t1, dt1 = ms.read_py(f1)
+    d2, t2, dt2 = native.mseed_read(f1)
+    np.testing.assert_array_equal(d1, data)
+    np.testing.assert_array_equal(d2, data)
+    assert abs(t1 - t2) < 1e-9 and abs(dt1 - 0.25) < 1e-12
+
+
+def test_native_mseed_steim_matches_python():
+    from kiwi_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    # python steim1 synthetic frame from test_steim1_decode, via a full record
+    import struct
+
+    samples = np.array([5, 7, 6, 6, 10], dtype=np.int64)
+    diffs = np.diff(samples, prepend=samples[0])
+    frame = bytearray(64)
+    codes = [0, 0, 0, 1, 3] + [0] * 11
+    w0 = 0
+    for i, c in enumerate(codes):
+        w0 |= c << (2 * (15 - i))
+    frame[0:4] = struct.pack(">I", w0)
+    frame[4:8] = struct.pack(">i", samples[0])
+    frame[8:12] = struct.pack(">i", samples[-1])
+    frame[12:16] = struct.pack(">4b", *diffs[:4])
+    frame[16:20] = struct.pack(">i", diffs[4])
+    out = ms._decode_steim(bytes(frame), 5, 1)
+    np.testing.assert_array_equal(out, samples.astype(np.float32))
