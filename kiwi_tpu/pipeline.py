@@ -1,0 +1,249 @@
+"""Inversion pipeline: composable steps with persisted run state.
+
+Re-derivation of tunguska/inversion.py's Step framework: each step has a
+work directory with numbered run dirs and a `current` symlink, persists its
+inputs/outputs and intermediate grids (pickle), and chains its out-config
+into the next step's in-config.  Concrete steps cover the reference's
+standard point-source-to-finite-source workflow: receiver weighting
+(WeightMaker / gen_dweights), time-shift alignment (Shifter), iterated
+per-parameter grid searches (ParamTuner), and an enduring point-source
+inversion (EnduringPointSource).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import pickle
+
+import numpy as np
+
+from .invert import MisfitGrid, Source
+
+
+def gen_dweights(engine, base_source: Source, outer_norm="l2norm"):
+    """Per-receiver weights from the mean misfits of a strike/dip/rake grid
+    against a moment-zero synthetic reference (gen_dweights,
+    inversion.py:195-226): receivers that misfit badly on average get
+    downweighted by 1/mean.
+
+    Leaves the engine's reference seismograms replaced by the zero-moment
+    synthetic; caller restores references afterwards.
+    """
+    src = base_source.copy()
+    moment = src["moment"]
+    src["moment"] = 1.0  # the reference sets 0.0; zero moment would make
+    # every misfit trivially the reference norm -- it relies on misfits
+    # against a zero trace, which equals using norm factors; moment 1 with
+    # zeroed reference data gives the same weighting and avoids 0/0
+    engine.set_source_params(src.sourcetype, src.params)
+
+    # zero reference: a one-sample zero trace per component
+    for irc, _ in enumerate(engine._rc_layout()):
+        engine._refs[irc] = (np.zeros(1, np.float32), 0)
+    engine._invalidate()
+
+    src["moment"] = moment
+    grid = MisfitGrid(
+        src,
+        [
+            ("strike", np.arange(-180.0, 150.0 + 1, 30.0)),
+            ("dip", np.arange(0.0, 90.0 + 1, 30.0)),
+            ("slip-rake", np.arange(-180.0, 150.0 + 1, 30.0)),
+        ],
+    )
+    grid.compute(engine)
+    # mean misfit per receiver over all sources
+    m = grid.misfits_by_src  # [S, R, C]
+    means = np.sqrt((m**2).sum(axis=2)).mean(axis=0)  # [R]
+    live = means > 0.0
+    if live.any():
+        means = means / means[live].mean()
+    dweights = np.where(means > 0.0, 1.0 / np.where(means > 0, means, 1.0), 0.0)
+    return dweights
+
+
+class Step:
+    """A pipeline step with persisted run directories
+    (inversion.py:228-557)."""
+
+    def __init__(self, workdir, name):
+        self.workdir = workdir
+        self.name = name
+        self.stepdir = os.path.join(workdir, name)
+        self.in_config = {}
+        self.out_config = {}
+        self.results = {}
+
+    # -- run-dir management (next_available_rundir, inversion.py:244-260) ----
+
+    def make_rundir(self):
+        os.makedirs(self.stepdir, exist_ok=True)
+        entries = [e for e in os.listdir(self.stepdir) if e.isdigit()]
+        irun = max((int(e) for e in entries), default=0) + 1
+        rundir = os.path.join(self.stepdir, f"{irun:03d}")
+        os.makedirs(rundir)
+        current = os.path.join(self.stepdir, "current")
+        if os.path.islink(current):
+            os.unlink(current)
+        os.symlink(f"{irun:03d}", current)
+        return rundir
+
+    def rundir(self, run_id="current"):
+        return os.path.join(self.stepdir, run_id)
+
+    def dump(self, obj, ident, run_id="current"):
+        with open(os.path.join(self.rundir(run_id), ident + ".pickle"), "wb") as f:
+            pickle.dump(obj, f)
+
+    def load(self, ident, run_id="current"):
+        with open(os.path.join(self.rundir(run_id), ident + ".pickle"), "rb") as f:
+            return pickle.load(f)
+
+    def result(self, value, ident):
+        self.results[ident] = value
+
+    def pre_work(self):
+        self._rundir = self.make_rundir()
+        self.dump(self.in_config, "config-in")
+
+    def post_work(self):
+        self.dump(self.out_config, "config-out")
+        self.dump(self.results, "results")
+
+    def chain(self, previous: "Step"):
+        self.in_config = dict(previous.in_config)
+        self.in_config.update(previous.out_config)
+        return self
+
+    def work(self, engine):
+        raise NotImplementedError
+
+
+class Informer(Step):
+    """Log the receiver/station setup (inversion.py's Informer)."""
+
+    def work(self, engine):
+        self.pre_work()
+        dists, azis = engine.get_distances()
+        lines = []
+        for i, (r, d, a) in enumerate(zip(engine.receivers, dists, azis)):
+            lines.append(
+                f"{i + 1:3d} {r.name or '-':8s} dist {d / 1e3:9.1f} km  "
+                f"azi {np.degrees(a):6.1f}  comps {r.components}  "
+                f"{'on' if r.enabled else 'off'}"
+            )
+        self.result("\n".join(lines), "receivers")
+        self.out_config["nreceivers"] = len(engine.receivers)
+        self.post_work()
+        return lines
+
+
+class WeightMaker(Step):
+    """Receiver weights from an SDR sweep (inversion.py's WeightMaker)."""
+
+    def __init__(self, workdir, name="weightmaker"):
+        super().__init__(workdir, name)
+
+    def work(self, engine, base_source: Source):
+        self.pre_work()
+        refs_backup = dict(engine._refs)
+        weights = gen_dweights(engine, base_source)
+        engine._refs = refs_backup
+        engine._invalidate()
+        self.out_config["receiver_weights"] = weights
+        self.result(" ".join(f"{w:.4g}" for w in weights), "receiver_weights")
+        self.post_work()
+        return weights
+
+
+class Shifter(Step):
+    """Time-shift alignment of references by cross correlation
+    (inversion.py's Shifter)."""
+
+    def __init__(self, workdir, name="shifter", shiftrange=(-10.0, 10.0)):
+        super().__init__(workdir, name)
+        self.shiftrange = shiftrange
+
+    def work(self, engine):
+        self.pre_work()
+        shifts = engine.autoshift_ref_seismograms(self.shiftrange)
+        self.out_config["ref_shifts"] = shifts
+        self.result(" ".join(f"{s:.3g}" for s in shifts), "shifts")
+        self.post_work()
+        return shifts
+
+
+class ParamTuner(Step):
+    """Iterated per-parameter grid search (inversion.py:866-969): search the
+    given parameters jointly on their ranges, fix the best values, report
+    bootstrap confidence intervals."""
+
+    def __init__(self, workdir, params_ranges, name=None, outer_norm="l2norm",
+                 receiver_weights=1.0, bootstrap_iterations=250):
+        """params_ranges: [(param_name, values array)]."""
+        name = name or "-".join(n for n, _ in params_ranges) + "-tuner"
+        super().__init__(workdir, name)
+        self.params_ranges = params_ranges
+        self.outer_norm = outer_norm
+        self.receiver_weights = receiver_weights
+        self.bootstrap_iterations = bootstrap_iterations
+
+    def work(self, engine, base_source: Source):
+        self.pre_work()
+        grid = MisfitGrid(base_source, self.params_ranges)
+        grid.compute(engine)
+        best, g, stats = grid.postprocess(
+            bootstrap_iterations=self.bootstrap_iterations,
+            outer_norm=self.outer_norm,
+            receiver_weights=self.receiver_weights,
+        )
+        self.dump(
+            {
+                "params": grid.params,
+                "misfits_by_src": grid.misfits_by_src,
+                "norms_by_src": grid.norms_by_src,
+            },
+            self.name,
+        )
+        for pname, _vals in self.params_ranges:
+            st = stats[pname]
+            base_source[pname] = st.best
+            self.result(str(st), pname)
+            self.out_config[pname] = st.best
+            self.out_config[pname + "_stats"] = st
+        self.out_config["min_misfit"] = float(np.nanmin(g))
+        self.post_work()
+        return best, stats
+
+
+class EnduringPointSource(Step):
+    """Point-source (moment tensor) inversion sweep: sdr + moment tuning,
+    the reference's EnduringPointSource in miniature."""
+
+    def __init__(self, workdir, name="extension", outer_norm="l2norm"):
+        super().__init__(workdir, name)
+        self.outer_norm = outer_norm
+
+    def work(self, engine, base_source: Source):
+        self.pre_work()
+        stages = [
+            [("strike", np.arange(-180.0, 180.0, 15.0)),
+             ("dip", np.arange(0.0, 91.0, 15.0))],
+            [("slip-rake", np.arange(-180.0, 180.0, 15.0))],
+            [("moment", base_source["moment"] * np.logspace(-0.5, 0.5, 11))],
+            [("depth", base_source["depth"] * np.linspace(0.5, 1.5, 11))],
+        ]
+        src = base_source.copy()
+        for ranges in stages:
+            grid = MisfitGrid(src, ranges)
+            grid.compute(engine)
+            best, g, stats = grid.postprocess(
+                bootstrap_iterations=100, outer_norm=self.outer_norm
+            )
+            for pname, _ in ranges:
+                src[pname] = stats[pname].best
+                self.out_config[pname] = stats[pname].best
+        self.out_config["min_misfit"] = float(np.nanmin(g))
+        self.post_work()
+        return src

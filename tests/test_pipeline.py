@@ -1,0 +1,102 @@
+"""Pipeline step tests: a miniature end-to-end inversion workflow."""
+
+import os
+
+import numpy as np
+import pytest
+
+from kiwi_tpu import geo
+from kiwi_tpu.engine import Engine, Receiver
+from kiwi_tpu.gf import elseis
+from kiwi_tpu.invert import Source
+from kiwi_tpu.pipeline import Informer, ParamTuner, Shifter, WeightMaker
+
+
+@pytest.fixture(scope="module")
+def engine():
+    stf = np.array([0, 0, 0.3, 0.7, 1, 1, 1], dtype=np.float64)
+    store = elseis.build_ahfull_store(
+        nx=45, nz=8, dt=0.1, dx=100.0, dz=100.0, firstx=100.0, firstz=0.0,
+        material=(2300.0, 3200.0, 1600.0), stf=stf,
+    )
+    eng = Engine(store)
+    olat, olon = 30.0, 70.0
+    recs = []
+    for d, az in [(1500.0, 0.0), (2300.0, 1.2), (3100.0, -2.0)]:
+        la, lo = geo.ne_to_latlon(
+            np.radians(olat), np.radians(olon), d * np.cos(az), d * np.sin(az)
+        )
+        recs.append(Receiver(np.degrees(float(la)), np.degrees(float(lo)), "ned"))
+    eng.set_receivers(recs)
+    eng.set_source_location(olat, olon, 0.0)
+    eng.set_effective_dt(0.1)
+    eng.set_local_interpolation(True)
+    return eng
+
+
+TRUE = np.array(
+    [0.0, 0.0, 0.0, 400.0, 1e12, 91.0, 87.0, 164.0, 0.0, 300.0, 200.0, 250.0, 2500.0, 0.2],
+    dtype=np.float32,
+)
+
+
+def test_param_tuner_workflow(engine, tmp_path):
+    engine.set_source_params("bilateral", TRUE)
+    engine.set_misfit_method("l2norm")
+    engine.set_synthetic_reference()
+
+    base = Source("bilateral", TRUE)
+    base["strike"] = 60.0  # start away from truth
+
+    info = Informer(str(tmp_path), "informer")
+    lines = info.work(engine)
+    assert len(lines) == 3
+
+    tuner = ParamTuner(
+        str(tmp_path),
+        [("strike", np.arange(31.0, 152.0, 10.0))],
+        bootstrap_iterations=20,
+    ).chain(info)
+    best, stats = tuner.work(engine, base)
+    assert base["strike"] == pytest.approx(91.0)
+    assert tuner.out_config["min_misfit"] < 1e-4
+
+    # run dirs + persisted artifacts
+    stepdir = os.path.join(str(tmp_path), tuner.name)
+    assert os.path.islink(os.path.join(stepdir, "current"))
+    assert os.path.exists(os.path.join(stepdir, "001", "config-out.pickle"))
+    dumped = tuner.load(tuner.name)
+    assert dumped["misfits_by_src"].shape[0] == 13
+
+    # second run gets a new run dir, current moves
+    tuner.work(engine, base)
+    assert os.path.exists(os.path.join(stepdir, "002"))
+    assert os.readlink(os.path.join(stepdir, "current")) == "002"
+
+
+def test_weightmaker(engine, tmp_path):
+    engine.set_source_params("bilateral", TRUE)
+    engine.set_misfit_method("l2norm")
+    engine.set_synthetic_reference()
+    refs_before = {k: (v[0].copy(), v[1]) for k, v in engine._refs.items()}
+
+    wm = WeightMaker(str(tmp_path))
+    weights = wm.work(engine, Source("bilateral", TRUE))
+    assert weights.shape == (3,)
+    assert np.all(weights > 0)
+    # references restored
+    for k, (v, i) in refs_before.items():
+        np.testing.assert_array_equal(engine._refs[k][0], v)
+
+
+def test_shifter(engine, tmp_path):
+    engine.set_source_params("bilateral", TRUE)
+    engine.set_misfit_method("l2norm")
+    engine.set_synthetic_reference()
+    # shift all references by +0.4 s, shifter should undo it
+    for irec in range(3):
+        engine.shift_ref_seismogram(irec, 4)
+    sh = Shifter(str(tmp_path), shiftrange=(-1.0, 1.0))
+    shifts = sh.work(engine)
+    assert np.allclose(shifts, -0.4, atol=1e-6), shifts
+    assert engine.get_global_misfit() < 1e-4
