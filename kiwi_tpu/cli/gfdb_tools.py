@@ -207,7 +207,101 @@ if __name__ == "__main__":
         "info": gfdb_info,
         "redeploy": gfdb_redeploy,
         "build_ahfull": gfdb_build_ahfull,
+        "downsample": gfdb_downsample,
+        "phaser": gfdb_phaser,
+        "specialextract": gfdb_specialextract,
     }
     if tool not in fns:
         sys.exit(f"usage: python -m kiwi_tpu.cli.gfdb_tools ({'|'.join(fns)}) args...")
     fns[tool](sys.argv[2:])
+
+
+def gfdb_downsample(argv=None):
+    """Temporal decimation of a database (scripts/gfdb_downsample): an
+    order-8 Chebyshev type I lowpass followed by subsampling."""
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 3:
+        sys.exit("usage: gfdb_downsample in_db out_db tratio")
+    from scipy import signal
+
+    src = _load_store(argv[0])
+    q = int(argv[2])
+    b, a = signal.cheby1(8, 0.05, 0.8 / q)
+    builder = GFStoreBuilder(src.nx, src.nz, src.ng, src.dt * q, src.dx, src.dz,
+                             src.firstx, src.firstz)
+    for ix in range(src.nx):
+        for iz in range(src.nz):
+            for ig in range(src.ng):
+                tr = src.get_trace(ix, iz, ig)
+                if tr is None:
+                    continue
+                v, it0 = tr
+                # align to the coarse grid: pad to a multiple-of-q start
+                pre = it0 % q
+                vv = np.concatenate([np.zeros(pre, np.float32), v])
+                y = signal.lfilter(b, a, vv)[4::q]
+                builder.put_trace(ix, iz, ig, y.astype(np.float32), (it0 - pre) // q + 1)
+    _save_store(builder.build(), argv[1])
+
+
+def gfdb_phaser(argv=None):
+    """Phase-windowed redeploy (scripts/gfdb_phaser): keep only samples
+    inside a taper positioned by phase arrivals."""
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 6:
+        sys.exit("usage: gfdb_phaser in_db out_db phase1[,phase2...] "
+                 "toff1 toff2 toff3 toff4")
+    from ..phases import Taper
+    from ..plf import PLF
+
+    src = _load_store(argv[0])
+    phases = tuple(argv[2].split(","))
+    offs = [float(x) for x in argv[3:7]]
+    taper = Taper(phases=phases, offsets=offs)
+    builder = GFStoreBuilder(src.nx, src.nz, src.ng, src.dt, src.dx, src.dz,
+                             src.firstx, src.firstz)
+    for ix in range(src.nx):
+        x = src.firstx + ix * src.dx
+        pts = taper(x)
+        for iz in range(src.nz):
+            for ig in range(src.ng):
+                tr = src.get_trace(ix, iz, ig)
+                if tr is None:
+                    continue
+                v, it0 = tr
+                if pts is None:
+                    continue
+                w = PLF(pts[0::2], pts[1::2]).taper_weights(
+                    (it0, it0 + len(v) - 1), src.dt
+                )
+                builder.put_trace(ix, iz, ig, (v * w).astype(np.float32), it0)
+    _save_store(builder.build(), argv[1])
+
+
+def gfdb_specialextract(argv=None):
+    """Batch extraction of whole distance-range arrays
+    (gfdb_specialextract.f90): stdin lines 'z ig outfile' write one table
+    with all distances as columns."""
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 1:
+        sys.exit("usage: gfdb_specialextract database")
+    store = _load_store(argv[0])
+    lo, hi = store.span()
+    for line in sys.stdin:
+        w = shlex.split(line)
+        if not w:
+            continue
+        z, ig = float(w[0]), int(w[1])
+        fn = w[2]
+        iz = int(fnint(np.float32(z - store.firstz) / np.float32(store.dz)))
+        field = np.zeros((hi - lo + 1, store.nx), dtype=np.float32)
+        for ix in range(store.nx):
+            tr = store.get_trace(ix, iz, ig - 1)
+            if tr is None:
+                continue
+            v, it0 = tr
+            a = it0 - lo
+            field[a : a + len(v), ix] = v
+            field[a + len(v) :, ix] = v[-1]
+        np.savetxt(fn, field, fmt="%.7G")
+        print("ok", flush=True)

@@ -31,19 +31,11 @@ def gen_dweights(engine, base_source: Source, outer_norm="l2norm"):
     synthetic; caller restores references afterwards.
     """
     src = base_source.copy()
-    moment = src["moment"]
-    src["moment"] = 1.0  # the reference sets 0.0; zero moment would make
-    # every misfit trivially the reference norm -- it relies on misfits
-    # against a zero trace, which equals using norm factors; moment 1 with
-    # zeroed reference data gives the same weighting and avoids 0/0
-    engine.set_source_params(src.sourcetype, src.params)
-
-    # zero reference: a one-sample zero trace per component
+    # the reference synthesizes with moment = 0 and sets that as reference
+    # (i.e. zero reference traces); install zero references directly
     for irc, _ in enumerate(engine._rc_layout()):
         engine._refs[irc] = (np.zeros(1, np.float32), 0)
     engine._invalidate()
-
-    src["moment"] = moment
     grid = MisfitGrid(
         src,
         [
@@ -247,3 +239,112 @@ class EnduringPointSource(Step):
         self.out_config["min_misfit"] = float(np.nanmin(g))
         self.post_work()
         return src
+
+
+class EffectiveDtTester(Step):
+    """Find the coarsest source-discretization dt that keeps misfits within
+    tolerance of a converged fine discretization (inversion.py:674-...)."""
+
+    def __init__(self, workdir, name="effective_dt_tester", dts=None, tolerance=0.02):
+        super().__init__(workdir, name)
+        self.dts = dts
+        self.tolerance = tolerance
+
+    def work(self, engine, base_source: Source):
+        self.pre_work()
+        store_dt = engine.store.dt
+        dts = self.dts or [store_dt * f for f in (8.0, 4.0, 2.0, 1.0, 0.5)]
+        dts = sorted(dts)
+        old_dt = engine.effective_dt
+        engine.set_source_params(base_source.sourcetype, base_source.params)
+
+        # converged misfit at the finest dt
+        engine.set_effective_dt(dts[0])
+        m_fine = engine.get_global_misfit()
+        chosen = dts[0]
+        curve = {}
+        for dt in dts:
+            engine.set_effective_dt(dt)
+            m = engine.get_global_misfit()
+            curve[dt] = m
+            if abs(m - m_fine) <= self.tolerance * max(m_fine, 1e-30):
+                chosen = dt
+        engine.set_effective_dt(old_dt)
+        self.out_config["effective_dt"] = chosen
+        self.result(
+            "\n".join(f"dt={dt:g}: misfit={m:g}" for dt, m in curve.items()),
+            "effective_dt_curve",
+        )
+        self.post_work()
+        return chosen, curve
+
+
+class Greeper(Step):
+    """Grid of gradient searches (inversion.py:1135+): run LM refinement from
+    a coarse grid of starting points and keep the overall best."""
+
+    def __init__(self, workdir, params_starts, name=None):
+        """params_starts: [(param_name, starting values array)]."""
+        name = name or "-".join(n for n, _v in params_starts) + "-greeper"
+        super().__init__(workdir, name)
+        self.params_starts = params_starts
+
+    def work(self, engine, base_source: Source):
+        self.pre_work()
+        from .invert.source import source_grid
+
+        model = base_source.model
+        mask = np.zeros(model.nparams, dtype=bool)
+        for pname, _v in self.params_starts:
+            mask[model.param_index(pname)] = True
+
+        starts, _coords = source_grid(base_source, self.params_starts)
+        best = (np.inf, None, None)
+        for p0 in starts:
+            engine.set_source_params(base_source.sourcetype, p0)
+            engine.set_source_params_mask(mask)
+            try:
+                info, nfev, gm = engine.minimize_lm()
+            except Exception:
+                continue
+            if gm < best[0]:
+                best = (gm, engine.source_params.copy(), (info, nfev))
+        if best[1] is None:
+            raise RuntimeError("all gradient searches failed")
+        engine.set_source_params(base_source.sourcetype, best[1])
+        src = base_source.copy()
+        src.params = best[1].copy()
+        for pname, _v in self.params_starts:
+            self.out_config[pname] = src[pname]
+        self.out_config["min_misfit"] = best[0]
+        self.result(f"misfit {best[0]:g} after {len(starts)} starts", "greeper")
+        self.post_work()
+        return src, best[0]
+
+
+class TracePlotter(Step):
+    """Waveform comparison + station map figures (inversion.py's
+    TracePlotter, via matplotlib instead of GMT)."""
+
+    def __init__(self, workdir, name="traceplotter", processing="plain"):
+        super().__init__(workdir, name)
+        self.processing = processing
+
+    def work(self, engine):
+        self.pre_work()
+        from . import plotting
+
+        outdir = self._rundir
+        figs = [
+            plotting.plot_seismogram_comparison(
+                engine, os.path.join(outdir, "seismograms.png"), self.processing
+            ),
+            plotting.plot_station_map(engine, os.path.join(outdir, "stations.png")),
+        ]
+        report = plotting.html_report(
+            os.path.join(outdir, "report.html"), "kiwi-tpu run",
+            [("Waveforms", "", [figs[0]]), ("Stations", "", [figs[1]])],
+        )
+        self.result(report, "report")
+        self.post_work()
+        return figs + [report]
