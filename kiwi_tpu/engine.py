@@ -71,6 +71,7 @@ class Engine:
         self._plan = None
         self._plan_key = None
         self._disc_cache = {}
+        self.memory_budget = 2 << 30  # transient bytes per device call
 
     # -- configuration (each invalidates the compiled plan as needed) --------
 
@@ -266,13 +267,14 @@ class Engine:
         sl = np.s_[cfg.ix0 : cfg.ix0 + cfg.nxw, cfg.iz0 : cfg.iz0 + cfg.nzw]
         gfn = jnp.asarray(store.nsamples[sl])
 
-        # pick the synthesis formulation by per-source cost: the dense
-        # scatter+conv kernel scales with window*taps, the direct gather path
-        # with centroids*output length
+        # pick the synthesis formulation by per-source transient bytes: the
+        # dense scatter+conv kernel materializes W[3, window, ng, taps]; the
+        # direct path materializes per-centroid slices [C, 4, ng, nt_out+1]
         ncent = int(np.prod(nshape))
-        conv_cost = cfg.nxw * cfg.nzw * cfg.ng * (cfg.s_len + 1)
-        direct_cost = ncent * 4 * cfg.ng * cfg.nt_out * 2
-        path = "direct" if direct_cost < conv_cost else "conv"
+        conv_bytes = 3 * cfg.nxw * cfg.nzw * cfg.ng * (cfg.s_len + 1) * 4
+        direct_bytes = ncent * 4 * cfg.ng * (cfg.nt_out + 1) * 4
+        path = "direct" if direct_bytes < conv_bytes else "conv"
+        per_source_bytes = min(conv_bytes, direct_bytes)
         ext = synth.materialize_window(gfd, gfi, cfg)
 
         fold_max = int(np.ceil(0.5 * risetime_max / store.dt)) + 1 if risetime_max > 0 else 0
@@ -370,6 +372,7 @@ class Engine:
             "st": st,
             "ctx": ctx,
             "setup": setup,
+            "per_source_bytes": per_source_bytes * nrec,
             "fold_max": fold_max,
             "forward_batch": forward_batch,
             "forward_batch_raw": forward_batch_raw,
@@ -457,13 +460,40 @@ class Engine:
             raise RuntimeError("no reference seismograms set")
         model = get_source_model(self.source_type)
         pb = np.atleast_2d(np.asarray(params_batch, dtype=np.float32))
-        stats = model.param_stats(pb) if model.param_stats is not None else None
+        stats = (
+            model.param_stats(pb, self.effective_dt)
+            if model.param_stats is not None
+            else None
+        )
         cbatch, moments, risetimes, shape = self._discretize_batch(pb)
         plan = self._ensure_plan(
             cbatch, float(risetimes.max(initial=0.0)), shape, stats=stats
         )
-        m, n, fs = plan["forward_batch"](cbatch, jnp.asarray(moments), jnp.asarray(risetimes))
-        return m, n, fs
+        b = moments.shape[0]
+        # keep per-call transients bounded (device HBM budget); XLA fuses
+        # much of it, but the scatter/gather buffers can materialize
+        chunk = int(max(8, min(b, self.memory_budget // max(plan["per_source_bytes"], 1))))
+        if chunk >= b:
+            m, n, fs = plan["forward_batch"](
+                cbatch, jnp.asarray(moments), jnp.asarray(risetimes)
+            )
+            return m, n, fs
+        ms, ns, fss = [], [], []
+        for i in range(0, b, chunk):
+            sl = slice(i, min(i + chunk, b))
+            # pad the tail chunk to the compiled shape
+            idx = np.arange(sl.start, sl.stop)
+            if idx.shape[0] < chunk:
+                idx = np.concatenate([idx, np.full(chunk - idx.shape[0], b - 1)])
+            cb = {k: v[jnp.asarray(idx)] for k, v in cbatch.items()}
+            m, n, fs = plan["forward_batch"](
+                cb, jnp.asarray(moments[idx]), jnp.asarray(risetimes[idx])
+            )
+            keep = sl.stop - sl.start
+            ms.append(m[:keep])
+            ns.append(n[:keep])
+            fss.append(fs[:keep])
+        return jnp.concatenate(ms), jnp.concatenate(ns), jnp.concatenate(fss)
 
     def global_misfits_for_source_batch(self, params_batch):
         m, n, _ = self.misfits_for_source_batch(params_batch)

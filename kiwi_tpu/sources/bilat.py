@@ -129,8 +129,11 @@ def post_factors(params):
     return float(params[4]), 0.0
 
 
-def param_stats(pb):
-    """Conservative centroid bounds from raw params (host)."""
+def param_stats(pb, effective_dt=1.0):
+    """Conservative centroid bounds from raw params (host).
+
+    tshift - time lies in +-max(la,lb)/(2 v) (source_bilat.f90:383-384) and
+    the STF cell centroids add +-durfull/2 <= (risetime + 0.5*edt)/2."""
     pb = np.atleast_2d(pb)
     length = pb[:, 9] + pb[:, 10]
     halfdiag = np.hypot(length / 2.0, pb[:, 11] / 2.0)
@@ -139,9 +142,11 @@ def param_stats(pb):
         float((pb[:, 3] - halfdiag).min()),
         float((pb[:, 3] + halfdiag).max()),
     )
-    # tshift in [time - max(la,lb)/2/v, time + (length/2 + max offset)/v];
-    # bound |tshift - time| by length/v; STF cells add +- durfull/2
-    tspan = length / np.maximum(pb[:, 12], 1.0) + pb[:, 13]
+    tspan = (
+        np.maximum(pb[:, 9], pb[:, 10]) / (2.0 * np.maximum(pb[:, 12], 1.0))
+        + pb[:, 13] / 2.0
+        + effective_dt
+    )
     t = (float((pb[:, 0] - tspan).min()), float((pb[:, 0] + tspan).max()))
     return ext, d, t
 

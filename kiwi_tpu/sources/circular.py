@@ -122,7 +122,7 @@ def post_factors(params):
     return float(params[4]), 0.0
 
 
-def param_stats(pb):
+def param_stats(pb, effective_dt=1.0):
     pb = np.atleast_2d(pb)
     r = pb[:, 8] * np.sqrt(2.0)  # square grid corners may poke past radius
     ext = float((np.hypot(pb[:, 1], pb[:, 2]) + r).max())

@@ -71,7 +71,7 @@ def post_factors(params):
     return 1.0, 0.0
 
 
-def param_stats(pb):
+def param_stats(pb, effective_dt=1.0):
     """Conservative centroid bounds from raw params (host)."""
     pb = np.atleast_2d(pb)
     ext = float(np.hypot(pb[:, 1], pb[:, 2]).max())

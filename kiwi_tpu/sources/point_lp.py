@@ -76,7 +76,7 @@ def post_factors(params):
     return float(params[4]), 0.0
 
 
-def param_stats(pb):
+def param_stats(pb, effective_dt=1.0):
     pb = np.atleast_2d(pb)
     ext = float(np.hypot(pb[:, 1], pb[:, 2]).max())
     d = (float(pb[:, 3].min()), float(pb[:, 3].max()))
