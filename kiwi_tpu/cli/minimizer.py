@@ -207,10 +207,11 @@ class MinimizerServer:
 
     def do_set_floating_shiftrange(self, args):
         w = args.split()
-        # reference signature: ireceiver tmin tmax (0 = all); per-receiver
-        # ranges collapse to the widest common range here
+        irec = int(w[0])  # 0 = all receivers (minimizer.f90 convention)
         tmin, tmax = float(w[1]), float(w[2])
-        self.engine.set_floating_shiftrange(tmin, tmax)
+        self.engine.set_floating_shiftrange(
+            tmin, tmax, None if irec == 0 else irec - 1
+        )
         return ""
 
     def do_get_floating_shifts(self, args):

@@ -192,8 +192,19 @@ class Engine:
         self.synthetics_factor = float(factor)
         self._invalidate()
 
-    def set_floating_shiftrange(self, tmin, tmax):
-        self.floating_shiftrange_s = (float(tmin), float(tmax))
+    def set_floating_shiftrange(self, tmin, tmax, irec=None):
+        """Allowed reference shift range for floating norms; irec=None sets
+        all receivers (set_floating_shiftrange, minimizer_engine.f90:421-451)."""
+        if irec is None:
+            self.floating_shiftrange_s = (float(tmin), float(tmax))
+            self._per_rec_shiftrange = {}
+        else:
+            if not hasattr(self, "_per_rec_shiftrange"):
+                self._per_rec_shiftrange = {}
+            self._per_rec_shiftrange[int(irec)] = (float(tmin), float(tmax))
+            lo = min(self.floating_shiftrange_s[0], float(tmin))
+            hi = max(self.floating_shiftrange_s[1], float(tmax))
+            self.floating_shiftrange_s = (lo, hi)
         self._invalidate()
 
     def set_ref_seismogram(self, irec, comp_char, values, itmin):
@@ -311,8 +322,12 @@ class Engine:
         for irc, plf in self._filters.items():
             setup.set_filter(irc, plf)
         setup.syn_factor[:] = self.synthetics_factor
+        per_rec = getattr(self, "_per_rec_shiftrange", {})
         for irc, (r, _c) in enumerate(layout):
             setup.enabled[irc] = self.receivers[r].enabled
+            tmin, tmax = per_rec.get(r, self.floating_shiftrange_s)
+            setup.shift_lo[irc] = int(fnint(np.float32(tmin) / np.float32(store.dt)))
+            setup.shift_hi[irc] = int(fnint(np.float32(tmax) / np.float32(store.dt)))
         ctx = setup.device()
 
         recs = self._geometry().device()

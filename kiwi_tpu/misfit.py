@@ -113,6 +113,10 @@ class MisfitSetup:
         self.has_filter = np.zeros(nrc, dtype=bool)
         self.syn_factor = np.ones(nrc, dtype=np.float32)
         self.enabled = np.ones(nrc, dtype=bool)
+        # per-row floating shift ranges (samples); defaults allow the whole
+        # plan-wide scan range (receiver.f90:94 floating_shiftrange)
+        self.shift_lo = np.full(nrc, -(1 << 30), dtype=np.int32)
+        self.shift_hi = np.full(nrc, 1 << 30, dtype=np.int32)
 
     # -- mutation (host) -----------------------------------------------------
 
@@ -174,6 +178,8 @@ class MisfitSetup:
             "syn_factor": jnp.asarray(self.syn_factor),
             "enabled": jnp.asarray(self.enabled),
             "receiver_ids": jnp.asarray(self.receiver_ids),
+            "shift_lo": jnp.asarray(self.shift_lo),
+            "shift_hi": jnp.asarray(self.shift_hi),
         }
 
 
@@ -392,7 +398,13 @@ def precompute_ref_context(ctx, method, st: ProbeStatic, shiftrange=(0, 0),
             norms.append(_ref_norm(ref_proc, _span_mask(nlo, nhi, st), base, st))
             refs.append(ref_proc)
         ref_proc = jnp.stack(refs)  # [S, RC, PL]
-        norm = jnp.mean(jnp.stack(norms), axis=0)  # misfits_norm_factors
+        shifts_j = jnp.asarray(shifts, I32)
+        in_range = (shifts_j[:, None] >= ctx["shift_lo"][None, :]) & (
+            shifts_j[:, None] <= ctx["shift_hi"][None, :]
+        )
+        nstack = jnp.stack(norms)
+        cnt = jnp.maximum(jnp.sum(in_range, axis=0), 1)
+        norm = jnp.sum(jnp.where(in_range, nstack, 0.0), axis=0) / cnt
         return {
             "method": method,
             "base": base,
@@ -500,6 +512,13 @@ def evaluate_misfits(
         per_rec = jax.vmap(
             lambda row: jax.ops.segment_sum(row, ctx["receiver_ids"], num_segments=nrec)
         )(ms**2 if base == L2NORM else ms)
+        # per-receiver allowed shift window (rows of one receiver share it)
+        rlo = jax.ops.segment_min(ctx["shift_lo"], ctx["receiver_ids"], num_segments=nrec)
+        rhi = jax.ops.segment_max(ctx["shift_hi"], ctx["receiver_ids"], num_segments=nrec)
+        allowed = (rctx["shifts"][:, None] >= rlo[None, :]) & (
+            rctx["shifts"][:, None] <= rhi[None, :]
+        )
+        per_rec = jnp.where(allowed, per_rec, jnp.inf)
         iloc = jnp.argmin(per_rec, axis=0)  # [R]
         shift_sel = rctx["shifts"][iloc]
         m = jnp.take_along_axis(ms, iloc[ctx["receiver_ids"]][None, :], axis=0)[0]

@@ -153,3 +153,19 @@ def test_engine_synthetics_match_oracle(engine, store):
     got = model_traces[0][0]
     scale = np.abs(north).max()
     np.testing.assert_allclose(got, north, atol=3e-6 * scale)
+
+
+def test_per_receiver_floating_shiftrange(engine):
+    engine.set_source_params("bilateral", BILAT)
+    engine.set_misfit_method("floating_l1norm")
+    engine.set_floating_shiftrange(-1.0, 1.0)
+    # receiver 1 is only allowed tiny shifts
+    engine.set_floating_shiftrange(-0.1, 0.1, irec=1)
+    engine.set_synthetic_reference()
+
+    p2 = BILAT.copy()
+    p2[0] = 0.5  # 5-sample delay
+    engine.set_source_params("bilateral", p2)
+    m, n, fs = engine.get_misfits()
+    assert int(fs[0]) == 5 and int(fs[2]) == 5
+    assert abs(int(fs[1])) <= 1  # clamped to its own range
