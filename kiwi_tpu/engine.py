@@ -420,8 +420,33 @@ class Engine:
 
     def _discretize_batch_host(self, model, pb):
         """Host-side discretization (eikonal models): pad the per-source
-        centroid tables to a common length with active=False."""
+        centroid tables to a common length with active=False.
+
+        With eikonal_device=True and a real batch, the eikonal solve +
+        downsampling run batched on device (fast sweeping) instead of
+        serial host FMM."""
         ctx = self.eikonal_context()
+        from .sources import eikonal as eiksrc
+
+        if (
+            getattr(self, "eikonal_device", False)
+            and len(pb) >= 2
+            and model.name in eiksrc.NAMED_PARAMS
+        ):
+            named = [eiksrc.NAMED_PARAMS[model.name](p) for p in pb]
+            static, arrays = eiksrc.prepare_batch(named, self.effective_dt, ctx)
+            # host bound on per-cell time-cell count: durations <=
+            # 4 * celldiag / minspeed
+            diag = np.hypot(arrays["cdelta"][:, 0], arrays["cdelta"][:, 1])
+            ntmax = int(np.floor(4.0 * diag / np.maximum(arrays["minspeed"], 1.0)
+                                 / self.effective_dt).max()) + 2
+            cbatch = eiksrc.discretize_device_batch(
+                static, arrays, self.effective_dt, ctx, ntmax
+            )
+            pf = np.array([model.post_factors(p) for p in pb], dtype=np.float32)
+            c = int(cbatch["north"].shape[1])
+            return cbatch, pf[:, 0], pf[:, 1], (c,)
+
         tables = [model.discretize(p, self.effective_dt, ctx) for p in pb]
         cmax = max(t["north"].shape[0] for t in tables)
         cmax = -(-cmax // 16) * 16

@@ -224,7 +224,7 @@ EIK_DEFAULTS = np.array([0, 0, 0, 3000, 7e18, 0, 80, 0, 0, 0, 5000, 0, 0, 0.9, 1
                         np.float32)
 
 
-def _eik_host(params, effective_dt, ctx: EikonalContext):
+def _eik_named(params):
     p = np.asarray(params, np.float64)
     strike = float(p[5]) * float(DEG2RAD_F32)
     dip = float(p[6]) * float(DEG2RAD_F32)
@@ -239,6 +239,11 @@ def _eik_host(params, effective_dt, ctx: EikonalContext):
         bord_shift_x=float(p[8]), bord_shift_y=float(p[9]), bord_radius=float(p[10]),
         nukl_shift_x=float(p[11]), nukl_shift_y=float(p[12]), rel_vrup=float(p[13]),
     )
+    return pd, m6, rotmat_rup
+
+
+def _eik_host(params, effective_dt, ctx: EikonalContext):
+    pd, m6, rotmat_rup = _eik_named(params)
     return discretize_eikonal_host(pd, effective_dt, ctx, m6, rotmat_rup)
 
 
@@ -286,7 +291,7 @@ MTE_DEFAULTS = np.array([0, 0, 0, 3000, 1, 0, 80, 0, 0, 5000, 0, 0, 0.9,
                          0, 0, 0, 7e18, 0, 0, 1], np.float32)
 
 
-def _mte_host(params, effective_dt, ctx: EikonalContext):
+def _mte_named(params):
     p = np.asarray(params, np.float64)
     strike = float(p[5]) * float(DEG2RAD_F32)
     dip = float(p[6]) * float(DEG2RAD_F32)
@@ -297,6 +302,11 @@ def _mte_host(params, effective_dt, ctx: EikonalContext):
         bord_shift_x=float(p[7]), bord_shift_y=float(p[8]), bord_radius=float(p[9]),
         nukl_shift_x=float(p[10]), nukl_shift_y=float(p[11]), rel_vrup=float(p[12]),
     )
+    return pd, m6, rotmat_rup
+
+
+def _mte_host(params, effective_dt, ctx: EikonalContext):
+    pd, m6, rotmat_rup = _mte_named(params)
     return discretize_eikonal_host(pd, effective_dt, ctx, m6, rotmat_rup)
 
 
@@ -317,3 +327,238 @@ MODEL_MT_EIKONAL = register(
         host_discretize=True,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# batched on-device discretization
+# ---------------------------------------------------------------------------
+
+
+def prepare_batch(pb_named, effective_dt, ctx: EikonalContext):
+    """Host-side per-source preparation for the device pipeline.
+
+    pb_named: list of (params dict p, m6_unit, rotmat_rup) as accepted by
+    discretize_eikonal_host.  Computes everything whose *shape* matters
+    (polygon bboxes, grid dims, coarse dims) plus small per-source arrays;
+    the heavy eikonal solve + downsample run batched on device.
+
+    Returns (static, arrays) or raises ValueError like the host path.
+    """
+    b = len(pb_named)
+    firsts = np.zeros((b, 2))
+    deltas = np.zeros((b, 2))
+    ndims = np.zeros((b, 2), dtype=int)
+    nukls = np.zeros((b, 2))
+    centers = np.zeros((b, 3))
+    rotmats = np.zeros((b, 3, 3))
+    m6s = np.zeros((b, 6))
+    ccenters = np.zeros((b, 3))
+    radii = np.zeros(b)
+    cdims = np.zeros((b, 2), dtype=int)
+    cdeltas = np.zeros((b, 2))
+    minspeeds = np.zeros(b)
+    times0 = np.zeros(b)
+    relvs = np.zeros(b)
+
+    deltagrid = min(100.0 * effective_dt / 2.0, 4000.0)
+    for i, (p, m6_unit, rotmat) in enumerate(pb_named):
+        center3 = np.array([p["north"], p["east"], p["depth"]])
+
+        def rc_to_ned(q):
+            return rotmat @ np.asarray(q) + center3
+
+        circle_center = rc_to_ned([p["bord_shift_x"], p["bord_shift_y"], 0.0])
+        transform = -rotmat * p["bord_radius"]
+        npoints = 180 if p["bord_radius"] != 0.0 else 1
+        poly = geom.circle_to_polygon(circle_center, transform, npoints)
+        poly = geom.trim_polygon_multi(poly, ctx.constraints)
+        if poly.shape[0] == 0:
+            raise ValueError("Empty rupture area")
+        poly_rc = np.array([rotmat.T @ (q - center3) for q in poly])
+        min_rc, max_rc = geom.polygon_box(poly_rc)
+
+        nukl = np.array([p["nukl_shift_x"], p["nukl_shift_y"], 0.0])
+        if np.hypot(nukl[0], nukl[1]) > p["bord_radius"] or not geom.point_in_constraints(
+            rc_to_ned(nukl), ctx.constraints
+        ):
+            raise ValueError("position of nucleation point is outside of rupture region")
+
+        dims = (max_rc - min_rc)[:2]
+        nd = np.maximum(np.ceil(dims / deltagrid).astype(int), 1)
+        delta = np.where(nd > 0, dims / nd, 1.0)
+        delta = np.where(delta == 0.0, 1.0, delta)
+
+        # min rupture speed over the grid's depth range (host, exact):
+        # vs is a step function of depth; probe interface depths too
+        zs = [center3[2] + rotmat[2, 0] * x + rotmat[2, 1] * y
+              for x in (min_rc[0], max_rc[0]) for y in (min_rc[1], max_rc[1])]
+        zlo, zhi = min(zs), max(zs)
+        cand = [zlo, zhi] + [d for d in ctx.layer_depths if zlo <= d <= zhi]
+        cand += [d + 1.0 for d in ctx.layer_depths if zlo <= d + 1.0 <= zhi]
+        vmin = min(_vs_at_depth(ctx, np.array([z]))[0] for z in cand)
+        minspeed = vmin * p["rel_vrup"]
+
+        maxd = 0.5 * effective_dt * minspeed
+        nx = max(int(np.floor(dims[0] / maxd)) + 1, 2) if dims[0] != 0.0 else 1
+        ny = max(int(np.floor(dims[1] / maxd)) + 1, 2) if dims[1] != 0.0 else 1
+
+        firsts[i] = min_rc[:2]
+        deltas[i] = delta
+        ndims[i] = nd
+        nukls[i] = nukl[:2]
+        centers[i] = center3
+        rotmats[i] = rotmat
+        m6s[i] = m6_unit
+        ccenters[i] = circle_center
+        radii[i] = p["bord_radius"]
+        cdims[i] = (nx, ny)
+        cdeltas[i] = np.where(np.array([nx, ny]) > 0, dims / np.array([nx, ny]), 1.0)
+        minspeeds[i] = minspeed
+        times0[i] = p["time"]
+        relvs[i] = p["rel_vrup"]
+
+    def pad8(n):
+        return int(-(-max(n, 1) // 8) * 8)
+
+    static = {
+        "NF": (pad8(ndims[:, 0].max()), pad8(ndims[:, 1].max())),
+        "NC": (int(cdims[:, 0].max()), int(cdims[:, 1].max())),
+    }
+    arrays = dict(
+        first=firsts, delta=deltas, ndims=ndims, nukl=nukls, center=centers,
+        rotmat=rotmats, m6=m6s, ccenter=ccenters, radius=radii, cdims=cdims,
+        cdelta=cdeltas, minspeed=minspeeds, time0=times0, relv=relvs,
+    )
+    return static, arrays
+
+
+def make_device_discretizer(static, effective_dt, ctx: EikonalContext,
+                            nt_cell_max, n_rounds=10):
+    """Build the jitted batched eikonal discretizer for one static shape.
+
+    Same pipeline as discretize_eikonal_host, vmapped over sources; the fine
+    grids are padded to a common static shape (cells beyond a source's own
+    dims get zero speed and are masked).  Uses the fast-sweeping solver
+    instead of the FMM heap; both converge to the same viscosity solution
+    (kiwi_tpu/eikonal.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .. import eikonal as eik
+
+    nfx, nfy = static["NF"]
+    ncx, ncy = static["NC"]
+    layer_depths = jnp.asarray(ctx.layer_depths, jnp.float32)
+    layer_vs = jnp.asarray(ctx.layer_vs, jnp.float32)
+    cons_p = jnp.asarray(np.array([p for p, _n in ctx.constraints]), jnp.float32)
+    cons_n = jnp.asarray(np.array([n for _p, n in ctx.constraints]), jnp.float32)
+    edt = jnp.float32(effective_dt)
+
+    def one(a):
+        first = a["first"].astype(jnp.float32)
+        delta = a["delta"].astype(jnp.float32)
+        nd = a["ndims"]
+        rot = a["rotmat"].astype(jnp.float32)
+        center = a["center"].astype(jnp.float32)
+
+        ix = jnp.arange(nfx, dtype=jnp.float32)
+        iy = jnp.arange(nfy, dtype=jnp.float32)
+        px = first[0] + (ix + 0.5) * delta[0]
+        py = first[1] + (iy + 0.5) * delta[1]
+        PX, PY = jnp.meshgrid(px, py, indexing="ij")
+        inbounds = (jnp.arange(nfx)[:, None] < nd[0]) & (jnp.arange(nfy)[None, :] < nd[1])
+        pts_rc = jnp.stack([PX, PY, jnp.zeros_like(PX)], axis=-1)
+        pts = jnp.einsum("ij,xyj->xyi", rot, pts_rc) + center
+
+        rvec = pts - a["ccenter"].astype(jnp.float32)
+        inside = jnp.sqrt((rvec**2).sum(-1)) <= a["radius"].astype(jnp.float32)
+        for k in range(cons_p.shape[0]):
+            inside = inside & (
+                jnp.einsum("j,xyj->xy", cons_n[k], cons_p[k][None, None, :] - pts) >= 0.0
+            )
+        inside = inside & inbounds
+
+        k = jnp.searchsorted(layer_depths, pts[..., 2], side="left")
+        vs = layer_vs[jnp.minimum(k, layer_vs.shape[0] - 1)]
+        speed = jnp.where(inside, vs * a["relv"].astype(jnp.float32), 0.0)
+        minspeed = a["minspeed"].astype(jnp.float32)
+        speed_solver = jnp.where(speed == 0.0, 0.5 * minspeed, speed)
+
+        times = eik.sweep_solve(speed_solver, delta, first, a["nukl"].astype(jnp.float32),
+                                n_rounds=n_rounds)
+        valid = inside & (times < eik.BIG * 0.5)
+
+        # downsample fine -> coarse (psm_downsample_grid)
+        cdelta = a["cdelta"].astype(jnp.float32)
+        cdim = a["cdims"]
+        cix = jnp.clip(jnp.floor((pts_rc[..., 0] - first[0]) / cdelta[0]).astype(jnp.int32),
+                       0, ncx - 1)
+        ciy = jnp.clip(jnp.floor((pts_rc[..., 1] - first[1]) / cdelta[1]).astype(jnp.int32),
+                       0, ncy - 1)
+        cid = (cix * ncy + ciy).reshape(-1)
+        w = jnp.where(valid, 1.0, 0.0).reshape(-1)
+        ncell = ncx * ncy
+
+        def seg(vals):
+            return jax.ops.segment_sum(vals * w, cid, num_segments=ncell)
+
+        counts = seg(jnp.ones_like(w))
+        have = counts > 0
+        safe = jnp.where(have, counts, 1.0)
+        ctimes = seg(times.reshape(-1)) / safe
+        cn = seg(pts[..., 0].reshape(-1)) / safe
+        ce = seg(pts[..., 1].reshape(-1)) / safe
+        cd = seg(pts[..., 2].reshape(-1)) / safe
+        npf = jnp.maximum(jnp.sum(w), 1.0)
+        cweights = counts / npf
+        cdur = 4.0 / safe * seg(jnp.abs(times.reshape(-1) - ctimes[cid]))
+
+        centertime = jnp.sum(jnp.where(have, ctimes * cweights, 0.0))
+
+        # per-cell boxcar time cells (risetime = 0 here): nt cells of equal
+        # weight 1/nt at midpoints of [-dur/2, dur/2]
+        nt = jnp.where(have, jnp.floor(cdur / edt).astype(jnp.int32) + 1, 0)
+        nt = jnp.minimum(nt, nt_cell_max)
+        it = jnp.arange(nt_cell_max, dtype=jnp.float32)
+        ntf = jnp.maximum(nt, 1).astype(jnp.float32)
+        toff = -cdur[:, None] / 2.0 + cdur[:, None] / ntf[:, None] * (it[None, :] + 0.5)
+        live = (it[None, :] < nt[:, None]) & have[:, None]
+        wt = jnp.where(live, 1.0 / ntf[:, None], 0.0)
+
+        m = a["m6"].astype(jnp.float32)[None, None, :] * (
+            wt * cweights[:, None]
+        )[:, :, None]
+        t0 = a["time0"].astype(jnp.float32)
+        return {
+            "north": jnp.broadcast_to(cn[:, None], (ncell, nt_cell_max)).reshape(-1),
+            "east": jnp.broadcast_to(ce[:, None], (ncell, nt_cell_max)).reshape(-1),
+            "depth": jnp.broadcast_to(cd[:, None], (ncell, nt_cell_max)).reshape(-1),
+            "time": (ctimes[:, None] + toff + t0 - centertime).reshape(-1),
+            "m": m.reshape(-1, 6),
+            "active": live.reshape(-1),
+        }
+
+    return jax.jit(jax.vmap(one))
+
+
+def discretize_device_batch(static, arrays, effective_dt, ctx, nt_cell_max,
+                            n_rounds=10, _cache={}):
+    import jax.numpy as jnp
+
+    key = (static["NF"], static["NC"], float(effective_dt), int(nt_cell_max),
+           n_rounds, id(ctx))
+    fn = _cache.get(key)
+    if fn is None:
+        fn = make_device_discretizer(static, effective_dt, ctx, nt_cell_max, n_rounds)
+        _cache[key] = fn
+    adev = {
+        k: jnp.asarray(v, jnp.int32 if v.dtype.kind == "i" else jnp.float32)
+        for k, v in arrays.items()
+    }
+    return fn(adev)
+
+
+
+
+NAMED_PARAMS = {"eikonal": _eik_named, "mt_eikonal": _mte_named}

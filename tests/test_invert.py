@@ -146,3 +146,36 @@ def test_mt_eikonal_source(engine):
     p2[13:19] = [0, 0, 0, 0, 1e12, 0]
     engine.set_source_params("mt_eikonal", p2)
     assert engine.get_global_misfit() > 0.05
+
+
+def test_eikonal_device_batch_matches_host(engine):
+    """The batched device eikonal discretizer must agree with the host FMM
+    pipeline at the misfit level."""
+    p = np.array(
+        [0.0, 0.0, 0.0, 400.0, 1e12, 30.0, 80.0, 164.0,
+         0.0, 0.0, 250.0, 50.0, -50.0, 0.9, 0.3],
+        dtype=np.float32,
+    )
+    engine.set_misfit_method("l2norm")
+    engine.set_source_constraints(
+        [[0, 0, 50.0], [0, 0, 700.0]], [[0, 0, -1.0], [0, 0, 1.0]]
+    )
+    engine.set_source_params("eikonal", p)
+    engine.set_synthetic_reference()
+
+    radii = np.array([200.0, 250.0, 300.0, 350.0], dtype=np.float32)
+    batch = np.tile(p, (len(radii), 1))
+    batch[:, 10] = radii
+
+    engine.eikonal_device = False
+    g_host = np.asarray(engine.global_misfits_for_source_batch(batch))
+    engine.eikonal_device = True
+    engine._invalidate()
+    g_dev = np.asarray(engine.global_misfits_for_source_batch(batch))
+    engine.eikonal_device = False
+    engine._invalidate()
+
+    # both must identify the true radius and track each other closely
+    assert np.argmin(g_host) == 1
+    assert np.argmin(g_dev) == 1
+    np.testing.assert_allclose(g_dev, g_host, atol=0.02)
