@@ -460,7 +460,7 @@ def scatter_weight_kernel(cfg: SynthConfig, kin):
     sn = jnp.clip(jnp.broadcast_to(svals[:, None, :], (c, 4, 2)), 0, cfg.s_len)
 
     w = jnp.zeros((cfg.nxw, cfg.nzw, cfg.s_len + 1, 3, cfg.ng), dtype=F32)
-    w = w.at[ixn, izn, sn].add(vals)
+    w = w.at[ixn, izn, sn].add(vals.astype(F32))
     return jnp.moveaxis(jnp.moveaxis(w, 3, 0), -1, 3)  # [3, nxw, nzw, ng, s+1]
 
 
