@@ -210,6 +210,7 @@ if __name__ == "__main__":
         "downsample": gfdb_downsample,
         "phaser": gfdb_phaser,
         "specialextract": gfdb_specialextract,
+        "meta": gfdb_meta,
     }
     if tool not in fns:
         sys.exit(f"usage: python -m kiwi_tpu.cli.gfdb_tools ({'|'.join(fns)}) args...")
@@ -305,3 +306,29 @@ def gfdb_specialextract(argv=None):
             field[a + len(v) :, ix] = v[-1]
         np.savetxt(fn, field, fmt="%.7G")
         print("ok", flush=True)
+
+
+def gfdb_meta(argv=None):
+    """JSON metadata dump (scripts/gfdb_meta's guts schema, as JSON)."""
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        sys.exit("usage: gfdb_meta database")
+    import json
+
+    store = _load_store(argv[0])
+    lo, hi = store.span()
+    meta = {
+        "type": "kiwi-tpu GF store",
+        "dt": store.dt, "dx": store.dx, "dz": store.dz,
+        "firstx": store.firstx, "firstz": store.firstz,
+        "nx": store.nx, "nz": store.nz, "ng": store.ng,
+        "distance_min": store.firstx,
+        "distance_max": store.firstx + (store.nx - 1) * store.dx,
+        "depth_min": store.firstz,
+        "depth_max": store.firstz + (store.nz - 1) * store.dz,
+        "sample_span": [int(lo), int(hi)],
+        "traces_used": int((store.nsamples > 0).sum()),
+        "traces_total": store.nx * store.nz * store.ng,
+        "nbytes_dense": int(store.data.nbytes),
+    }
+    print(json.dumps(meta, indent=2))

@@ -1,0 +1,91 @@
+"""Framework configuration (counterpart of tunguska/config.py +
+configurator.py).
+
+Module-level switches (program behavior) plus a chainable `Config` object:
+the reference chains pickled per-step config dicts (config.py:217-270); here
+Config objects chain dictionaries and can be loaded from / saved to JSON
+files for pipeline runs.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+# module-level switches (tunguska/config.py:9-27)
+show_progress = True
+component_names = "aclrdunsew"
+
+logger = logging.getLogger("kiwi_tpu")
+
+
+def setup_logging(filename="kiwi.log", level=logging.INFO):
+    """Console + file logging like main.py:38-48."""
+    logging.basicConfig(
+        level=level,
+        format="[%(asctime)s] %(levelname)-8s %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S",
+    )
+    if filename:
+        fh = logging.FileHandler(filename)
+        fh.setFormatter(
+            logging.Formatter("[%(asctime)s] %(levelname)-8s %(message)s")
+        )
+        logging.getLogger().addHandler(fh)
+    return logger
+
+
+class Config:
+    """Chained configuration dictionaries: lookups walk the chain from the
+    most specific to the base (Config, config.py:217-270)."""
+
+    def __init__(self, *parents, **values):
+        self.parents = list(parents)
+        self.values = dict(values)
+
+    def get(self, key, default=None):
+        if key in self.values:
+            return self.values[key]
+        for p in self.parents:
+            v = p.get(key, _MISSING)
+            if v is not _MISSING:
+                return v
+        return default
+
+    def __getitem__(self, key):
+        v = self.get(key, _MISSING)
+        if v is _MISSING:
+            raise KeyError(key)
+        return v
+
+    def __contains__(self, key):
+        return self.get(key, _MISSING) is not _MISSING
+
+    def update(self, **values):
+        self.values.update(values)
+        return self
+
+    def flat(self):
+        out = {}
+        for p in reversed(self.parents):
+            out.update(p.flat() if isinstance(p, Config) else dict(p))
+        out.update(self.values)
+        return out
+
+    def save(self, path):
+        with open(path, "w") as f:
+            json.dump(self.flat(), f, indent=2, sort_keys=True, default=str)
+
+    @classmethod
+    def load(cls, path, *parents):
+        with open(path) as f:
+            return cls(*parents, **json.load(f))
+
+
+class _Missing:
+    def __repr__(self):
+        return "<missing>"
+
+
+_MISSING = _Missing()
