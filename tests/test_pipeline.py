@@ -100,3 +100,29 @@ def test_shifter(engine, tmp_path):
     shifts = sh.work(engine)
     assert np.allclose(shifts, -0.4, atol=1e-6), shifts
     assert engine.get_global_misfit() < 1e-4
+
+
+def test_greeper(engine, tmp_path):
+    from kiwi_tpu.pipeline import Greeper
+
+    engine.set_source_params("bilateral", TRUE)
+    engine.set_misfit_method("l2norm")
+    engine.set_synthetic_reference()
+    base = Source("bilateral", TRUE)
+    gr = Greeper(str(tmp_path), [("strike", np.array([70.0, 110.0]))])
+    src, gm = gr.work(engine, base)
+    assert gm < 1e-3
+    assert abs(src["strike"] - 91.0) < 1.0
+
+
+def test_effective_dt_tester(engine, tmp_path):
+    from kiwi_tpu.pipeline import EffectiveDtTester
+
+    engine.set_source_params("bilateral", TRUE)
+    engine.set_misfit_method("l2norm")
+    engine.set_synthetic_reference()
+    base = Source("bilateral", TRUE)
+    t = EffectiveDtTester(str(tmp_path), dts=[0.1, 0.2, 0.4], tolerance=0.5)
+    chosen, curve = t.work(engine, base)
+    assert chosen in (0.1, 0.2, 0.4)
+    assert len(curve) == 3
