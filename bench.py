@@ -93,7 +93,7 @@ def main():
 
     nstrikes = 3610
     strikes = np.linspace(0.0, 360.0, nstrikes).astype(np.float32)
-    chunk = 1024
+    chunk = 4096
 
     def run_chunk(sl):
         batch = np.tile(base, (len(sl), 1))

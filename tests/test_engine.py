@@ -169,3 +169,32 @@ def test_per_receiver_floating_shiftrange(engine):
     m, n, fs = engine.get_misfits()
     assert int(fs[0]) == 5 and int(fs[2]) == 5
     assert abs(int(fs[1])) <= 1  # clamped to its own range
+
+
+def test_nearest_neighbor_interpolation(engine):
+    engine.set_local_interpolation(False)
+    engine.set_source_params("bilateral", BILAT)
+    engine.set_misfit_method("l2norm")
+    engine.set_synthetic_reference()
+    assert engine.get_global_misfit() < 1e-5
+    # nearest-neighbor differs from bilinear on off-node sources
+    engine.set_local_interpolation(True)
+    gm_bilin = engine.get_global_misfit()
+    assert gm_bilin > 1e-4  # reference was built nearest-neighbor
+    engine.set_local_interpolation(True)
+
+
+def test_spacial_undersampling(engine):
+    engine.set_local_interpolation(True)
+    engine.set_spacial_undersampling(2, 2)
+    engine.set_source_params("bilateral", BILAT)
+    engine.set_misfit_method("l2norm")
+    engine.set_synthetic_reference()
+    assert engine.get_global_misfit() < 1e-5
+    # against a full-resolution reference the undersampled synthetics differ
+    engine.set_spacial_undersampling(1, 1)
+    engine.set_synthetic_reference()
+    engine.set_spacial_undersampling(2, 2)
+    gm = engine.get_global_misfit()
+    assert gm > 1e-4
+    engine.set_spacial_undersampling(1, 1)
