@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import json
 import logging
-import os
 
 # module-level switches (tunguska/config.py:9-27)
 show_progress = True

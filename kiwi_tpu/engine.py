@@ -18,7 +18,7 @@ times in seconds.
 from __future__ import annotations
 
 import dataclasses
-import functools
+
 
 import jax
 import jax.numpy as jnp

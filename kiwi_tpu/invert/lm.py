@@ -33,7 +33,6 @@ def minimize_lm(engine, mask=None, subparam_mins=None, subparam_maxs=None):
     Returns (info, nfev, final_global_misfit).
     """
     from ..sources import get_source_model
-    from .. import misfit as mf
 
     model = get_source_model(engine.source_type)
     params = engine.source_params.astype(np.float64).copy()

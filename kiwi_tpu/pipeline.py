@@ -12,7 +12,7 @@ inversion (EnduringPointSource).
 
 from __future__ import annotations
 
-import copy
+
 import os
 import pickle
 

@@ -25,7 +25,7 @@ import numpy as np
 
 from .. import eikonal as eik
 from .. import geometry as geom
-from ..euler import init_euler, pt_axes
+from ..euler import init_euler
 from ..plf import PLF
 from .base import SourceModel, register
 

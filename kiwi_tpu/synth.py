@@ -30,7 +30,7 @@ backazimuth+pi (seismogram.f90:268-283).
 from __future__ import annotations
 
 import dataclasses
-import functools
+
 
 import jax
 import jax.numpy as jnp
