@@ -96,6 +96,8 @@ def main():
     chunk = 4096
 
     def run_chunk(sl):
+        if len(sl) < chunk:  # keep one compiled shape
+            sl = np.concatenate([sl, np.full(chunk - len(sl), sl[-1], np.float32)])
         batch = np.tile(base, (len(sl), 1))
         batch[:, 5] = sl
         m, n, fs = eng.misfits_for_source_batch(batch)
@@ -112,8 +114,6 @@ def main():
     best = (np.inf, None)
     for i in range(0, nstrikes, chunk):
         sl = strikes[i : i + chunk]
-        if len(sl) < chunk:  # pad to keep one compiled shape
-            sl = np.concatenate([sl, np.full(chunk - len(sl), sl[-1], np.float32)])
         m, fs = run_chunk(sl)
         g = np.sqrt((m**2).sum(axis=1))
         j = int(np.argmin(g))

@@ -551,8 +551,10 @@ class Engine:
     def get_synthetic_seismograms(self):
         """[(values f32[n], itmin)] per rc row, scaled (moment + rise time),
         trimmed to the physical data span -- probe_get_plain equivalents."""
-        cbatch, moments, risetimes, shape = self._discretize_batch(self.source_params[None, :])
-        plan = self._ensure_plan(cbatch, float(risetimes.max(initial=0.0)), shape)
+        plan = self._current_plan()
+        cbatch, moments, risetimes, shape = self._discretize_batch(
+            self.source_params[None, :]
+        )
         cent = {k: v[0] for k, v in cbatch.items()}
         syn, lo, hi = plan["synth_one"](
             cent, jnp.float32(moments[0]), jnp.float32(risetimes[0])
@@ -684,10 +686,17 @@ class Engine:
         return st, setup, arr, setup.ref_lo.copy(), setup.ref_hi.copy()
 
     def _current_plan(self):
-        cbatch, moments, risetimes, shape = self._discretize_batch(
-            self.source_params[None, :]
+        model = get_source_model(self.source_type)
+        pb = self.source_params[None, :]
+        stats = (
+            model.param_stats(pb, self.effective_dt)
+            if model.param_stats is not None
+            else None
         )
-        return self._ensure_plan(cbatch, float(risetimes.max(initial=0.0)), shape)
+        cbatch, moments, risetimes, shape = self._discretize_batch(pb)
+        return self._ensure_plan(
+            cbatch, float(risetimes.max(initial=0.0)), shape, stats=stats
+        )
 
     def get_processed_seismograms(self, which="synthetics", processing="plain"):
         """[(values, itmin)] rows for output_seismograms: plain/tapered/
