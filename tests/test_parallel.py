@@ -1,0 +1,57 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from kiwi_tpu import geo
+from kiwi_tpu.engine import Engine, Receiver
+from kiwi_tpu.gf import elseis
+from kiwi_tpu.parallel import make_mesh, sharded_forward
+
+
+@pytest.fixture(scope="module")
+def engine():
+    stf = np.array([0, 0, 0.3, 0.7, 1, 1, 1], dtype=np.float64)
+    store = elseis.build_ahfull_store(
+        nx=40, nz=6, dt=0.1, dx=100.0, dz=100.0, firstx=100.0, firstz=0.0,
+        material=(2300.0, 3200.0, 1600.0), stf=stf,
+    )
+    eng = Engine(store)
+    olat, olon = 30.0, 70.0
+    recs = []
+    for i in range(4):
+        d = 1200.0 + 400.0 * i
+        la, lo = geo.ne_to_latlon(np.radians(olat), np.radians(olon), d, 0.3 * i)
+        recs.append(Receiver(np.degrees(float(la)), np.degrees(float(lo)), "ned"))
+    eng.set_receivers(recs)
+    eng.set_source_location(olat, olon, 0.0)
+    eng.set_effective_dt(0.1)
+    eng.set_local_interpolation(True)
+    p = np.array(
+        [0, 0, 0, 400.0, 1e12, 91.0, 87.0, 164.0, 0.0, 300.0, 200.0, 250.0, 2500.0, 0.2],
+        dtype=np.float32,
+    )
+    eng.set_source_params("bilateral", p)
+    eng.set_misfit_method("l2norm")
+    eng.set_synthetic_reference()
+    return eng, p
+
+
+def test_sharded_matches_unsharded(engine):
+    eng, p = engine
+    assert len(jax.devices()) >= 8
+    batch = np.tile(p, (16, 1))
+    batch[:, 5] = np.linspace(0.0, 350.0, 16).astype(np.float32)
+
+    m0, n0, _ = eng.misfits_for_source_batch(batch)
+    m0, n0 = np.asarray(m0), np.asarray(n0)
+
+    mesh = make_mesh(n_sources=8, n_receivers=1)
+    m1, n1, _ = sharded_forward(eng, batch, mesh)
+    np.testing.assert_allclose(np.asarray(m1), m0, rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(n1), n0, rtol=2e-5, atol=1e-8)
+
+    mesh2 = make_mesh(n_sources=4, n_receivers=2)
+    m2, n2, _ = sharded_forward(eng, batch, mesh2)
+    np.testing.assert_allclose(np.asarray(m2), m0, rtol=2e-5, atol=1e-8)
