@@ -278,7 +278,7 @@ class MinimizerServer:
 
     def do_output_source_model(self, args):
         fnbase = args.strip()
-        cbatch, _m, _r, _s = self.engine._discretize_batch(
+        cbatch, _m, _r, _s, _g = self.engine._discretize_batch(
             self.engine.source_params[None, :]
         )
         act = np.asarray(cbatch["active"][0])

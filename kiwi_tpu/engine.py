@@ -71,7 +71,10 @@ class Engine:
         self._plan = None
         self._plan_key = None
         self._disc_cache = {}
-        self.memory_budget = 2 << 30  # transient bytes per device call
+        self.memory_budget = 4 << 30  # transient bytes per device call
+        self.force_path = None  # ("conv"|"direct", group_size) debug override
+        # (per_source_bytes estimates are TPU-pad-aware; a v5e chip has
+        # ~16 GB HBM, leaving headroom for the GF window + misfit probes)
 
     # -- configuration (each invalidates the compiled plan as needed) --------
 
@@ -266,7 +269,8 @@ class Engine:
             (float(t.min()), float(t.max())),
         )
 
-    def _make_plan(self, extent, depth_range, time_range, risetime_max, nshape):
+    def _make_plan(self, extent, depth_range, time_range, risetime_max, nshape,
+                   gsize=1):
         self._require_ready()
         store = self.store
         geom = self._geometry()
@@ -280,12 +284,50 @@ class Engine:
 
         # pick the synthesis formulation by per-source transient bytes: the
         # dense scatter+conv kernel materializes W[3, window, ng, taps]; the
-        # direct path materializes per-centroid slices [C, 4, ng, nt_out+1]
+        # direct path materializes per-centroid slices [C, 4, ng, nt_out+1];
+        # the grouped-direct path shares the 4-trace gather across the
+        # gsize centroids of each spatial cell (one [4, ng, nt_ext] blend
+        # per group + one [ng, nt_out+1] slice per centroid).  Estimates use
+        # the TPU-padded sizes -- the minor two axes of every transient tile
+        # to (8 sublanes, 128 lanes), so [.., ng, time] arrays really occupy
+        # pad8(ng) * pad128(time) elements.
+        def _pad(n, m):
+            return -(-int(n) // m) * m
+
         ncent = int(np.prod(nshape))
-        conv_bytes = 3 * cfg.nxw * cfg.nzw * cfg.ng * (cfg.s_len + 1) * 4
-        direct_bytes = ncent * 4 * cfg.ng * (cfg.nt_out + 1) * 4
-        path = "direct" if direct_bytes < conv_bytes else "conv"
-        per_source_bytes = min(conv_bytes, direct_bytes)
+        nt_ext = cfg.nt_out + cfg.s_len
+        ng_p = _pad(cfg.ng, 8)
+        conv_bytes = 3 * cfg.nxw * cfg.nzw * ng_p * _pad(cfg.s_len + 1, 128) * 4
+        direct_bytes = ncent * 4 * ng_p * _pad(cfg.nt_out + 1, 128) * 4
+        if gsize > 1 and ncent % gsize == 0 and ncent // gsize >= 2:
+            # >= 2 spatial groups: point-like sources (one position) gain
+            # nothing from sharing the gather and lose to the wider blend
+            # x2: measured HBM high-water on v5e runs ~2x this structural
+            # bound (gather/slice buffers double-buffered by the scheduler)
+            grouped_bytes = 2 * (
+                (ncent // gsize) * 4 * ng_p * _pad(nt_ext, 128)
+                + ncent * ng_p * _pad(cfg.nt_out + 1, 128)
+            ) * 4
+        else:
+            grouped_bytes = 1 << 62
+        # grouped strictly reduces gather work vs ungrouped direct, so it
+        # wins whenever the layout admits it even when its transient
+        # footprint is slightly larger; bytes only decide conv-vs-direct
+        # and the chunk size
+        if grouped_bytes < (1 << 62):
+            dpath_bytes, dpath_group = grouped_bytes, gsize
+        else:
+            dpath_bytes, dpath_group = direct_bytes, 1
+        if dpath_bytes <= conv_bytes:
+            path, group_size, per_source_bytes = "direct", dpath_group, dpath_bytes
+        else:
+            path, group_size, per_source_bytes = "conv", 1, conv_bytes
+        if self.force_path is not None:  # benchmarking/debug override
+            path, group_size = self.force_path
+            per_source_bytes = {
+                ("conv", 1): conv_bytes,
+                ("direct", 1): direct_bytes,
+            }.get((path, group_size), grouped_bytes)
         ext = synth.materialize_window(gfd, gfi, cfg)
 
         fold_max = int(np.ceil(0.5 * risetime_max / store.dt)) + 1 if risetime_max > 0 else 0
@@ -345,15 +387,18 @@ class Engine:
 
         def synth_rc(cent):
             """One source -> component traces + spans: f32[RC, nt_out]."""
-            def per_rec(i):
-                rec = {k: v[i] for k, v in recs.items()}
+            def per_rec(rec):
                 ard, lo_, hi_ = synth.synthesize_with_spans(
-                    ext, gfi, gfn, cfg, rec, cent, gf_data=gfd, path=path
+                    ext, gfi, gfn, cfg, rec, cent, gf_data=gfd, path=path,
+                    group_size=group_size,
                 )
                 canon = synth.ard_to_components(ard, rec["bazi"], (1, 2, 3, 4, 5))
                 return canon, lo_, hi_
 
-            canon, los, his = jax.vmap(per_rec)(jnp.arange(nrec))
+            # vmap over the receiver arrays directly: indexing them with a
+            # vmapped arange lowers to per-element gathers that TPU XLA
+            # executes orders of magnitude slower than a plain mapped axis
+            canon, los, his = jax.vmap(per_rec)(recs)
             syn_rc = canon[rc_rec_j, rc_chan_j] * rc_sign_j[:, None]
             lo_rc = los[rc_rec_j, span_idx_j]
             hi_rc = his[rc_rec_j, span_idx_j]
@@ -416,7 +461,9 @@ class Engine:
             self._disc_cache[key] = disc
         cbatch = disc(jnp.asarray(pb))
         pf = np.array([model.post_factors(p) for p in pb], dtype=np.float32)
-        return cbatch, pf[:, 0], pf[:, 1], shape
+        # every jnp discretizer flattens [*cells, nt] row-major: runs of
+        # shape[-1] consecutive centroids share their spatial position
+        return cbatch, pf[:, 0], pf[:, 1], shape, int(shape[-1])
 
     def _discretize_batch_host(self, model, pb):
         """Host-side discretization (eikonal models): pad the per-source
@@ -445,7 +492,8 @@ class Engine:
             )
             pf = np.array([model.post_factors(p) for p in pb], dtype=np.float32)
             c = int(cbatch["north"].shape[1])
-            return cbatch, pf[:, 0], pf[:, 1], (c,)
+            # device tables are [ncell, ntmax] row-major -> groups of ntmax
+            return cbatch, pf[:, 0], pf[:, 1], (c,), int(ntmax)
 
         tables = [model.discretize(p, self.effective_dt, ctx) for p in pb]
         cmax = max(t["north"].shape[0] for t in tables)
@@ -465,9 +513,10 @@ class Engine:
         out["m"] = jnp.asarray(marr)
         out["active"] = jnp.asarray(aarr)
         pf = np.array([model.post_factors(p) for p in pb], dtype=np.float32)
-        return out, pf[:, 0], pf[:, 1], (cmax,)
+        # host FMM tables have ragged per-cell time runs: no uniform groups
+        return out, pf[:, 0], pf[:, 1], (cmax,), 1
 
-    def _ensure_plan(self, cbatch, risetime_max, shape, stats=None):
+    def _ensure_plan(self, cbatch, risetime_max, shape, stats=None, gsize=1):
         if stats is not None:
             extent, depth_range, time_range = stats
         else:
@@ -486,9 +535,9 @@ class Engine:
             self._bucket(time_range[1] + st.dt, tstep),
         )
         rt = self._bucket(risetime_max, 4.0 * st.dt) if risetime_max > 0 else 0.0
-        key = (extent_b, dr, tr, rt, np.prod(shape))
+        key = (extent_b, dr, tr, rt, np.prod(shape), gsize)
         if self._plan is None or self._plan_key != key:
-            self._plan = self._make_plan(extent_b, dr, tr, rt, shape)
+            self._plan = self._make_plan(extent_b, dr, tr, rt, shape, gsize=gsize)
             self._plan_key = key
         return self._plan
 
@@ -505,9 +554,9 @@ class Engine:
             if model.param_stats is not None
             else None
         )
-        cbatch, moments, risetimes, shape = self._discretize_batch(pb)
+        cbatch, moments, risetimes, shape, gsize = self._discretize_batch(pb)
         plan = self._ensure_plan(
-            cbatch, float(risetimes.max(initial=0.0)), shape, stats=stats
+            cbatch, float(risetimes.max(initial=0.0)), shape, stats=stats, gsize=gsize
         )
         b = moments.shape[0]
         # keep per-call transients bounded (device HBM budget); XLA fuses
@@ -552,7 +601,7 @@ class Engine:
         """[(values f32[n], itmin)] per rc row, scaled (moment + rise time),
         trimmed to the physical data span -- probe_get_plain equivalents."""
         plan = self._current_plan()
-        cbatch, moments, risetimes, shape = self._discretize_batch(
+        cbatch, moments, risetimes, shape, _gsize = self._discretize_batch(
             self.source_params[None, :]
         )
         cent = {k: v[0] for k, v in cbatch.items()}
@@ -673,7 +722,7 @@ class Engine:
         st = plan["st"]
         setup = plan["setup"]
         if which == "synthetics":
-            cbatch, moments, risetimes, shape = self._discretize_batch(
+            cbatch, moments, risetimes, shape, _gsize = self._discretize_batch(
                 self.source_params[None, :]
             )
             cent = {k: v[0] for k, v in cbatch.items()}
@@ -693,9 +742,9 @@ class Engine:
             if model.param_stats is not None
             else None
         )
-        cbatch, moments, risetimes, shape = self._discretize_batch(pb)
+        cbatch, moments, risetimes, shape, gsize = self._discretize_batch(pb)
         return self._ensure_plan(
-            cbatch, float(risetimes.max(initial=0.0)), shape, stats=stats
+            cbatch, float(risetimes.max(initial=0.0)), shape, stats=stats, gsize=gsize
         )
 
     def get_processed_seismograms(self, which="synthetics", processing="plain"):

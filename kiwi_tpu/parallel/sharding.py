@@ -51,8 +51,10 @@ def sharded_forward(engine, params_batch, mesh):
     "s" axis; the misfit context (reference traces) is replicated, and
     XLA partitions the batched synthesis accordingly.
     """
-    cbatch, moments, risetimes, shape = engine._discretize_batch(params_batch)
-    plan = engine._ensure_plan(cbatch, float(np.max(risetimes, initial=0.0)), shape)
+    cbatch, moments, risetimes, shape, gsize = engine._discretize_batch(params_batch)
+    plan = engine._ensure_plan(
+        cbatch, float(np.max(risetimes, initial=0.0)), shape, gsize=gsize
+    )
     cbatch = shard_centroid_batch(cbatch, mesh)
     msh = NamedSharding(mesh, P("s"))
     m, n, fs = plan["forward_batch"](

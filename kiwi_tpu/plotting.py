@@ -137,7 +137,7 @@ def plot_rupture_front(engine, path):
     """Centroid positions colored by rupture onset time (the reference's
     rupture plots from psm info files)."""
     plt = _mpl()
-    cbatch, _m, _r, _s = engine._discretize_batch(engine.source_params[None, :])
+    cbatch, _m, _r, _s, _g = engine._discretize_batch(engine.source_params[None, :])
     act = np.asarray(cbatch["active"][0])
     n = np.asarray(cbatch["north"][0])[act]
     e = np.asarray(cbatch["east"][0])[act]

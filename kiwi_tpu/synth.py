@@ -208,16 +208,103 @@ def centroid_geodesy(dnorth, deast, rec):
     )
 
 
+def centroid_geodesy_fast(dnorth, deast, rec):
+    """TPU-fast differential geodesy: float32, no inverse trig, no f64.
+
+    Same spherical triangle as `centroid_geodesy` (the exact-sphere branch of
+    approx_differential_azidist, orthodrome.f90:121-152), but returning the
+    sines/cosines the synthesis actually consumes instead of the angles:
+
+      sin/cos(azi')   -- feeds make_weights (the f1..f6 combination)
+      sin/cos(alpha)  -- alpha = bazi' - bazi is exactly the rotation angle
+                         `lam` of seismogram.f90:195-204
+      dist'           -- feeds gf_indices (the reference itself casts the
+                         distance to f32 at gfdb_get_indices)
+
+    The angle sines/cosines come from the spherical law of sines/cosines with
+    the cancellation-prone numerators (cos a - cos b cos c) rewritten as
+      pu*(be^2 + bn^2) - bu*(pe*be + pn*bn)
+    which is a sum of same-magnitude products -- accurate in f32 where the
+    naive difference of near-1 cosines is pure roundoff.  Everything else is
+    well-conditioned products of unit-vector components, so f32 results match
+    the f64 path to ~1e-6 relative (<< the GF grid spacing and the
+    reference's own f32 casts).
+
+    Returns (sin_azi', cos_azi', sin_alpha, cos_alpha, dist').
+    """
+    dn = dnorth.astype(F32)
+    de = deast.astype(F32)
+    r = jnp.sqrt(dn * dn + de * de)
+    a = r / jnp.float32(geo.EARTHRADIUS)
+    a2 = a * a
+    sin_a = a * (1.0 - a2 / 6.0 * (1.0 - a2 / 20.0))
+    cos_a = 1.0 - a2 / 2.0 * (1.0 - a2 / 12.0)
+
+    safe_r = jnp.where(r == 0.0, 1.0, r)
+    sin_lam = de / safe_r
+    cos_lam = jnp.where(r == 0.0, 1.0, dn / safe_r)
+
+    sin_b = rec["sin_b"].astype(F32)
+    cos_b = rec["cos_b"].astype(F32)
+    sin_azi = rec["sin_azi"].astype(F32)
+    cos_azi = rec["cos_azi"].astype(F32)
+
+    # unit vectors (east, north, up) at the source origin
+    pe, pn, pu = sin_a * sin_lam, sin_a * cos_lam, cos_a
+    be, bn, bu = sin_b * sin_azi, sin_b * cos_azi, cos_b
+
+    horiz = pe * be + pn * bn
+    cos_c = horiz + pu * bu
+    cx = pn * bu - pu * bn
+    cy = pu * be - pe * bu
+    cz = pe * bn - pn * be
+    sin_c = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+    dist = jnp.arctan2(sin_c, cos_c) * jnp.float32(geo.EARTHRADIUS)
+
+    sin_gamma = sin_azi * cos_lam - cos_azi * sin_lam  # sin(azi - lam)
+    safe_sc = jnp.where(sin_c == 0.0, 1.0, sin_c)
+
+    # angle at the receiver vertex (alpha = bazi' - bazi):
+    #   sin = sin_a sin_gamma / sin_c, cos = (cos a - cos b cos c)/(sin b sin c)
+    num_alpha = pu * (be * be + bn * bn) - bu * horiz
+    safe_sb = jnp.where(sin_b == 0.0, 1.0, sin_b)
+    sin_al = sin_a * sin_gamma / safe_sc
+    cos_al = num_alpha / (safe_sb * safe_sc)
+
+    # angle at the centroid vertex (beta), then azi' = lam - pi - beta
+    num_beta = bu * (pe * pe + pn * pn) - pu * horiz
+    safe_sa = jnp.where(sin_a == 0.0, 1.0, sin_a)
+    sin_be = sin_b * sin_gamma / safe_sc
+    cos_be = num_beta / (safe_sa * safe_sc)
+    sin_azi_new = -(sin_lam * cos_be - cos_lam * sin_be)
+    cos_azi_new = -(cos_lam * cos_be + sin_lam * sin_be)
+
+    is0 = r == 0.0
+    one = jnp.ones_like(sin_al)
+    zero = jnp.zeros_like(sin_al)
+    return (
+        jnp.where(is0, sin_azi, sin_azi_new),
+        jnp.where(is0, cos_azi, cos_azi_new),
+        jnp.where(is0, zero, sin_al),
+        jnp.where(is0, one, cos_al),
+        jnp.where(is0, rec["dist"].astype(F32), dist),
+    )
+
+
 def make_weights(azimuth, m6):
     """Azimuth-dependent MT combination weights f1..f6 (seismogram.f90:316-336).
 
     azimuth: f32 scalar/array; m6: f32[..., 6] as (mxx,myy,mzz,mxy,mxz,myz).
     """
     azimuth = azimuth.astype(F32)
-    sa = jnp.sin(azimuth)
-    ca = jnp.cos(azimuth)
-    s2a = jnp.sin(2.0 * azimuth)
-    c2a = jnp.cos(2.0 * azimuth)
+    return make_weights_sc(jnp.sin(azimuth), jnp.cos(azimuth), m6)
+
+
+def make_weights_sc(sa, ca, m6):
+    """make_weights from (sin, cos) of the azimuth directly (double angles
+    by identity) -- lets the geodesy skip producing the angle itself."""
+    s2a = 2.0 * sa * ca
+    c2a = ca * ca - sa * sa
     m = m6
     f1 = m[..., 0] * ca**2 + m[..., 1] * sa**2 + m[..., 3] * s2a
     f2 = m[..., 4] * ca + m[..., 5] * sa
@@ -338,14 +425,11 @@ def _centroid_kinematics(cfg: SynthConfig, rec, centroids):
     centroids: dict with north, east, depth, time f32[C]; m f32[C, 6].
     Returns dict of per-centroid quantities.
     """
-    azi, bazi, dist = jax.vmap(
-        lambda dn, de: centroid_geodesy(dn, de, rec)
+    sin_az, cos_az, sin_l, cos_l, dist = jax.vmap(
+        lambda dn, de: centroid_geodesy_fast(dn, de, rec)
     )(centroids["north"], centroids["east"])
 
-    f = make_weights(azi.astype(F32), centroids["m"])  # [C, 6]
-    lam = (bazi - rec["bazi"]).astype(F32)
-    cos_l = jnp.cos(lam)
-    sin_l = jnp.sin(lam)
+    f = make_weights_sc(sin_az, cos_az, centroids["m"])  # [C, 6]
 
     z = centroids["depth"] - rec["depth"].astype(F32)
     ixs, izs, dix, diz, valid = jax.vmap(
@@ -549,19 +633,93 @@ def _direct_accumulate(ext, cfg: SynthConfig, kin):
     ).sum(axis=0)
 
 
+def _grouped_accumulate(ext, cfg: SynthConfig, kin, group_size):
+    """Slice accumulation with the GF gather shared across centroid groups.
+
+    Every finite-source discretizer emits its centroid table as
+    [spatial cell, STF time point] flattened row-major (mirroring the
+    (ip, it) nesting of psm_to_tdsm_table_*, e.g. source_bilat.f90:429-442),
+    so runs of `group_size` consecutive centroids share (north, east, depth)
+    exactly -- hence the same GF neighborhood, bilinear weights and spatial
+    blend.  Doing the 4-trace gather and the bilinear reduction ONCE per
+    group over the full extended window cuts HBM traffic by ~4x/G vs
+    `_direct_accumulate`; only the (cheap) per-centroid time slice, 2-tap
+    fractional shift and MT-weight contraction remain per centroid.
+
+    Mathematically identical to the ungrouped path (the bilinear blend and
+    the time shift are both linear and commute); float32 rounding differs at
+    the last bit.
+    """
+    c = kin["ish"].shape[0]
+    g = group_size
+    p = c // g
+    start_k = cfg.out_it0 - (cfg.out_it0 - cfg.s_base - cfg.s_len) - 1  # K
+
+    # flatten the spatial node axes so the bilinear blend is four row
+    # gathers combined elementwise (a dot_general over the tiny [2, 2]
+    # neighbor axes forces XLA to materialize the gather in a badly padded
+    # layout; the add chain fuses instead)
+    ext2 = ext.reshape(cfg.nxw * cfg.nzw, cfg.ng, -1)  # [N, ng, nt_ext]
+    ixs, izs = kin["ixs"][::g], kin["izs"][::g]  # [P, 2] each
+    nodes = jnp.stack(
+        [
+            ixs[:, 0] * cfg.nzw + izs[:, 0],  # 00
+            ixs[:, 0] * cfg.nzw + izs[:, 1],  # 01
+            ixs[:, 1] * cfg.nzw + izs[:, 0],  # 10
+            ixs[:, 1] * cfg.nzw + izs[:, 1],  # 11
+        ],
+        axis=-1,
+    )  # [P, 4] matching kin["wsp"]'s (00, 01, 10, 11) order
+
+    def one_group(nd, wsp, wgs, ishs, fracs, valids):
+        blended = (
+            wsp[0] * ext2[nd[0]]
+            + wsp[1] * ext2[nd[1]]
+            + wsp[2] * ext2[nd[2]]
+            + wsp[3] * ext2[nd[3]]
+        )  # [ng, nt_ext]
+
+        def one_c(ish):
+            # absolute indices [out_it0 - ish - 1, ... + nt_out]
+            return jax.lax.dynamic_slice_in_dim(
+                blended, start_k - ish, cfg.nt_out + 1, axis=-1
+            )
+
+        sl = jax.vmap(one_c)(ishs)  # [G, ng, nt_out + 1]
+        fr = fracs[:, None, None]
+        v = (1.0 - fr) * sl[..., 1:] + fr * sl[..., :-1]  # [G, ng, nt_out]
+        wv = jnp.where(valids, 1.0, 0.0)[:, None, None] * wgs  # [G, 3, ng]
+        return jnp.einsum("cog,cgt->ot", wv, v)  # [3, nt_out]
+
+    def grp(a):
+        return a.reshape((p, g) + a.shape[1:])
+
+    out = jax.vmap(one_group)(
+        nodes, kin["wsp"][::g],
+        grp(kin["wg"]), grp(kin["ish"]), grp(kin["frac"]), grp(kin["valid"]),
+    )
+    return out.sum(axis=0)
+
+
 def synthesize_with_spans(ext, gf_itmin, gf_nsamples, cfg: SynthConfig, rec, centroids,
-                          gf_data=None, path="conv"):
+                          gf_data=None, path="conv", group_size=1):
     """Synthesis plus physical span tracking.
 
     path="conv": scatter+convolution over the window (best for many
     centroids / compact windows); path="direct": per-centroid slices of the
     extended window (best for few centroids / wide search windows).  Both
-    need `ext` from materialize_window.
+    need `ext` from materialize_window.  group_size > 1 (direct path only)
+    asserts that runs of `group_size` consecutive centroids share their
+    spatial position and shares their GF gather (see _grouped_accumulate).
     Returns (ard f32[3, nt_out], lo i32[3], hi i32[3]).
     """
     kin = _centroid_kinematics(cfg, rec, centroids)
     if path == "direct":
-        out = _direct_accumulate(ext, cfg, kin)
+        c = kin["ish"].shape[0]
+        if group_size > 1 and c % group_size == 0:
+            out = _grouped_accumulate(ext, cfg, kin, group_size)
+        else:
+            out = _direct_accumulate(ext, cfg, kin)
     else:
         w = scatter_weight_kernel(cfg, kin)
         s = cfg.s_len + 1
