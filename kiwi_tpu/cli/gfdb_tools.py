@@ -136,15 +136,50 @@ def gfdb_info(argv=None):
     print(f"total_traces={used}/{total}")
 
 
-def gfdb_redeploy(argv=None):
-    """Copy traces between databases (gfdb_redeploy.f90): target grid may
-    subset/resample the source grid; traces are placed at the nearest target
-    node."""
+def gfdb_redeploy(argv=None, stdin=None):
+    """Copy selected traces between databases (gfdb_redeploy.f90:243-322).
+
+    usage: gfdb_redeploy input-db [nipx nipz [g1 g2 ... gNg]] output-db <<EOF
+           x z [factor | tbeg tend]
+           ...
+           EOF
+
+    Each stdin entry copies the input trace nearest (x, z) to the output
+    node nearest (x, z): a bare `x z` copies verbatim, `x z factor` scales
+    the trace (gfdb_redeploy.f90:122-124), `x z tbeg tend` clips to the
+    sample window [floor(tbeg/dt), ceil(tend/dt)] (:132-151; entries with
+    tbeg > tend are skipped like :113).  nipx/nipz oversample the input
+    with Gulunay interpolation first (:218-231); the optional g-mapping
+    redirects input component igs -> its value (1-based, 0 drops, :54-62).
+
+    Deviation: the reference copies samples verbatim even when in/out dt
+    differ (no resampling); here differing dt is an error to avoid silently
+    mislabeled rates.
+    """
     argv = sys.argv[1:] if argv is None else argv
-    if len(argv) != 2:
-        sys.exit("usage: gfdb_redeploy source-database target-database")
+    stdin = sys.stdin if stdin is None else stdin
+    if len(argv) < 2:
+        sys.exit("usage: gfdb_redeploy input-db [nipx nipz [g-mapping...]] "
+                 "output-db <<EOF\nx z [factor | tbeg tend]\n...\nEOF")
     src = _load_store(argv[0])
-    dst = _load_store(argv[1])
+    dst_name = argv[-1]
+    dst = _load_store(dst_name)
+    mapping = list(range(1, src.ng + 1))  # 1-based identity
+    if len(argv) >= 4:
+        nipx, nipz = int(argv[1]), int(argv[2])
+        if nipx != 1 or nipz != 1:
+            from ..gf.interpolation import oversample_store
+
+            src = oversample_store(src, nipx, nipz)
+        gargs = argv[3:-1]
+        if gargs:
+            if len(gargs) != src.ng:
+                sys.exit(f"gfdb_redeploy: need {src.ng} g-mapping values")
+            mapping = [int(g) for g in gargs]
+    if abs(src.dt - dst.dt) > 1e-7:
+        sys.exit("gfdb_redeploy: differing sampling rates (the reference "
+                 "copies samples verbatim; refusing to mislabel rates)")
+
     builder = GFStoreBuilder(dst.nx, dst.nz, dst.ng, dst.dt, dst.dx, dst.dz,
                              dst.firstx, dst.firstz)
     for ix in range(dst.nx):
@@ -153,23 +188,48 @@ def gfdb_redeploy(argv=None):
                 tr = dst.get_trace(ix, iz, ig)
                 if tr is not None:
                     builder.put_trace(ix, iz, ig, tr[0], tr[1])
-    if abs(src.dt - dst.dt) > 1e-7:
-        sys.exit("gfdb_redeploy: differing sampling rates not supported yet")
-    for ix in range(src.nx):
-        x = src.firstx + ix * src.dx
-        jx = int(fnint(np.float32(x - dst.firstx) / np.float32(dst.dx)))
-        if not (0 <= jx < dst.nx) or abs(dst.firstx + jx * dst.dx - x) > 1e-3:
+
+    for line in stdin:
+        w = line.split()
+        if not w:
             continue
-        for iz in range(src.nz):
-            z = src.firstz + iz * src.dz
-            jz = int(fnint(np.float32(z - dst.firstz) / np.float32(dst.dz)))
-            if not (0 <= jz < dst.nz) or abs(dst.firstz + jz * dst.dz - z) > 1e-3:
+        x, z = float(w[0]), float(w[1])
+        factor = 1.0
+        window = None
+        if len(w) == 3:
+            factor = float(w[2])
+        elif len(w) >= 4:
+            tbeg, tend = float(w[2]), float(w[3])
+            if tbeg > tend:
                 continue
-            for ig in range(min(src.ng, dst.ng)):
-                tr = src.get_trace(ix, iz, ig)
-                if tr is not None:
-                    builder.put_trace(jx, jz, ig, tr[0], tr[1])
-    _save_store(builder.build(), argv[1])
+            window = (tbeg, tend)
+        ix = int(fnint(np.float32(x - src.firstx) / np.float32(src.dx)))
+        iz = int(fnint(np.float32(z - src.firstz) / np.float32(src.dz)))
+        jx = int(fnint(np.float32(x - dst.firstx) / np.float32(dst.dx)))
+        jz = int(fnint(np.float32(z - dst.firstz) / np.float32(dst.dz)))
+        if not (0 <= ix < src.nx and 0 <= iz < src.nz):
+            continue
+        if not (0 <= jx < dst.nx and 0 <= jz < dst.nz):
+            continue
+        for ig in range(src.ng):
+            igt = mapping[ig]
+            if igt < 1 or igt > dst.ng:
+                continue
+            tr = src.get_trace(ix, iz, ig)
+            if tr is None:
+                continue
+            vals, it0 = tr
+            if factor != 1.0:
+                vals = vals * np.float32(factor)
+            if window is not None:
+                s1 = max(int(np.floor(window[0] / dst.dt)), it0)
+                s2 = min(int(np.ceil(window[1] / dst.dt)), it0 + len(vals) - 1)
+                if s2 < s1:
+                    continue
+                vals = vals[s1 - it0 : s2 - it0 + 1]
+                it0 = s1
+            builder.put_trace(jx, jz, igt - 1, vals, it0)
+    _save_store(builder.build(), dst_name)
 
 
 def gfdb_build_ahfull(argv=None):

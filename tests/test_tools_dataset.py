@@ -117,3 +117,62 @@ def test_plots_smoke(store, tmp_path):
     )
     for p in (p1, p2, p3, p4, rep):
         assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_gfdb_redeploy_entries(store, tmp_path):
+    """gfdb_redeploy copies stdin-selected traces with factor scaling,
+    window clipping and g-mapping (gfdb_redeploy.f90:88-151)."""
+    import io
+
+    from kiwi_tpu.cli.gfdb_tools import gfdb_redeploy
+    from kiwi_tpu.gf.store import GFStore, GFStoreBuilder
+
+    src_fn = str(tmp_path / "src.npz")
+    dst_fn = str(tmp_path / "dst.npz")
+    store.save(src_fn)
+    # empty target with the same grid
+    GFStoreBuilder(store.nx, store.nz, store.ng, store.dt, store.dx,
+                   store.dz, store.firstx, store.firstz).build().save(dst_fn)
+
+    x1 = store.firstx + 3 * store.dx
+    z1 = store.firstz + 2 * store.dz
+    x2 = store.firstx + 5 * store.dx
+    gfdb_redeploy([src_fn, dst_fn], stdin=io.StringIO(
+        f"{x1} {z1}\n"            # verbatim copy
+        f"{x2} {z1} 2.5\n"        # scaled copy
+        f"{x2} {store.firstz} 0.5 0.9\n"   # window-clipped copy
+        f"{x1} {store.firstz} 9.0 1.0\n"   # tbeg > tend: skipped
+    ))
+    out = GFStore.load(dst_fn)
+
+    tr = store.get_trace(3, 2, 0)
+    got = out.get_trace(3, 2, 0)
+    assert got is not None and got[1] == tr[1]
+    np.testing.assert_array_equal(got[0], tr[0])
+
+    tr = store.get_trace(5, 2, 1)
+    got = out.get_trace(5, 2, 1)
+    np.testing.assert_allclose(got[0], tr[0] * np.float32(2.5), rtol=1e-6)
+
+    tr = store.get_trace(5, 0, 0)
+    got = out.get_trace(5, 0, 0)
+    s1 = max(int(np.floor(0.5 / store.dt)), tr[1])
+    s2 = min(int(np.ceil(0.9 / store.dt)), tr[1] + len(tr[0]) - 1)
+    assert got[1] == s1 and len(got[0]) == s2 - s1 + 1
+    np.testing.assert_array_equal(got[0], tr[0][s1 - tr[1]: s2 - tr[1] + 1])
+
+    assert out.get_trace(3, 0, 0) is None  # skipped entry
+
+    # g-mapping: send everything from g1 (1-based) to g2, drop the rest
+    dst2_fn = str(tmp_path / "dst2.npz")
+    GFStoreBuilder(store.nx, store.nz, store.ng, store.dt, store.dx,
+                   store.dz, store.firstx, store.firstz).build().save(dst2_fn)
+    mapping = ["2"] + ["0"] * (store.ng - 1)
+    gfdb_redeploy([src_fn, "1", "1", *mapping, dst2_fn],
+                  stdin=io.StringIO(f"{x1} {z1}\n"))
+    out2 = GFStore.load(dst2_fn)
+    tr = store.get_trace(3, 2, 0)
+    got = out2.get_trace(3, 2, 1)
+    np.testing.assert_array_equal(got[0], tr[0])
+    assert out2.get_trace(3, 2, 0) is None
+    assert out2.get_trace(3, 2, 2) is None
