@@ -259,24 +259,6 @@ def gfdb_build_ahfull(argv=None):
     _save_store(builder.build(), base)
 
 
-if __name__ == "__main__":
-    tool = sys.argv[1] if len(sys.argv) > 1 else ""
-    fns = {
-        "build": gfdb_build,
-        "extract": gfdb_extract,
-        "info": gfdb_info,
-        "redeploy": gfdb_redeploy,
-        "build_ahfull": gfdb_build_ahfull,
-        "downsample": gfdb_downsample,
-        "phaser": gfdb_phaser,
-        "specialextract": gfdb_specialextract,
-        "meta": gfdb_meta,
-    }
-    if tool not in fns:
-        sys.exit(f"usage: python -m kiwi_tpu.cli.gfdb_tools ({'|'.join(fns)}) args...")
-    fns[tool](sys.argv[2:])
-
-
 def gfdb_downsample(argv=None):
     """Temporal decimation of a database (scripts/gfdb_downsample): an
     order-8 Chebyshev type I lowpass followed by subsampling."""
@@ -392,3 +374,25 @@ def gfdb_meta(argv=None):
         "nbytes_dense": int(store.data.nbytes),
     }
     print(json.dumps(meta, indent=2))
+
+
+def main():
+    tool = sys.argv[1] if len(sys.argv) > 1 else ""
+    fns = {
+        "build": gfdb_build,
+        "extract": gfdb_extract,
+        "info": gfdb_info,
+        "redeploy": gfdb_redeploy,
+        "build_ahfull": gfdb_build_ahfull,
+        "downsample": gfdb_downsample,
+        "phaser": gfdb_phaser,
+        "specialextract": gfdb_specialextract,
+        "meta": gfdb_meta,
+    }
+    if tool not in fns:
+        sys.exit(f"usage: python -m kiwi_tpu.cli.gfdb_tools ({'|'.join(fns)}) args...")
+    fns[tool](sys.argv[2:])
+
+
+if __name__ == "__main__":
+    main()
