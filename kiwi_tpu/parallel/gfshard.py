@@ -1,0 +1,355 @@
+"""GF-store distance sharding: model parallelism for giant databases.
+
+The reference scales past one machine's memory by assigning each minimizer
+process a *distance-contiguous subset of the receivers*, so every process
+only ever reads the GF database chunks covering its receivers' distances
+(seismosizer.py:89-124's distance-balanced receiver split).  The TPU-native
+equivalent: shard the receiver axis over a mesh axis and give each device
+only the GF *window* covering its receivers -- the store's distance axis is
+physically partitioned across chips, synthesis and misfits run SPMD under
+`shard_map`, and only the tiny per-row misfit outputs leave the shard.
+
+Per-device memory = window(dist span of its receivers) instead of
+window(dist span of all receivers): for a teleseismic set spread over
+thousands of km this is the difference between "does not fit" and "fits".
+
+All shards share one static `SynthConfig` (same nxw/nt windows, padded to
+the widest group); only the window *origin* differs and rides along as a
+dynamic per-shard `window_ix0` (threaded through `synth.gf_indices`).
+Outputs are bitwise-comparable to the unsharded engine (same kernels, same
+window extension semantics) up to f32 reduction order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import misfit as mf
+from .. import synth
+from ..gf.trace import fnint
+from ..sources import get_source_model
+
+
+def partition_receivers(geom, n):
+    """Distance-contiguous, count-balanced receiver groups (the reference's
+    distance heuristic, seismosizer.py:107-124).  Returns a list of n index
+    arrays (some possibly empty when n > nreceivers)."""
+    order = np.argsort(geom.dist, kind="stable")
+    return [np.sort(chunk) for chunk in np.array_split(order, n)]
+
+
+def _edge_extend_host(data, itmin, e0, nt_ext):
+    """numpy materialize_window (zero-left / repeat-right extension)."""
+    nt = data.shape[-1]
+    idx = e0 + np.arange(nt_ext)
+    rel = idx[None, None, None, :] - itmin[..., None]
+    out = np.take_along_axis(
+        data, np.clip(rel, 0, nt - 1).astype(np.int64), axis=-1
+    )
+    return np.where(rel < 0, np.float32(0.0), out).astype(np.float32)
+
+
+@dataclasses.dataclass
+class GFShardedPlan:
+    """Compiled distance-sharded forward.  Build with `build_plan`."""
+
+    engine: object
+    mesh: object
+    axis: str
+    cfg: object
+    st: object
+    groups: list  # receiver index arrays per shard
+    rc_of: list  # global rc row indices per shard (unpadded)
+    rc_max: int
+    r_max: int
+    forward: object  # jitted shard_map forward
+    sharded_args: tuple  # (ext, gfi, gfn, ix0, recs, ctx, rctx) device arrays
+
+    def misfits(self, params_batch):
+        """(misfit [B, RC], norm [B, RC], shift [B, R]) in the engine's
+        global rc/receiver order, computed SPMD across the mesh."""
+        eng = self.engine
+        pb = np.atleast_2d(np.asarray(params_batch, dtype=np.float32))
+        cbatch, moments, risetimes, _shape, _g = eng._discretize_batch(pb)
+        m, n, fs = self.forward(
+            *self.sharded_args, cbatch, jnp.asarray(moments), jnp.asarray(risetimes)
+        )
+        m = np.asarray(m)  # [B, n_shards * rc_max]
+        n = np.asarray(n)
+        fs = np.asarray(fs)  # [B, n_shards * r_max]
+        b = m.shape[0]
+        nrc = sum(len(rc) for rc in self.rc_of)
+        nrec = len(eng.receivers)
+        mg = np.zeros((b, nrc), np.float32)
+        ng = np.zeros((b, nrc), np.float32)
+        sg = np.zeros((b, nrec), np.int32)
+        for s, (idx, rcrows) in enumerate(zip(self.groups, self.rc_of)):
+            mg[:, rcrows] = m[:, s * self.rc_max : s * self.rc_max + len(rcrows)]
+            ng[:, rcrows] = n[:, s * self.rc_max : s * self.rc_max + len(rcrows)]
+            sg[:, idx] = fs[:, s * self.r_max : s * self.r_max + len(idx)]
+        return mg, ng, sg
+
+    def global_misfits(self, params_batch):
+        m, n, _ = self.misfits(params_batch)
+        return np.sqrt((m.astype(np.float64) ** 2).sum(axis=1)) / np.sqrt(
+            (n.astype(np.float64) ** 2).sum(axis=1)
+        )
+
+    def shard_window_bytes(self):
+        """Per-device GF window bytes (the memory the sharding saves)."""
+        ext = self.sharded_args[0]
+        return int(np.prod(ext.shape[1:])) * 4
+
+
+def build_plan(engine, mesh, axis="r"):
+    """Build a distance-sharded forward for the engine's current source
+    search space.  Each of the mesh's `axis` devices receives only the GF
+    window covering its receiver group (padded to a common width)."""
+    eng = engine
+    eng._require_ready()
+    store = eng.store
+    n = int(mesh.shape[axis])
+    geom = eng._geometry()
+    groups = partition_receivers(geom, n)
+
+    model = get_source_model(eng.source_type)
+    stats = model.param_stats(eng.source_params[None, :], eng.effective_dt)
+    extent, depth_range, time_range = stats
+
+    # global config fixes everything but the window origin
+    cfg0 = synth.plan_config(
+        store, geom, extent, depth_range, time_range,
+        interpolate=eng.interpolate, xunder=eng.xunder, zunder=eng.zunder,
+    )
+
+    # per-group distance windows, padded to a common width
+    widths, origins = [], []
+    for idx in groups:
+        if len(idx) == 0:
+            widths.append(2)
+            origins.append(0)
+            continue
+        g = synth.plan_config(
+            store, _SubGeom(geom, idx), extent, depth_range, time_range,
+            interpolate=eng.interpolate, xunder=eng.xunder, zunder=eng.zunder,
+        )
+        widths.append(g.nxw)
+        origins.append(g.ix0)
+    nxw = max(widths)
+    if nxw > store.nx:
+        nxw = store.nx
+    origins = [min(max(o, 0), store.nx - nxw) for o in origins]
+    cfg = dataclasses.replace(cfg0, ix0=0, nxw=nxw)
+
+    # per-shard GF windows (host numpy -> device, sharded over `axis`)
+    e0 = cfg.out_it0 - cfg.s_base - cfg.s_len
+    nt_ext = cfg.nt_out + cfg.s_len
+    zsl = np.s_[cfg.iz0 : cfg.iz0 + cfg.nzw]
+    exts, gfis, gfns = [], [], []
+    for o in origins:
+        xsl = np.s_[o : o + nxw]
+        exts.append(_edge_extend_host(store.data[xsl, zsl], store.itmin[xsl, zsl], e0, nt_ext))
+        gfis.append(store.itmin[xsl, zsl])
+        gfns.append(store.nsamples[xsl, zsl])
+    shard = NamedSharding(mesh, P(axis))
+    ext = jax.device_put(np.stack(exts), shard)
+    gfi = jax.device_put(np.stack(gfis).astype(np.int32), shard)
+    gfn = jax.device_put(np.stack(gfns).astype(np.int32), shard)
+    ix0 = jax.device_put(np.asarray(origins, np.int32), shard)
+
+    # per-shard receiver geometry + misfit contexts, padded
+    layout = eng._rc_layout()
+    rc_of = [
+        np.array([i for i, (r, _c) in enumerate(layout) if r in set(idx)], np.int64)
+        for idx in groups
+    ]
+    r_max = max(max((len(i) for i in groups), default=1), 1)
+    rc_max = max(max((len(r) for r in rc_of), default=1), 1)
+
+    gd = geom.device()
+    recs_np = {k: np.asarray(v) for k, v in gd.items()}
+    rec_stacks = {k: [] for k in recs_np}
+    ctx_stacks = None
+    rctx_stacks = None
+    s1 = int(fnint(np.float32(eng.floating_shiftrange_s[0]) / np.float32(store.dt)))
+    s2 = int(fnint(np.float32(eng.floating_shiftrange_s[1]) / np.float32(store.dt)))
+
+    # global probe span (identical to the unsharded plan's)
+    fold_max = 0
+    risetime_max = 0.0
+    pf = model.post_factors(np.asarray(eng.source_params))
+    risetime_max = float(pf[1])
+    if risetime_max > 0:
+        fold_max = int(np.ceil(0.5 * risetime_max / store.dt)) + 1
+    lo = cfg.out_it0 - fold_max
+    hi = cfg.out_it0 + cfg.nt_out - 1 + fold_max
+    maxreflen = 1
+    for irc, (values, itmin) in eng._refs.items():
+        lo = min(lo, itmin + s1)
+        hi = max(hi, itmin + len(values) - 1 + s2)
+        maxreflen = max(maxreflen, len(values))
+    minlength = 2 * max(cfg.nt_out, maxreflen)
+    ps0, ps1 = mf.allowed_span((lo, hi), minlength)
+    st = mf.ProbeStatic(ps0=ps0, pl=ps1 - ps0 + 1, dt=store.dt)
+
+    method = eng.misfit_method
+    any_taper = any(True for _ in eng._tapers)
+    any_filter = any(True for _ in eng._filters)
+    per_rec = getattr(eng, "_per_rec_shiftrange", {})
+
+    rc_chan_stack, rc_sign_stack, rc_recl_stack, span_idx_stack = [], [], [], []
+    span_of_chan = np.array([0, 1, 2, 0, 0], dtype=np.int32)
+    for sidx, (idx, rcrows) in enumerate(zip(groups, rc_of)):
+        # receiver arrays, padded by repeating the last real entry
+        for k, v in recs_np.items():
+            rows = v[idx] if len(idx) else v[:1]
+            padded = np.concatenate(
+                [rows, np.repeat(rows[-1:], r_max - len(rows), axis=0)]
+            )
+            rec_stacks[k].append(padded)
+
+        # local misfit setup: one slot per local receiver + one padding slot
+        local_of_global = {int(g): i for i, g in enumerate(idx)}
+        rec_ids = np.full(rc_max, r_max, np.int32)  # padding slot
+        chan = np.zeros(rc_max, np.int32)
+        sign = np.ones(rc_max, np.float32)
+        for j, rcrow in enumerate(rcrows):
+            r, c = layout[rcrow]
+            rec_ids[j] = local_of_global[r]
+            cid = synth.COMPONENT_IDS[c]
+            chan[j] = abs(cid) - 1
+            sign[j] = np.sign(cid)
+        setup = mf.MisfitSetup(st, rec_ids)
+        setup.enabled[:] = False
+        for j, rcrow in enumerate(rcrows):
+            r, _c = layout[rcrow]
+            setup.enabled[j] = eng.receivers[r].enabled
+            if rcrow in eng._refs:
+                setup.set_ref(j, *eng._refs[rcrow])
+            if rcrow in eng._tapers:
+                setup.set_taper(j, eng._tapers[rcrow])
+            if rcrow in eng._filters:
+                setup.set_filter(j, eng._filters[rcrow])
+            tmin, tmax = per_rec.get(r, eng.floating_shiftrange_s)
+            setup.shift_lo[j] = int(fnint(np.float32(tmin) / np.float32(store.dt)))
+            setup.shift_hi[j] = int(fnint(np.float32(tmax) / np.float32(store.dt)))
+        setup.syn_factor[:] = eng.synthetics_factor
+        ctx = setup.device()
+        rctx = mf.precompute_ref_context(ctx, method, st, (s1, s2), any_taper, any_filter)
+        if ctx_stacks is None:
+            ctx_stacks = {k: [] for k in ctx}
+            rctx_stacks = {k: [] for k in rctx}
+        for k in ctx:
+            ctx_stacks[k].append(np.asarray(ctx[k]))
+        for k in rctx:
+            rctx_stacks[k].append(
+                np.asarray(rctx[k]) if hasattr(rctx[k], "shape") else rctx[k]
+            )
+        rc_chan_stack.append(chan)
+        rc_sign_stack.append(sign)
+        rc_recl_stack.append(rec_ids)
+        span_idx_stack.append(span_of_chan[chan])
+
+    recs = {k: jax.device_put(np.stack(v), shard) for k, v in rec_stacks.items()}
+    ctxd = {k: jax.device_put(np.stack(v), shard) for k, v in ctx_stacks.items()}
+    rctxd = {}
+    rctx_static = {}  # method/base strings: identical per shard, closed over
+    for k, v in rctx_stacks.items():
+        if hasattr(v[0], "shape"):
+            rctxd[k] = jax.device_put(np.stack(v), shard)
+        else:
+            rctx_static[k] = v[0]
+    aux = jax.device_put(
+        {
+            "chan": np.stack(rc_chan_stack),
+            "sign": np.stack(rc_sign_stack),
+            "span_idx": np.stack(span_idx_stack),
+        },
+        shard,
+    )
+
+    shiftrange = (s1, s2)
+    nrec_local = r_max + 1  # + padding slot
+
+    def shard_fn(ext_s, gfi_s, gfn_s, ix0_s, recs_s, ctx_s, rctx_s, aux_s,
+                 cbatch, moments, risetimes):
+        ext_l, gfi_l, gfn_l = ext_s[0], gfi_s[0], gfn_s[0]
+        ix0_l = ix0_s[0]
+        recs_l = {k: v[0] for k, v in recs_s.items()}
+        recs_l["window_ix0"] = jnp.full((r_max,), ix0_l, jnp.int32)
+        ctx_l = {k: v[0] for k, v in ctx_s.items()}
+        rctx_l = {k: v[0] for k, v in rctx_s.items()} | rctx_static
+        aux_l = {k: v[0] for k, v in aux_s.items()}
+
+        def forward_one(cent, moment, risetime):
+            def per_rec(rec):
+                ard, lo_, hi_ = synth.synthesize_with_spans(
+                    ext_l, gfi_l, gfn_l, cfg, rec, cent, path="direct"
+                )
+                canon = synth.ard_to_components(ard, rec["bazi"], (1, 2, 3, 4, 5))
+                return canon, lo_, hi_
+
+            canon, los, his = jax.vmap(per_rec)(recs_l)
+            rl = ctx_l["receiver_ids"]
+            rl_c = jnp.clip(rl, 0, r_max - 1)  # padding rows read any row
+            syn_rc = canon[rl_c, aux_l["chan"]] * aux_l["sign"][:, None]
+            lo_rc = los[rl_c, aux_l["span_idx"]]
+            hi_rc = his[rl_c, aux_l["span_idx"]]
+            return mf.evaluate_misfits(
+                ctx_l, syn_rc, cfg.out_it0, lo_rc, hi_rc, method, st,
+                nrec_local, moment=moment, risetime=risetime,
+                fold_nshift_max=fold_max, shiftrange=shiftrange, rctx=rctx_l,
+                any_taper=any_taper, any_filter=any_filter,
+            )
+
+        m, nn, fs = jax.vmap(forward_one)(cbatch, moments, risetimes)
+        return m[None], nn[None], fs[None, :, :r_max]
+
+    fwd = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P(axis), P(axis), P(axis), P(axis),
+                P(axis), P(axis), P(axis), P(axis),
+                P(), P(), P(),
+            ),
+            out_specs=(P(axis), P(axis), P(axis)),
+        )
+    )
+
+    def forward(ext_a, gfi_a, gfn_a, ix0_a, recs_a, ctx_a, rctx_a, aux_a,
+                cbatch, moments, risetimes):
+        m, nn, fs = fwd(ext_a, gfi_a, gfn_a, ix0_a, recs_a, ctx_a, rctx_a,
+                        aux_a, cbatch, moments, risetimes)
+        b = moments.shape[0]
+        return (
+            jnp.moveaxis(m, 0, 1).reshape(b, -1),
+            jnp.moveaxis(nn, 0, 1).reshape(b, -1),
+            jnp.moveaxis(fs, 0, 1).reshape(b, -1),
+        )
+
+    plan = GFShardedPlan(
+        engine=eng, mesh=mesh, axis=axis, cfg=cfg, st=st, groups=groups,
+        rc_of=rc_of, rc_max=rc_max, r_max=r_max,
+        forward=forward,
+        sharded_args=(ext, gfi, gfn, ix0, recs, ctxd, rctxd, aux),
+    )
+    return plan
+
+
+class _SubGeom:
+    """Receiver-geometry view restricted to an index subset (duck-typed for
+    plan_config, which reads .dist and .depth)."""
+
+    def __init__(self, geom, idx):
+        self.dist = geom.dist[idx]
+        self.depth = geom.depth[idx]
+        self.azi = geom.azi[idx]
+        self.bazi = geom.bazi[idx]

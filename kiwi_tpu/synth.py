@@ -349,12 +349,16 @@ class SynthConfig:
     zunder: int = 1
 
 
-def gf_indices(cfg: SynthConfig, x, z):
+def gf_indices(cfg: SynthConfig, x, z, ix0=None):
     """Window-relative bilinear indices + fractional weights.
 
     Port of gfdb_get_indices / gfdb_get_indices_bilin (gfdb.f90:781-815),
     0-based, computed in float32 like the reference (it passes real(dist)).
     Returns ix[2], iz[2] (window-relative, clipped), dix, diz, valid.
+
+    ix0: optional dynamic window origin overriding the static cfg.ix0 --
+    used by distance-sharded GF stores where each device holds a window at
+    a different offset (parallel/gfshard.py).
     """
     x = x.astype(F32)
     z = z.astype(F32)
@@ -381,7 +385,8 @@ def gf_indices(cfg: SynthConfig, x, z):
         dix = jnp.zeros_like(x)
         diz = jnp.zeros_like(z)
 
-    ixs = jnp.stack([ix1, ix2]) - cfg.ix0
+    base_ix0 = cfg.ix0 if ix0 is None else ix0
+    ixs = jnp.stack([ix1, ix2]) - base_ix0
     izs = jnp.stack([iz1, iz2]) - cfg.iz0
     valid = (
         (ixs[0] >= 0)
@@ -432,8 +437,9 @@ def _centroid_kinematics(cfg: SynthConfig, rec, centroids):
     f = make_weights_sc(sin_az, cos_az, centroids["m"])  # [C, 6]
 
     z = centroids["depth"] - rec["depth"].astype(F32)
+    ix0 = rec.get("window_ix0")  # dynamic window origin (gfshard)
     ixs, izs, dix, diz, valid = jax.vmap(
-        lambda x, zz: gf_indices(cfg, x, zz)
+        lambda x, zz: gf_indices(cfg, x, zz, ix0=ix0)
     )(dist.astype(F32), z)
 
     rshift = centroids["time"].astype(F32) / jnp.asarray(cfg.dt, F32)

@@ -55,3 +55,66 @@ def test_sharded_matches_unsharded(engine):
     mesh2 = make_mesh(n_sources=4, n_receivers=2)
     m2, n2, _ = sharded_forward(eng, batch, mesh2)
     np.testing.assert_allclose(np.asarray(m2), m0, rtol=2e-5, atol=1e-8)
+
+
+def test_gf_distance_sharding_matches_unsharded(engine):
+    """Distance-sharded GF windows (each device holds only its receivers'
+    window) reproduce the unsharded misfits; the per-device window is a
+    strict subset of the full one."""
+    from kiwi_tpu.parallel import gfshard
+
+    eng, p = engine
+    batch = np.tile(p, (6, 1))
+    batch[:, 5] = np.linspace(10.0, 170.0, 6).astype(np.float32)
+
+    m0, n0, _ = eng.misfits_for_source_batch(batch)
+    m0, n0 = np.asarray(m0), np.asarray(n0)
+
+    mesh = make_mesh(n_sources=1, n_receivers=8)  # ("s", "r") axes
+    plan = gfshard.build_plan(eng, mesh, axis="r")
+    m1, n1, _ = plan.misfits(batch)
+
+    scale = np.abs(m0).max()
+    np.testing.assert_allclose(m1, m0, rtol=3e-5, atol=scale * 3e-5)
+    np.testing.assert_allclose(n1, n0, rtol=3e-5, atol=np.abs(n0).max() * 3e-5)
+
+    # the sharded store really is partitioned: each device's addressable
+    # window shard is 1/8 of the stacked array, narrower than the full plan
+    ext = plan.sharded_args[0]
+    assert ext.shape[0] == 8
+    shard_shapes = {s.data.shape for s in ext.addressable_shards}
+    assert shard_shapes == {(1,) + ext.shape[1:]}
+    full_cfg = eng._plan["cfg"]
+    assert plan.cfg.nxw < full_cfg.nxw
+
+    gm = plan.global_misfits(batch)
+    gm0 = np.sqrt((m0.astype(np.float64) ** 2).sum(1)) / np.sqrt(
+        (n0.astype(np.float64) ** 2).sum(1))
+    np.testing.assert_allclose(gm, gm0, rtol=3e-5)
+
+
+def test_gf_distance_sharding_floating(engine):
+    """Same under a floating norm (per-receiver shift search crosses rc rows
+    inside each shard only)."""
+    from kiwi_tpu.parallel import gfshard
+
+    eng, p = engine
+    eng.set_misfit_method("floating_l1norm")
+    eng.set_floating_shiftrange(-0.3, 0.3)
+    try:
+        batch = np.tile(p, (4, 1))
+        batch[:, 0] = np.array([-0.15, 0.0, 0.1, 0.2], np.float32)
+
+        m0, n0, fs0 = eng.misfits_for_source_batch(batch)
+        m0, n0, fs0 = np.asarray(m0), np.asarray(n0), np.asarray(fs0)
+
+        mesh = make_mesh(n_sources=1, n_receivers=8)
+        plan = gfshard.build_plan(eng, mesh, axis="r")
+        m1, n1, fs1 = plan.misfits(batch)
+
+        scale = max(np.abs(m0).max(), 1e-30)
+        np.testing.assert_allclose(m1, m0, rtol=3e-5, atol=scale * 3e-5)
+        np.testing.assert_array_equal(fs1, fs0)
+    finally:
+        eng.set_misfit_method("l2norm")
+        eng.set_floating_shiftrange(0.0, 0.0)
