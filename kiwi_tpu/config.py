@@ -81,6 +81,73 @@ class Config:
         with open(path) as f:
             return cls(*parents, **json.load(f))
 
+    # -- path templating (configurator.py:50-96) ------------------------------
+
+    def __getattr__(self, key):
+        # attribute-style access walking the chain, like configurator.Config
+        if key in ("parents", "values"):
+            raise AttributeError(key)
+        v = self.get(key, _MISSING)
+        if v is _MISSING:
+            raise AttributeError(key)
+        return v
+
+    def has(self, key):
+        return self.get(key, None) is not None
+
+    def get_or_none(self, key):
+        return self.get(key, None)
+
+    def get_avail(self, *keys):
+        return {k: self[k] for k in keys if self.has(k)}
+
+    def mkpath(self, template, additional=None, maxrepl=100):
+        """Iterative %(key)s substitution against the chained config
+        (configurator.Config.mkpath, configurator.py:66-96): templates may
+        reference other templated keys; unknown keys survive as-is so an
+        `additional` dict can fill them in a second pass."""
+        s = template
+        last = None
+        for _ in range(maxrepl):
+            s = s % _TemplateView(self)
+            if s == last:
+                if additional is not None:
+                    s = s % additional
+                return s
+            last = s
+        raise ValueError(f"too many substitution levels in template: {template!r}")
+
+    def path(self, name, additional=None):
+        return self.mkpath(self[name], additional)
+
+    def path_or_none(self, name, additional=None):
+        return self.path(name, additional) if self.has(name) else None
+
+
+class _TemplateView:
+    """Mapping view for % substitution: unknown keys render back to
+    '%(key)s' so they survive for later passes (configurator.py:12-16)."""
+
+    def __init__(self, cfg):
+        self._cfg = cfg
+
+    def __getitem__(self, key):
+        v = self._cfg.get(key, _MISSING)
+        if v is _MISSING:
+            return "%(" + key + ")s"
+        return v
+
+
+def load_pyconfig(path, **namespace):
+    """Execute a Python config file and return its Config objects by name
+    (the reference's apps load python configuration modules defining
+    chained Config instances).  `namespace` seeds the execution globals."""
+    g = {"Config": Config, **namespace}
+    with open(path) as f:
+        code = f.read()
+    exec(compile(code, path, "exec"), g)
+    return {k: v for k, v in g.items() if isinstance(v, Config)}
+
 
 class _Missing:
     def __repr__(self):

@@ -126,3 +126,23 @@ def test_effective_dt_tester(engine, tmp_path):
     chosen, curve = t.work(engine, base)
     assert chosen in (0.1, 0.2, 0.4)
     assert len(curve) == 3
+
+
+def test_config_path_templating(tmp_path):
+    """Chained %(key)s path templating + python config files
+    (configurator.py:12-96)."""
+    from kiwi_tpu.config import Config, load_pyconfig
+
+    base = Config(base_dir="/data/events", event_name="ev2024")
+    c = Config(base, event_dir="%(base_dir)s/%(event_name)s",
+               work="%(event_dir)s/work-%(run)s")
+    assert c.path("event_dir") == "/data/events/ev2024"
+    assert c.mkpath(c["work"], additional={"run": 3}) == "/data/events/ev2024/work-3"
+    assert c.path_or_none("missing") is None
+    assert c.event_name == "ev2024"  # attribute access walks the chain
+
+    fn = tmp_path / "conf.py"
+    fn.write_text("base = Config(gfdb='/gf/db')\n"
+                  "run = Config(base, out='%(gfdb)s/out')\n")
+    cfgs = load_pyconfig(str(fn))
+    assert cfgs["run"].path("out") == "/gf/db/out"
