@@ -146,3 +146,51 @@ def test_config_path_templating(tmp_path):
                   "run = Config(base, out='%(gfdb)s/out')\n")
     cfgs = load_pyconfig(str(fn))
     assert cfgs["run"].path("out") == "/gf/db/out"
+
+
+def test_autokiwi_workflow(tmp_path, monkeypatch, capsys):
+    """Offline autokiwi cycle: pull -> prepare -> process -> report -> post
+    -> list over event directories (python/scripts/autokiwi's command
+    surface with a local catalog backend)."""
+    from kiwi_tpu.cli import autokiwi
+
+    (tmp_path / "autokiwi.conf").write_text(
+        "base_config = Config(base_dir='.',\n"
+        "    event_dir='%(base_dir)s/events/%(event_name)s',\n"
+        "    seed_volume='%(event_dir)s/data.kiwi',\n"
+        "    fail_filename='%(event_dir)s/failed')\n"
+        "pull_config = Config(base_config, catalog='catalog.txt')\n"
+        "kiwi_config = Config(base_config,\n"
+        "    processing_dir='%(event_dir)s/work',\n"
+        "    processing_command=['python', '-c',\n"
+        "        \"open('result.txt','w').write('x')\"],\n"
+        "    report_command=['python', '-c', \"open('r.html','w').write('x')\"],\n"
+        "    done_filename='%(event_dir)s/work/result.txt')\n"
+        "post_config = Config(base_config,\n"
+        "    source_dir='%(event_dir)s/work',\n"
+        "    target_dir='%(base_dir)s/pub/%(event_name)s')\n"
+    )
+    (tmp_path / "catalog.txt").write_text(
+        "ev-a 1000.0 40.0 29.0 17000 7.6 SomeRegion\n"
+        "ev-b 2000.0 38.0 142.0 29000 9.1 Other\n"
+    )
+    monkeypatch.chdir(tmp_path)
+
+    autokiwi.main(["pull", "first"])
+    assert capsys.readouterr().out.strip() == "ev-b"  # newest first
+    autokiwi.main(["pull", "all"])
+    autokiwi.main(["list"])
+    assert set(capsys.readouterr().out.split()) >= {"ev-a", "ev-b"}
+
+    autokiwi.main(["prepare,process,report", "all"])
+    assert (tmp_path / "events/ev-a/work/result.txt").exists()
+    assert (tmp_path / "events/ev-b/work/r.html").exists()
+
+    autokiwi.main(["post", "all"])
+    assert (tmp_path / "pub/ev-a/result.txt").exists()
+
+    # nothing missing once results exist
+    autokiwi.main(["process", "missing"])
+
+    ev = autokiwi.Event.load(str(tmp_path / "events/ev-b/data.kiwi.event"))
+    assert ev.name == "ev-b" and ev.magnitude == 9.1
