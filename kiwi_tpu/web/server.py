@@ -1,0 +1,302 @@
+"""Interactive web seismosizer (web/cgi-bin/seismograms.pl, 819 lines of
+Perl CGI around a piped `minimizer` process).
+
+Same interaction model, TPU-native internals: a form posts source
+parameters + receiver coordinates; the server keeps per-session result
+*generations* on disk (seismograms.pl:47-67's session/generation scheme),
+runs the Engine forward for each calculate, renders seismogram comparison
+PNGs of the current vs previous generation (:242-258), and serves the
+images back (:69-80's getfile).  Implemented on the stdlib http.server --
+no CGI, no subprocess pipes; the engine object is resident and reuses its
+compiled plans across requests.
+
+Run:  python -m kiwi_tpu.web <database> [--port 8642] [--workdir DIR]
+"""
+
+from __future__ import annotations
+
+import html
+import io
+import json
+import os
+import re
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_SAFE_FILE = re.compile(r"^[a-z0-9_.-]+$")
+
+
+class SeismogramApp:
+    """Session state + engine around one GF database."""
+
+    def __init__(self, store, workdir, source_type="bilateral"):
+        from ..engine import Engine
+
+        self.store = store
+        self.workdir = workdir
+        self.default_source_type = source_type
+        self.engine = Engine(store)
+        self.lock = threading.Lock()
+        os.makedirs(workdir, exist_ok=True)
+
+    # -- session/generation result dirs (seismograms.pl:47-67, :301-327) -----
+
+    def _gen_dir(self, session, generation):
+        d = os.path.join(self.workdir, f"session-{int(session)}",
+                         f"gen-{int(generation)}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def generations(self, session):
+        base = os.path.join(self.workdir, f"session-{int(session)}")
+        if not os.path.isdir(base):
+            return []
+        gens = []
+        for name in sorted(os.listdir(base)):
+            m = re.match(r"gen-(\d+)$", name)
+            if m:
+                gens.append(int(m.group(1)))
+        return sorted(gens)
+
+    # -- the forward (seismograms.pl:344-420's calculate) ---------------------
+
+    def calculate(self, session, form):
+        from ..sources import get_source_model
+
+        stype = form.get("sourcetype", self.default_source_type)
+        model = get_source_model(stype)
+        params = np.array(
+            [float(form.get(f"param.{name}", model.defaults[i]))
+             for i, name in enumerate(model.names)],
+            dtype=np.float32,
+        )
+        recs = []
+        from ..engine import Receiver
+
+        for line in form.get("receivers", "").splitlines():
+            w = line.split()
+            if len(w) >= 2:
+                comps = w[2] if len(w) > 2 else "ned"
+                recs.append(Receiver(float(w[0]), float(w[1]), comps))
+        if not recs:
+            raise ValueError("no receivers given")
+
+        with self.lock:
+            eng = self.engine
+            eng.set_receivers(recs)
+            eng.set_source_location(
+                float(form.get("source_latitude", 0.0)),
+                float(form.get("source_longitude", 0.0)),
+                float(form.get("reference_time", 0.0)),
+            )
+            eng.set_effective_dt(float(form.get("effective_dt", self.store.dt)))
+            eng.set_local_interpolation(form.get("interpolation", "bilinear") == "bilinear")
+            eng.set_source_params(stype, params)
+            traces = eng.get_synthetic_seismograms()
+            layout = eng._plan["layout"]
+
+        gens = self.generations(session)
+        generation = (gens[-1] + 1) if gens else 1
+        gdir = self._gen_dir(session, generation)
+        rows = []
+        for (values, itmin), (irec, comp) in zip(traces, layout):
+            rows.append({
+                "receiver": irec + 1,
+                "component": comp,
+                "itmin": int(itmin),
+                "values": np.asarray(values).tolist(),
+            })
+        with open(os.path.join(gdir, "result.json"), "w") as f:
+            json.dump({"form": dict(form), "dt": self.store.dt, "traces": rows}, f)
+        self._plot(session, generation)
+        return generation
+
+    def _plot(self, session, generation):
+        """Per-receiver comparison PNGs of this generation vs the previous
+        (seismograms.pl:242-258)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        cur = self._load(session, generation)
+        prev = None
+        if generation > 1 and os.path.isdir(
+            os.path.join(self.workdir, f"session-{int(session)}", f"gen-{generation-1}")
+        ):
+            prev = self._load(session, generation - 1)
+        gdir = self._gen_dir(session, generation)
+        byrec = {}
+        for row in cur["traces"]:
+            byrec.setdefault(row["receiver"], []).append(row)
+        for irec, rows in byrec.items():
+            fig, axes = plt.subplots(len(rows), 1, figsize=(8, 1.6 * len(rows)),
+                                     squeeze=False, sharex=True)
+            for ax, row in zip(axes[:, 0], rows):
+                t = (row["itmin"] + np.arange(len(row["values"]))) * cur["dt"]
+                ax.plot(t, row["values"], "k-", lw=0.8,
+                        label=f"gen {generation}")
+                if prev is not None:
+                    for prow in prev["traces"]:
+                        if (prow["receiver"], prow["component"]) == (
+                                row["receiver"], row["component"]):
+                            tp = (prow["itmin"] + np.arange(len(prow["values"]))) * prev["dt"]
+                            ax.plot(tp, prow["values"], "r-", lw=0.8, alpha=0.6,
+                                    label=f"gen {generation-1}")
+                ax.set_ylabel(row["component"])
+            axes[0, 0].legend(loc="upper right", fontsize=7)
+            axes[-1, 0].set_xlabel("time [s]")
+            fig.tight_layout()
+            fig.savefig(os.path.join(gdir, f"seismogram-{irec}.png"), dpi=80)
+            plt.close(fig)
+
+    def _load(self, session, generation):
+        with open(os.path.join(self._gen_dir(session, generation), "result.json")) as f:
+            return json.load(f)
+
+    # -- html ------------------------------------------------------------------
+
+    def form_html(self, session, form, images, generation):
+        from ..sources import SOURCE_REGISTRY, get_source_model
+
+        stype = form.get("sourcetype", self.default_source_type)
+        model = get_source_model(stype)
+        opts = "".join(
+            f'<option value="{n}"{" selected" if n == stype else ""}>{n}</option>'
+            for n in sorted(SOURCE_REGISTRY)
+        )
+        rows = []
+        for i, name in enumerate(model.names):
+            val = html.escape(str(form.get(f"param.{name}", model.defaults[i])))
+            rows.append(
+                f"<tr><td>{name} [{model.units[i]}]</td>"
+                f'<td><input name="param.{name}" value="{val}"></td></tr>'
+            )
+        recs = html.escape(form.get("receivers", "40.0 30.0 ned"))
+        imgs = "".join(
+            f'<p><img src="/file?session={session}&generation={generation}'
+            f'&name={name}" alt="{name}"></p>'
+            for name in images
+        )
+        return f"""<!DOCTYPE html><html><head><title>kiwi-tpu seismograms</title></head>
+<body><h1>kiwi-tpu web seismosizer</h1>
+<form method="post" action="/">
+<input type="hidden" name="session" value="{session}">
+<p>source type: <select name="sourcetype">{opts}</select>
+(change type, calculate once to load its parameters)</p>
+<table>{''.join(rows)}</table>
+<p>source latitude <input name="source_latitude" value="{html.escape(str(form.get('source_latitude', '40.0')))}">
+longitude <input name="source_longitude" value="{html.escape(str(form.get('source_longitude', '30.0')))}"></p>
+<p>effective dt <input name="effective_dt" value="{html.escape(str(form.get('effective_dt', self.store.dt)))}">
+interpolation <select name="interpolation">
+<option value="bilinear" selected>bilinear</option><option value="nearest">nearest</option>
+</select></p>
+<p>receivers (lat lon [components], one per line):<br>
+<textarea name="receivers" rows="4" cols="50">{recs}</textarea></p>
+<p><button name="calculate" value="1">calculate</button></p>
+</form>
+<p>generation: {generation or 'none yet'}</p>
+{imgs}
+</body></html>"""
+
+
+class _Handler(BaseHTTPRequestHandler):
+    app: SeismogramApp = None
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def _send(self, code, body, ctype="text/html; charset=utf-8"):
+        data = body if isinstance(body, bytes) else body.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):
+        url = urllib.parse.urlparse(self.path)
+        q = dict(urllib.parse.parse_qsl(url.query))
+        if url.path == "/file":
+            # seismograms.pl:69-80: strictly validated file fetch
+            name = q.get("name", "")
+            if not _SAFE_FILE.match(name) or ".." in name:
+                return self._send(400, "malformed parameter")
+            try:
+                gdir = self.app._gen_dir(int(q.get("session", 0)),
+                                         int(q.get("generation", 0)))
+            except ValueError:
+                return self._send(400, "malformed parameter")
+            path = os.path.join(gdir, name)
+            if not os.path.isfile(path):
+                return self._send(404, "no such file")
+            with open(path, "rb") as f:
+                ctype = "image/png" if name.endswith(".png") else "application/json"
+                return self._send(200, f.read(), ctype)
+        if url.path == "/":
+            session = int(q.get("session", os.getpid() % 100000))
+            gens = self.app.generations(session)
+            generation = gens[-1] if gens else 0
+            form = {}
+            images = []
+            if generation:
+                form = self.app._load(session, generation)["form"]
+                images = sorted(
+                    n for n in os.listdir(self.app._gen_dir(session, generation))
+                    if n.endswith(".png")
+                )
+            return self._send(200, self.app.form_html(session, form, images, generation))
+        return self._send(404, "not found")
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        form = dict(urllib.parse.parse_qsl(self.rfile.read(length).decode()))
+        session = int(form.get("session", 0) or 0)
+        try:
+            generation = self.app.calculate(session, form)
+        except Exception as e:  # render the error like the CGI's error()
+            return self._send(200, f"<html><body><h1>error</h1><pre>{html.escape(str(e))}</pre>"
+                                   f'<p><a href="/?session={session}">back</a></p></body></html>')
+        images = sorted(
+            n for n in os.listdir(self.app._gen_dir(session, generation))
+            if n.endswith(".png")
+        )
+        return self._send(200, self.app.form_html(session, form, images, generation))
+
+
+def serve(store, workdir, port=8642, source_type="bilateral"):
+    """Blocking server loop; returns the server object when port=0 tests
+    want to drive it from another thread."""
+    app = SeismogramApp(store, workdir, source_type)
+    handler = type("Handler", (_Handler,), {"app": app})
+    srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    return srv
+
+
+def main(argv=None):
+    import argparse
+
+    from ..gf.store import GFStore
+
+    p = argparse.ArgumentParser(prog="kiwi_tpu.web")
+    p.add_argument("database")
+    p.add_argument("--port", type=int, default=8642)
+    p.add_argument("--workdir", default="./webwork")
+    p.add_argument("--source-type", default="bilateral")
+    opts = p.parse_args(argv)
+    if opts.database.endswith(".npz"):
+        store = GFStore.load(opts.database)
+    else:
+        from ..io.gfdb_hdf5 import load_gfdb
+
+        store = load_gfdb(opts.database)
+    srv = serve(store, opts.workdir, opts.port, opts.source_type)
+    print(f"serving on http://127.0.0.1:{srv.server_address[1]}/")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
