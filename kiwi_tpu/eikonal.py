@@ -145,7 +145,9 @@ def _directional_sweep(t, f, sd, da, dc, flip):
         return tnew, tnew
 
     init = jnp.full((t.shape[1],), BIG)
-    _, out = jax.lax.scan(body, init, (t, f, ahead, sd, hmin))
+    # unroll: each scan step is a tiny [ny]-vector update; sequential-step
+    # overhead dominates on TPU, so fuse 8 lines per step (bit-identical)
+    _, out = jax.lax.scan(body, init, (t, f, ahead, sd, hmin), unroll=8)
     return jnp.flip(out, 0) if flip else out
 
 

@@ -489,30 +489,40 @@ def make_device_discretizer(static, effective_dt, ctx: EikonalContext,
                                 n_rounds=n_rounds)
         valid = inside & (times < eik.BIG * 0.5)
 
-        # downsample fine -> coarse (psm_downsample_grid)
+        # downsample fine -> coarse (psm_downsample_grid).  The coarse cell
+        # of a fine point is separable (cix depends only on the x index,
+        # ciy only on y, both grids being regular), so the per-cell sums are
+        # two tiny 0/1 matmuls instead of a 235k-point scatter -- the
+        # segment_sum formulation dominated the whole discretizer on TPU.
         cdelta = a["cdelta"].astype(jnp.float32)
-        cdim = a["cdims"]
-        cix = jnp.clip(jnp.floor((pts_rc[..., 0] - first[0]) / cdelta[0]).astype(jnp.int32),
-                       0, ncx - 1)
-        ciy = jnp.clip(jnp.floor((pts_rc[..., 1] - first[1]) / cdelta[1]).astype(jnp.int32),
-                       0, ncy - 1)
-        cid = (cix * ncy + ciy).reshape(-1)
-        w = jnp.where(valid, 1.0, 0.0).reshape(-1)
+        cix1 = jnp.clip(jnp.floor((px - first[0]) / cdelta[0]).astype(jnp.int32),
+                        0, ncx - 1)  # [nfx]
+        ciy1 = jnp.clip(jnp.floor((py - first[1]) / cdelta[1]).astype(jnp.int32),
+                        0, ncy - 1)  # [nfy]
+        mx = (cix1[None, :] == jnp.arange(ncx)[:, None]).astype(jnp.float32)
+        my = (ciy1[None, :] == jnp.arange(ncy)[:, None]).astype(jnp.float32)
+        wmask = jnp.where(valid, 1.0, 0.0)  # [nfx, nfy]
+        hp = jax.lax.Precision.HIGHEST
         ncell = ncx * ncy
 
-        def seg(vals):
-            return jax.ops.segment_sum(vals * w, cid, num_segments=ncell)
+        def seg2(field):
+            """sum of field*w per coarse cell, flattened in cix*ncy+ciy order."""
+            return jnp.einsum("cx,xy,dy->cd", mx, field * wmask, my,
+                              precision=hp).reshape(-1)
 
-        counts = seg(jnp.ones_like(w))
+        counts = seg2(jnp.ones_like(wmask))
         have = counts > 0
         safe = jnp.where(have, counts, 1.0)
-        ctimes = seg(times.reshape(-1)) / safe
-        cn = seg(pts[..., 0].reshape(-1)) / safe
-        ce = seg(pts[..., 1].reshape(-1)) / safe
-        cd = seg(pts[..., 2].reshape(-1)) / safe
-        npf = jnp.maximum(jnp.sum(w), 1.0)
+        ctimes = seg2(times) / safe
+        cn = seg2(pts[..., 0]) / safe
+        ce = seg2(pts[..., 1]) / safe
+        cd = seg2(pts[..., 2]) / safe
+        npf = jnp.maximum(jnp.sum(wmask), 1.0)
         cweights = counts / npf
-        cdur = 4.0 / safe * seg(jnp.abs(times.reshape(-1) - ctimes[cid]))
+        # broadcast cell means back to the fine grid with the transposes
+        mu = jnp.einsum("cx,cd,dy->xy", mx, ctimes.reshape(ncx, ncy), my,
+                        precision=hp)
+        cdur = 4.0 / safe * seg2(jnp.abs(times - mu))
 
         centertime = jnp.sum(jnp.where(have, ctimes * cweights, 0.0))
 
