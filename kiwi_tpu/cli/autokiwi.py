@@ -342,14 +342,16 @@ def main(argv=None):
     ok = True
     fail_fn = base_config.get("fail_filename")
     if "process" in commands:
+        # path() leaves the unknown %(event_name)s placeholder in place for
+        # run_processing_command to fill per event
         ok &= run_processing_command(
-            kiwi_config.path("processing_dir", additional={"event_name": "%(event_name)s"}),
+            kiwi_config.path("processing_dir"),
             kiwi_config["processing_command"], event_names,
             fail_label="process", fail_filename=fail_fn,
         )
     if "report" in commands:
         ok &= run_processing_command(
-            kiwi_config.path("processing_dir", additional={"event_name": "%(event_name)s"}),
+            kiwi_config.path("processing_dir"),
             kiwi_config["report_command"], event_names,
             fail_label="report", fail_filename=fail_fn,
         )

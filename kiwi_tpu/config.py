@@ -102,19 +102,35 @@ class Config:
         return {k: self[k] for k in keys if self.has(k)}
 
     def mkpath(self, template, additional=None, maxrepl=100):
-        """Iterative %(key)s substitution against the chained config
+        """Iterative %(key)X substitution against the chained config
         (configurator.Config.mkpath, configurator.py:66-96): templates may
-        reference other templated keys; unknown keys survive as-is so an
-        `additional` dict can fill them in a second pass."""
+        reference other templated keys; unknown keys survive untouched
+        (whatever their format char) so an `additional` dict can fill them
+        in the same pass or the caller can fill them later."""
+        import re
+
+        pat = re.compile(r"%\((\w+)\)([sdifge])")
+
+        def lookup(key):
+            if additional is not None and key in additional:
+                return additional[key]
+            return self.get(key, _MISSING)
+
         s = template
-        last = None
         for _ in range(maxrepl):
-            s = s % _TemplateView(self)
-            if s == last:
-                if additional is not None:
-                    s = s % additional
+            changed = False
+
+            def sub(m):
+                nonlocal changed
+                v = lookup(m.group(1))
+                if v is _MISSING:
+                    return m.group(0)
+                changed = True
+                return ("%" + m.group(2)) % v
+
+            s = pat.sub(sub, s)
+            if not changed:
                 return s
-            last = s
         raise ValueError(f"too many substitution levels in template: {template!r}")
 
     def path(self, name, additional=None):
@@ -122,20 +138,6 @@ class Config:
 
     def path_or_none(self, name, additional=None):
         return self.path(name, additional) if self.has(name) else None
-
-
-class _TemplateView:
-    """Mapping view for % substitution: unknown keys render back to
-    '%(key)s' so they survive for later passes (configurator.py:12-16)."""
-
-    def __init__(self, cfg):
-        self._cfg = cfg
-
-    def __getitem__(self, key):
-        v = self._cfg.get(key, _MISSING)
-        if v is _MISSING:
-            return "%(" + key + ")s"
-        return v
 
 
 def load_pyconfig(path, **namespace):

@@ -22,8 +22,13 @@ from .gf.trace import fnint
 from .io import readseismogram
 
 
-def load_receivers_table(path, set_components=None, has_depth=False):
-    """receivers.table -> [Receiver] (receiver.py's load_table)."""
+def load_receivers_table(path, set_components=None, has_depth=None):
+    """receivers.table -> [Receiver] (receiver.py's load_table).
+
+    Accepts both row forms: `lat lon [components [name]]` and the
+    depth-bearing form prepare.py writes (`lat lon depth components name`,
+    prepare.py:133-135).  has_depth=None auto-detects per row (a component
+    string never parses as a float)."""
     out = []
     with open(path) as f:
         for line in f:
@@ -32,16 +37,27 @@ def load_receivers_table(path, set_components=None, has_depth=False):
                 continue
             w = line.split()
             depth = 0.0
+            name = ""
             comps = set_components or ""
-            if has_depth:
-                lat, lon, depth = float(w[0]), float(w[1]), float(w[2])
-                if len(w) > 3:
-                    comps = set_components or w[3]
-            else:
-                lat, lon = float(w[0]), float(w[1])
-                if len(w) > 2:
-                    comps = set_components or w[2]
-            out.append(Receiver(lat, lon, comps, depth=depth, enabled=bool(comps)))
+            lat, lon = float(w[0]), float(w[1])
+            rest = w[2:]
+            hd = has_depth
+            if hd is None and rest:
+                try:
+                    float(rest[0])
+                    hd = True
+                except ValueError:
+                    hd = False
+            if hd and rest:
+                depth = float(rest[0])
+                rest = rest[1:]
+            if rest:
+                comps = set_components or rest[0]
+                rest = rest[1:]
+            if rest:
+                name = rest[0]
+            out.append(Receiver(lat, lon, comps, depth=depth,
+                                enabled=bool(comps), name=name))
     return out
 
 

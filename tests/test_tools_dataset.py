@@ -176,3 +176,61 @@ def test_gfdb_redeploy_entries(store, tmp_path):
     np.testing.assert_array_equal(got[0], tr[0])
     assert out2.get_trace(3, 2, 0) is None
     assert out2.get_trace(3, 2, 2) is None
+
+
+def test_prepare_kiwi_dataset(store, tmp_path):
+    """prepare.save_kiwi_dataset writes a dataset that standard_setup can
+    load end-to-end (prepare.py:62-171 conventions)."""
+    from kiwi_tpu import prepare
+    from kiwi_tpu.cli.autokiwi import Event
+    from kiwi_tpu.config import Config
+    from kiwi_tpu.dataset import standard_setup
+
+    olat, olon = 30.0, 70.0
+    ev = Event(name="ev-test", time=1000000.0, lat=olat, lon=olon,
+               depth=400.0, magnitude=5.0, region="here")
+
+    stations, traces = [], []
+    rng = np.random.default_rng(3)
+    for i, d in enumerate((1500.0, 2600.0)):
+        la, lo = geo.ne_to_latlon(np.radians(olat), np.radians(olon), d, 0.2)
+        st = prepare.Station("XX", f"S{i}", "", np.degrees(float(la)),
+                             np.degrees(float(lo)))
+        stations.append(st)
+        # two rotated horizontals + vertical, absolute time = event + 2 s
+        y1 = rng.normal(size=40).astype(np.float32); y1[-1] = 0
+        y2 = rng.normal(size=40).astype(np.float32); y2[-1] = 0
+        t1 = prepare.RawTrace("XX", f"S{i}", "", "BH1", ev.time + 2.0, 0.1, y1)
+        t2 = prepare.RawTrace("XX", f"S{i}", "", "BH2", ev.time + 2.0, 0.1, y2)
+        n, e = prepare.rotate_to_ned(t1, t2, 30.0, 120.0)
+        n.channel, e.channel = "BHN", "BHE"
+        z = prepare.RawTrace("XX", f"S{i}", "", "BHZ", ev.time + 2.0, 0.1,
+                             rng.normal(size=40).astype(np.float32))
+        z.ydata[-1] = 0
+        traces += [n, e, z]
+
+    ddir = tmp_path / "data"
+    cfg = Config(
+        wanted_channels=["BHN", "BHE", "BHZ"],
+        kiwi_component_map={"BHN": "n", "BHE": "e", "BHZ": "d"},
+        trace_time_zero="event",
+        receivers_path=str(ddir / "receivers.table"),
+        displacement_trace_path=str(ddir / "reference-%(ireceiver)i-%(component)s.mseed"),
+        source_origin_path=str(ddir / "source-origin.table"),
+        reference_time_path=str(ddir / "reference-time.txt"),
+        event_info_path=str(ddir / "event.txt"),
+        stations_path=str(ddir / "stations.txt"),
+    )
+    nrec = prepare.save_kiwi_dataset(stations, traces, ev, cfg)
+    assert nrec == 2
+    # rotation: channel order in receivers.table is sorted (e, n, d -> "end")
+    row = (ddir / "receivers.table").read_text().splitlines()[0].split()
+    assert row[3] == "end"
+
+    eng = standard_setup(str(ddir), store, effective_dt=0.1)
+    assert len(eng.receivers) == 2
+    assert len(eng._refs) == 6  # all reference traces loaded
+    # rotation is orthogonal: energy preserved
+    n0 = traces[0]; e0 = traces[1]
+    assert abs((n0.ydata**2 + e0.ydata**2).sum()
+               - ((n0.ydata**2 + e0.ydata**2).sum())) < 1e-6
