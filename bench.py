@@ -95,13 +95,20 @@ def main():
     strikes = np.linspace(0.0, 360.0, nstrikes).astype(np.float32)
     chunk = 4096
 
+    import jax
+    import jax.numpy as jnp
+
     def run_chunk(sl):
         if len(sl) < chunk:  # keep one compiled shape
             sl = np.concatenate([sl, np.full(chunk - len(sl), sl[-1], np.float32)])
         batch = np.tile(base, (len(sl), 1))
         batch[:, 5] = sl
         m, n, fs = eng.misfits_for_source_batch(batch)
-        return np.asarray(m), np.asarray(fs)
+        # reduce on device and fetch everything in ONE host round trip (the
+        # device tunnel has ~30 ms latency per transfer)
+        g = jnp.sqrt((m.astype(jnp.float32) ** 2).sum(axis=1))
+        g, fs = jax.device_get((g, fs))
+        return g, fs
 
     # warmup/compile
     log("compiling...")
@@ -114,8 +121,7 @@ def main():
     best = (np.inf, None)
     for i in range(0, nstrikes, chunk):
         sl = strikes[i : i + chunk]
-        m, fs = run_chunk(sl)
-        g = np.sqrt((m**2).sum(axis=1))
+        g, fs = run_chunk(sl)
         j = int(np.argmin(g))
         if g[j] < best[0]:
             best = (float(g[j]), float(sl[j]))

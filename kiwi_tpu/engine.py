@@ -299,12 +299,14 @@ class Engine:
         ng_p = _pad(cfg.ng, 8)
         conv_bytes = 3 * cfg.nxw * cfg.nzw * ng_p * _pad(cfg.s_len + 1, 128) * 4
         direct_bytes = ncent * 4 * ng_p * _pad(cfg.nt_out + 1, 128) * 4
-        if gsize > 1 and ncent % gsize == 0 and ncent // gsize >= 2:
-            # >= 2 spatial groups: point-like sources (one position) gain
-            # nothing from sharing the gather and lose to the wider blend
-            # x2: measured HBM high-water on v5e runs ~2x this structural
-            # bound (gather/slice buffers double-buffered by the scheduler)
-            grouped_bytes = 2 * (
+        if gsize > 1 and ncent % gsize == 0:
+            # x2 for multi-group sources: measured HBM high-water on v5e
+            # runs ~2x this structural bound (gather/slice buffers
+            # double-buffered by the scheduler); single-group (point-like)
+            # sources have tiny transients and the x2 would needlessly
+            # split large grid-search batches into chunks
+            mult = 2 if ncent // gsize >= 2 else 1
+            grouped_bytes = mult * (
                 (ncent // gsize) * 4 * ng_p * _pad(nt_ext, 128)
                 + ncent * ng_p * _pad(cfg.nt_out + 1, 128)
             ) * 4
