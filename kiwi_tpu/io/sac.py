@@ -21,6 +21,23 @@ _HDR_BYTES = 70 * 4 + 40 * 4 + 192
 
 
 def write(filename, data, toffset, deltat, station="", channel="", endian="<"):
+    """SAC writer: the C++ codec when available (native/sac.cc), else the
+    pure-Python one -- both produce identical bytes."""
+    if endian == "<":
+        from ..native import sac_write
+
+        try:
+            if sac_write(filename, np.asarray(data, np.float32), toffset,
+                         deltat, station=station, channel=channel):
+                return
+        except OSError:
+            pass  # fall through to the pure-Python writer
+    write_py(filename, data, toffset, deltat, station=station,
+             channel=channel, endian=endian)
+
+
+def write_py(filename, data, toffset, deltat, station="", channel="", endian="<"):
+    """Pure-Python SAC writer (fallback + cross-check for the C++ codec)."""
     data = np.asarray(data, dtype=np.float32)
     f = np.full(70, _UNDEF_F, dtype=np.float64)
     i = np.full(40, _UNDEF_I, dtype=np.int64)
@@ -46,6 +63,19 @@ def write(filename, data, toffset, deltat, station="", channel="", endian="<"):
 
 def read(filename):
     """(data f32[n], toffset, deltat); auto-detects byte order via nvhdr."""
+    from ..native import sac_read
+
+    try:
+        r = sac_read(filename)
+        if r is not None:
+            return r
+    except OSError:
+        pass  # fall through to the pure-Python reader
+    return read_py(filename)
+
+
+def read_py(filename):
+    """Pure-Python SAC reader (fallback + cross-check for the C++ codec)."""
     with open(filename, "rb") as fh:
         blob = fh.read()
     if len(blob) < _HDR_BYTES:

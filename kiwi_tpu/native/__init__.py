@@ -19,12 +19,15 @@ _lib = None
 _tried = False
 
 
+_SOURCES = ("mseed.cc", "sac.cc")
+
+
 def build(verbose=False):
     """Compile the native library; returns the .so path."""
-    src = os.path.join(_DIR, "mseed.cc")
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES]
     cmd = [
         "g++", "-O2", "-fPIC", "-shared", "-std=c++17",
-        "-o", _SO, src,
+        "-o", _SO, *srcs,
     ]
     res = subprocess.run(cmd, capture_output=True, text=True)
     if res.returncode != 0:
@@ -42,10 +45,12 @@ def get_lib(auto_build=True):
     if _tried and not os.path.exists(_SO):
         return None
     _tried = True
-    if not os.path.exists(_SO) or (
-        os.path.exists(os.path.join(_DIR, "mseed.cc"))
-        and os.path.getmtime(_SO) < os.path.getmtime(os.path.join(_DIR, "mseed.cc"))
-    ):
+    stale = not os.path.exists(_SO) or any(
+        os.path.exists(os.path.join(_DIR, src))
+        and os.path.getmtime(_SO) < os.path.getmtime(os.path.join(_DIR, src))
+        for src in _SOURCES
+    )
+    if stale:
         if not auto_build:
             return None
         try:
@@ -69,6 +74,18 @@ def get_lib(auto_build=True):
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
     ]
     lib.kiwi_mseed_read.restype = ctypes.c_int
+    lib.kiwi_sac_write.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_char_p, ctypes.c_char_p,
+    ]
+    lib.kiwi_sac_write.restype = ctypes.c_int
+    lib.kiwi_sac_nsamples.argtypes = [ctypes.c_char_p]
+    lib.kiwi_sac_nsamples.restype = ctypes.c_int
+    lib.kiwi_sac_read.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.kiwi_sac_read.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -114,3 +131,43 @@ def mseed_read(filename):
 
 if __name__ == "__main__":
     build(verbose=True)
+
+
+def sac_write(filename, data, toffset, deltat, station="", channel=""):
+    """C++ SAC writer; returns False when the native lib is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    rc = lib.kiwi_sac_write(
+        filename.encode(), data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        data.shape[0], float(toffset), float(deltat),
+        station.encode(), channel.encode(),
+    )
+    if rc != 0:
+        raise IOError(f"kiwi_sac_write failed ({rc}) for {filename}")
+    return True
+
+
+def sac_read(filename):
+    """C++ SAC reader; returns None when the native lib is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = lib.kiwi_sac_nsamples(filename.encode())
+    if n < 0:
+        raise IOError(f"kiwi_sac_read failed ({n}) for {filename}")
+    out = np.empty(max(n, 1), dtype=np.float32)
+    toffset = ctypes.c_double()
+    deltat = ctypes.c_double()
+    rc = lib.kiwi_sac_read(
+        filename.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, ctypes.byref(toffset), ctypes.byref(deltat),
+    )
+    if rc < 0:
+        raise IOError(f"kiwi_sac_read failed ({rc}) for {filename}")
+    return out[:n], toffset.value, deltat.value

@@ -180,3 +180,34 @@ def test_native_mseed_steim_matches_python():
     frame[16:20] = struct.pack(">i", diffs[4])
     out = ms._decode_steim(bytes(frame), 5, 1)
     np.testing.assert_array_equal(out, samples.astype(np.float32))
+
+
+def test_sac_native_codec_byte_identical(tmp_path):
+    """C++ SAC codec (native/sac.cc) produces byte-identical files to the
+    Python codec and both readers agree (incl. big-endian files)."""
+    from kiwi_tpu import native
+    from kiwi_tpu.io import sac
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+
+    data = (np.sin(np.linspace(0, 9, 77)) * 3e-7).astype(np.float32)
+    f1 = str(tmp_path / "n.sac")
+    f2 = str(tmp_path / "p.sac")
+    assert native.sac_write(f1, data, 1.5, 0.1, station="STA", channel="BHE")
+    sac.write_py(f2, data, 1.5, 0.1, station="STA", channel="BHE")
+    assert open(f1, "rb").read() == open(f2, "rb").read()
+
+    d1, t1, dt1 = native.sac_read(f1)
+    d2, t2, dt2 = sac.read_py(f1)
+    np.testing.assert_array_equal(d1, data)
+    np.testing.assert_array_equal(d2, data)
+    assert (t1, dt1) == (t2, dt2)
+
+    # big-endian file: native reader byte-swaps
+    f3 = str(tmp_path / "be.sac")
+    sac.write_py(f3, data, -2.0, 0.25, endian=">")
+    d3, t3, dt3 = native.sac_read(f3)
+    np.testing.assert_array_equal(d3, data)
+    assert abs(t3 + 2.0) < 1e-6 and abs(dt3 - 0.25) < 1e-9
