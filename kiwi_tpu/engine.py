@@ -18,7 +18,7 @@ times in seconds.
 from __future__ import annotations
 
 import dataclasses
-
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -593,7 +593,11 @@ class Engine:
     def get_misfits(self):
         """Per-(receiver, component) (misfit, norm) for the current source."""
         m, n, fs = self.misfits_for_source_batch(self.source_params[None, :])
-        return np.asarray(m[0]), np.asarray(n[0]), np.asarray(fs[0])
+        m = np.asarray(m[0])
+        if np.isnan(m).any():  # minimizer_engine.f90:1163-1166
+            logging.getLogger("kiwi_tpu").warning(
+                "NaN misfit(s) for rc rows %s", np.flatnonzero(np.isnan(m)))
+        return m, np.asarray(n[0]), np.asarray(fs[0])
 
     def get_global_misfit(self):
         m, n, _ = self.misfits_for_source_batch(self.source_params[None, :])
@@ -611,6 +615,10 @@ class Engine:
             cent, jnp.float32(moments[0]), jnp.float32(risetimes[0])
         )
         syn = np.asarray(syn)
+        if not np.isfinite(syn).all():  # seismogram.f90:290-295's NaN/huge check
+            logging.getLogger("kiwi_tpu").warning(
+                "non-finite synthetic seismogram samples "
+                "(source outside the GF database's validity range?)")
         lo = np.asarray(lo)
         hi = np.asarray(hi)
         out = []

@@ -194,3 +194,28 @@ def test_autokiwi_workflow(tmp_path, monkeypatch, capsys):
 
     ev = autokiwi.Event.load(str(tmp_path / "events/ev-b/data.kiwi.event"))
     assert ev.name == "ev-b" and ev.magnitude == 9.1
+
+
+def test_profiling_utilities():
+    """Timers + MPS counter (SURVEY §5 tracing)."""
+    import time as _t
+
+    from kiwi_tpu.profiling import MPSCounter, Timers
+
+    tm = Timers()
+    with tm("phase_a"):
+        _t.sleep(0.01)
+    with tm("phase_a"):
+        pass
+    with tm("phase_b"):
+        pass
+    assert tm.counts["phase_a"] == 2 and tm.acc["phase_a"] >= 0.01
+    rep = tm.report()
+    assert "phase_a" in rep and "%" in rep
+
+    c = MPSCounter(window=3)
+    for _ in range(4):
+        c.add(100)
+        _t.sleep(0.002)
+    total, window, last = c.rates()
+    assert total > 0 and window > 0 and last > 0
