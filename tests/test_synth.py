@@ -188,3 +188,35 @@ def test_ard_to_components_rotation(setup):
     comp2 = synth.ard_to_components(ard, bazi, (synth.COMPONENT_IDS["c"], synth.COMPONENT_IDS["u"]))
     np.testing.assert_allclose(np.asarray(comp2[0]), -np.asarray(ard[0]))
     np.testing.assert_allclose(np.asarray(comp2[1]), -np.asarray(ard[2]))
+
+
+def test_fast_geodesy_matches_f64_reference():
+    """centroid_geodesy_fast (all-f32, no inverse trig) must agree with the
+    f64 reference-formula path across distances 2 km .. 16000 km, all
+    azimuth quadrants and centroid offsets."""
+    rng = np.random.default_rng(11)
+    worst = 0.0
+    for _ in range(60):
+        src_lat = rng.uniform(-1.2, 1.2)
+        src_lon = rng.uniform(-3, 3)
+        d = 10 ** rng.uniform(3.3, 7.2)
+        az = rng.uniform(-np.pi, np.pi)
+        rl, ro = geo.ne_to_latlon(src_lat, src_lon, d * np.cos(az), d * np.sin(az))
+        gm = synth.precompute_receiver_geometry(src_lat, src_lon, [float(rl)], [float(ro)])
+        rec = {k: v[0] for k, v in gm.device().items()}
+        ext = min(d * 0.4, 1e5)
+        dn = jnp.float32(rng.uniform(-ext, ext))
+        de = jnp.float32(rng.uniform(-ext, ext))
+        azi, bazi, dist = synth.centroid_geodesy(
+            dn.astype(jnp.float64), de.astype(jnp.float64), rec)
+        saz, caz, sl, cl, dist_f = synth.centroid_geodesy_fast(dn, de, rec)
+        lam = float(bazi - rec["bazi"])
+        worst = max(
+            worst,
+            abs(float(saz) - np.sin(float(azi))),
+            abs(float(caz) - np.cos(float(azi))),
+            abs(float(sl) - np.sin(lam)),
+            abs(float(cl) - np.cos(lam)),
+            abs(float(dist_f) - float(dist)) / max(float(dist), 1.0),
+        )
+    assert worst < 1e-6, worst
