@@ -180,3 +180,76 @@ def test_apply_fold_edge_extension():
     # step smoothed; tail stays 1 (edge extension)
     np.testing.assert_allclose(out[-1], 1.0)
     np.testing.assert_allclose(out[2], 0.75)  # 0.25*x(3)+0.5*x(2)+0.25*x(1)
+
+
+def test_scalar_product_and_peak_norms():
+    """scalar_product = sum(ref*syn) with norm sum(ref^2); peak = max
+    sqrt(ref^2 + syn^2) with norm max|ref| (scalar_product_2 / maxabs_func,
+    comparator.f90:627-697)."""
+    setup, st = make_setup(nrc=1, ps0=0, pl=32, dt=0.5)
+    ref = np.array([1.0, -2.0, 3.0, 0.5], dtype=np.float32)
+    setup.set_ref(0, ref, 4)
+    syn = np.zeros((1, 10), dtype=np.float32)
+    synvals = np.array([0.5, 1.5, -0.5, 0.25], np.float32)
+    syn[0, 2:6] = synvals
+
+    m, n, _ = _eval(setup, st, syn, 2, [4], [7], mf.SCALAR_PRODUCT)
+    assert abs(float(m[0]) - float((ref * synvals).sum())) < 1e-6
+    assert abs(float(n[0]) - float((ref * ref).sum())) < 1e-6
+
+    m, n, _ = _eval(setup, st, syn, 2, [4], [7], mf.PEAK)
+    exp_m = float(np.sqrt(ref.astype(np.float64) ** 2
+                          + synvals.astype(np.float64) ** 2).max())
+    assert abs(float(m[0]) - exp_m) < 1e-6
+    assert abs(float(n[0]) - 3.0) < 1e-6
+
+
+def test_peak_amplitude_and_arias_kernels():
+    """d1/d2 finite-difference vecnorm peaks and Arias intensity vs direct
+    numpy (max_vecnorm_d1/d2 + arias_intensity, comparator.f90:519-625)."""
+    st = mf.ProbeStatic(ps0=0, pl=64, dt=0.5)
+    rng = np.random.default_rng(5)
+    rows = rng.normal(size=(3, 64)).astype(np.float32)  # 3 grouped components
+    mask = np.ones(64, np.float32)
+
+    d1 = (rows[:, :-1].astype(np.float64) - rows[:, 1:])
+    exp_pv = np.sqrt((d1**2).sum(axis=0).max()) / 0.5
+    got = float(mf.peak_amplitude({}, jnp.asarray(rows), jnp.asarray(mask), 1, st))
+    assert abs(got - exp_pv) / exp_pv < 1e-6
+
+    d2 = (rows[:, :-2].astype(np.float64) - 2 * rows[:, 1:-1] + rows[:, 2:])
+    exp_pa = np.sqrt((d2**2).sum(axis=0).max()) / 0.25
+    got2 = float(mf.peak_amplitude({}, jnp.asarray(rows), jnp.asarray(mask), 2, st))
+    assert abs(got2 - exp_pa) / exp_pa < 1e-6
+
+    exp_ai = np.pi / (2 * 9.81) * 0.5 * (d2**2).sum() / 0.25
+    got3 = float(mf.arias_intensity(jnp.asarray(rows), jnp.asarray(mask), st))
+    assert abs(got3 - exp_ai) / exp_ai < 1e-6
+
+
+def test_cross_correlation_vs_numpy():
+    """Windowed cross correlation = scalar products of syn against the
+    shifted ref (probes_windowed_cross_corr, comparator.f90:1061-1090)."""
+    setup, st = make_setup(nrc=1, ps0=0, pl=64, dt=0.5)
+    rng = np.random.default_rng(8)
+    ref = rng.normal(size=12).astype(np.float32)
+    ref[-1] = 0.0
+    setup.set_ref(0, ref, 10)
+    syn_row = np.zeros((1, st.pl), np.float32)
+    svals = rng.normal(size=12).astype(np.float32)
+    syn_row[0, 12:24] = svals  # probe-relative; abs 12..23
+    ctx = setup.device()
+    cc = np.asarray(mf.cross_correlation(ctx, jnp.asarray(syn_row), (-3, 3), st))
+    assert cc.shape == (7, 1)
+    # hand-compute shift s = +2: ref moved to abs 12..23, aligned with syn
+    ref_probe = np.zeros(st.pl, np.float32)
+    ref_probe[10:22] = ref
+    ref_probe[22:] = ref[-1]
+    for k, s in enumerate(range(-3, 4)):
+        shifted = np.zeros(st.pl, np.float32)
+        lo, hi = 10 + s, 21 + s
+        shifted[lo:hi + 1] = ref
+        shifted[hi + 1:] = ref[-1]  # repeat-last extension
+        # union of dataspans [lo, hi] u [probe span] -> full probe here
+        exp = float((shifted * syn_row[0]).sum())
+        assert abs(float(cc[k, 0]) - exp) < 2e-5 * max(1.0, abs(exp)), (s, cc[k, 0], exp)
