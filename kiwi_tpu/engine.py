@@ -438,6 +438,7 @@ class Engine:
             "fold_max": fold_max,
             "forward_batch": forward_batch,
             "forward_batch_raw": forward_batch_raw,
+            "fused": {},  # (source_type, shape, edt) -> disc+forward jit
             "synth_one": synth_one,
             "layout": layout,
             "nrec": nrec,
@@ -448,24 +449,46 @@ class Engine:
         pb = np.atleast_2d(np.asarray(params_batch, dtype=np.float32))
         if model.host_discretize:
             return self._discretize_batch_host(model, pb)
-        shapes = {model.grid_shape(p, self.effective_dt) for p in pb}
+        shape = self._batch_shape(model, pb)
+        cbatch = self._disc_fn(model, shape)(jnp.asarray(pb))
+        moments, risetimes = self._post_factors(model, pb)
+        # every jnp discretizer flattens [*cells, nt] row-major: runs of
+        # shape[-1] consecutive centroids share their spatial position
+        return cbatch, moments, risetimes, shape, int(shape[-1])
+
+    def _batch_shape(self, model, pb):
+        """The (single) discretization grid shape of a batch; shape-relevant
+        param columns are deduplicated first so uniform sweeps cost one
+        grid_shape call instead of one per row."""
+        if model.shape_param_idx is not None:
+            rows = np.unique(pb[:, list(model.shape_param_idx)], axis=0)
+            full = np.tile(pb[0], (rows.shape[0], 1))
+            full[:, list(model.shape_param_idx)] = rows
+        else:
+            full = pb
+        shapes = {model.grid_shape(p, self.effective_dt) for p in full}
         if len(shapes) != 1:
             raise ValueError(
                 f"source batch has mixed grid shapes {shapes}; bucket the batch "
                 "by shape (gridsearch does this automatically)"
             )
-        shape = shapes.pop()
+        return shapes.pop()
+
+    def _post_factors(self, model, pb):
+        if model.post_factors_batch is not None:
+            m, r = model.post_factors_batch(pb)
+            return np.asarray(m, np.float32), np.asarray(r, np.float32)
+        pf = np.array([model.post_factors(p) for p in pb], dtype=np.float32)
+        return pf[:, 0], pf[:, 1]
+
+    def _disc_fn(self, model, shape):
         key = (self.source_type, shape, self.effective_dt)
         disc = self._disc_cache.get(key)
         if disc is None:
             edt = self.effective_dt
             disc = jax.jit(jax.vmap(lambda p: model.discretize(p, edt, shape)))
             self._disc_cache[key] = disc
-        cbatch = disc(jnp.asarray(pb))
-        pf = np.array([model.post_factors(p) for p in pb], dtype=np.float32)
-        # every jnp discretizer flattens [*cells, nt] row-major: runs of
-        # shape[-1] consecutive centroids share their spatial position
-        return cbatch, pf[:, 0], pf[:, 1], shape, int(shape[-1])
+        return disc
 
     def _discretize_batch_host(self, model, pb):
         """Host-side discretization (eikonal models): pad the per-source
@@ -556,19 +579,46 @@ class Engine:
             if model.param_stats is not None
             else None
         )
-        cbatch, moments, risetimes, shape, gsize = self._discretize_batch(pb)
-        plan = self._ensure_plan(
-            cbatch, float(risetimes.max(initial=0.0)), shape, stats=stats, gsize=gsize
-        )
+        if not model.host_discretize and stats is not None:
+            # fused path: discretization + forward under ONE jit (one device
+            # dispatch per chunk instead of two)
+            shape = self._batch_shape(model, pb)
+            moments, risetimes = self._post_factors(model, pb)
+            gsize = int(shape[-1])
+            plan = self._ensure_plan(
+                None, float(risetimes.max(initial=0.0)), shape,
+                stats=stats, gsize=gsize,
+            )
+            fkey = (self.source_type, shape, self.effective_dt)
+            fwd = plan["fused"].get(fkey)
+            if fwd is None:
+                disc = self._disc_fn(model, shape)
+                raw = plan["forward_batch_raw"]
+                fwd = jax.jit(lambda pbj, mts, rts: raw(disc(pbj), mts, rts))
+                plan["fused"][fkey] = fwd
+
+            def run(idx):
+                return fwd(jnp.asarray(pb[idx]), jnp.asarray(moments[idx]),
+                           jnp.asarray(risetimes[idx]))
+        else:
+            cbatch, moments, risetimes, shape, gsize = self._discretize_batch(pb)
+            plan = self._ensure_plan(
+                cbatch, float(risetimes.max(initial=0.0)), shape,
+                stats=stats, gsize=gsize,
+            )
+
+            def run(idx):
+                cb = {k: v[jnp.asarray(idx)] for k, v in cbatch.items()}
+                return plan["forward_batch"](
+                    cb, jnp.asarray(moments[idx]), jnp.asarray(risetimes[idx])
+                )
+
         b = moments.shape[0]
         # keep per-call transients bounded (device HBM budget); XLA fuses
         # much of it, but the scatter/gather buffers can materialize
         chunk = int(max(8, min(b, self.memory_budget // max(plan["per_source_bytes"], 1))))
         if chunk >= b:
-            m, n, fs = plan["forward_batch"](
-                cbatch, jnp.asarray(moments), jnp.asarray(risetimes)
-            )
-            return m, n, fs
+            return run(np.arange(b))
         ms, ns, fss = [], [], []
         for i in range(0, b, chunk):
             sl = slice(i, min(i + chunk, b))
@@ -576,10 +626,7 @@ class Engine:
             idx = np.arange(sl.start, sl.stop)
             if idx.shape[0] < chunk:
                 idx = np.concatenate([idx, np.full(chunk - idx.shape[0], b - 1)])
-            cb = {k: v[jnp.asarray(idx)] for k, v in cbatch.items()}
-            m, n, fs = plan["forward_batch"](
-                cb, jnp.asarray(moments[idx]), jnp.asarray(risetimes[idx])
-            )
+            m, n, fs = run(idx)
             keep = sl.stop - sl.start
             ms.append(m[:keep])
             ns.append(n[:keep])

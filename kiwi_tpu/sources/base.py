@@ -50,6 +50,13 @@ class SourceModel:
     # from raw parameter vectors, host-side -- lets the engine plan static
     # windows without pulling discretized centroids off the device
     param_stats: typing.Callable = None
+    # indices of the params grid_shape depends on (lets the engine check
+    # shape uniformity of a batch via np.unique over those columns instead
+    # of a python loop over every row); None = all params
+    shape_param_idx: tuple = None
+    # optional vectorized post_factors: pb [B, nparams] -> (moments [B],
+    # risetimes [B]) numpy, replacing the per-row python loop
+    post_factors_batch: typing.Callable = None
 
     @property
     def nparams(self):

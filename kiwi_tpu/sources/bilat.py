@@ -166,5 +166,8 @@ MODEL = register(
         discretize=discretize,
         post_factors=post_factors,
         param_stats=param_stats,
+        shape_param_idx=(9, 10, 11, 12, 13),
+        post_factors_batch=lambda pb: (pb[:, 4].astype("f4"),
+                                       np.zeros(pb.shape[0], "f4")),
     )
 )

@@ -96,5 +96,8 @@ MODEL = register(
         discretize=discretize,
         post_factors=post_factors,
         param_stats=param_stats,
+        shape_param_idx=(10,),
+        post_factors_batch=lambda pb: (np.ones(pb.shape[0], "f4"),
+                                       np.zeros(pb.shape[0], "f4")),
     )
 )
