@@ -198,3 +198,48 @@ def test_spacial_undersampling(engine):
     gm = engine.get_global_misfit()
     assert gm > 1e-4
     engine.set_spacial_undersampling(1, 1)
+
+
+ALL_MODEL_PARAMS = {
+    "moment_tensor": np.array(
+        [0.0, 0, 0, 400.0, 1e12, -5e11, 2e11, 3e11, -1e11, 5e11, 0.3],
+        np.float32),
+    "bilateral": BILAT,
+    "circular": np.array(
+        [0.0, 0, 0, 400.0, 1e12, 40.0, 70.0, 30.0, 200.0, 2500.0, 0.2],
+        np.float32),
+    "point_lp": np.array(
+        [0.0, 0, 0, 400.0, 1e12, 1.0, -0.5, 0.3, 0.1, -0.2, 0.4, 1.0, 0.5],
+        np.float32),
+    "eikonal": np.array(
+        [0.0, 0, 0, 400.0, 1e12, 40.0, 70.0, 30.0, 0.0, 0.0, 220.0,
+         0.1, -0.1, 0.9, 0.2], np.float32),
+    # (time, ns, es, depth, moment-factor, strike, dip, bord-shift-x/y,
+    #  bord-radius, nukl-shift-x/y, rel-vrup, m6..., rise-time)
+    "mt_eikonal": np.array(
+        [0.0, 0, 0, 400.0, 1.0, 40.0, 70.0, 0.1, -0.1, 220.0,
+         0.0, 0.0, 0.9, 1e12, -5e11, 3e11, 1e11, -2e11, 4e11, 0.2],
+        np.float32),
+}
+
+
+@pytest.mark.parametrize("stype", sorted(ALL_MODEL_PARAMS))
+def test_all_source_models_self_consistent(engine, stype):
+    """Every source model synthesizes through the engine and scores zero
+    misfit against its own synthetics; a perturbed depth scores > 0."""
+    from kiwi_tpu.sources import get_source_model
+
+    p = ALL_MODEL_PARAMS[stype]
+    model = get_source_model(stype)
+    assert p.shape == (model.nparams,), (stype, model.nparams)
+    if stype in ("eikonal", "mt_eikonal"):
+        engine.set_source_constraints([], [])  # tiny rupture near the surface
+    engine.set_source_params(stype, p)
+    engine.set_misfit_method("l2norm")
+    engine.set_synthetic_reference()
+    assert engine.get_global_misfit() < 1e-5, stype
+
+    p2 = p.copy()
+    p2[3] += 120.0  # deeper
+    engine.set_source_params(stype, p2)
+    assert engine.get_global_misfit() > 1e-3, stype
