@@ -146,3 +146,62 @@ get_principal_axes
     k = lines.index("get_principal_axes: ok >")
     vals = [float(x) for x in lines[k + 1].split()]
     assert len(vals) == 4
+
+
+def test_diagnostics_and_lm_session(dbfile, rcvfile, tmp_path):
+    """The long tail of protocol commands: distances/spectra/source-model
+    outputs, peak/arias/floating diagnostics, shifts, filters/tapers,
+    subparam limits + minimize_lm, crustal thickness, cache commands."""
+    base = str(tmp_path / "out")
+    script = f"""
+set_database            {dbfile}
+set_effective_dt        0.1
+set_local_interpolation bilinear
+set_receivers           {rcvfile}
+set_source_location     30.0 70.0 0
+set_source_params       bilateral 0 0 0 400 1e12 91 87 164 0 300 200 250 2500 0.2
+output_seismograms      {base}-ref mseed synthetics plain
+set_ref_seismograms     {base}-ref mseed
+set_misfit_method       floating_l1norm
+set_floating_shiftrange 0 -0.5 0.5
+set_misfit_taper        1 0.1 0 2.5 1 6.0 1 8.0 0
+set_misfit_filter       0 0 1 0.2 1 3.0 0 4.0
+get_global_misfit
+get_floating_shifts
+get_peak_amplitudes     1
+get_peak_amplitudes     2
+get_arias_intensities
+output_distances        {base}-dist.table
+output_source_model     {base}-model
+output_seismogram_spectra {base}-spec references plain
+output_cross_correlations {base}-xcorr -0.3 0.3
+shift_ref_seismogram    1 0.2
+autoshift_ref_seismogram 1 -0.5 0.5
+get_source_crustal_thickness
+set_source_crustal_thickness_limit 40000
+set_cached_traces_memory_limit 1000000000
+get_cached_traces_memory
+set_synthetics_factor   1.0
+set_source_params_mask  F F F T F T F F F F F F F F
+set_source_subparams_limits 300 85 500 95
+minimize_lm
+get_source_subparams    2 3 5
+set_verbose             T
+set_ignore_sigint       T
+"""
+    srv, out = run_session(script.strip())
+    noks = [l for l in out.splitlines() if ": nok" in l]
+    assert not noks, noks
+    # LM answered "info nfev misfit"
+    lm_line = [l for l in out.splitlines() if l.startswith("minimize_lm: ok")]
+    assert lm_line
+    # outputs exist
+    import os
+    assert os.path.exists(f"{base}-dist.table")
+    assert os.path.exists(f"{base}-model-dsm.table")  # discretized source table
+    dsm = np.loadtxt(f"{base}-model-dsm.table")
+    assert dsm.shape[1] == 10  # north east depth time m6
+    assert os.path.exists(f"{base}-spec-1-n.table")
+    assert os.path.exists(f"{base}-xcorr-1-n.table")
+    dist = np.loadtxt(f"{base}-dist.table")
+    assert dist.shape[0] == 3  # one row per receiver
