@@ -17,7 +17,6 @@ from __future__ import annotations
 import numpy as np
 
 from .store import GFStore, GFStoreBuilder
-from .trace import pack_trace
 
 # gfdb.f90:31-37
 NBLOCKX = 128

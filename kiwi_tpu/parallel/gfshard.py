@@ -23,7 +23,6 @@ window extension semantics) up to f32 reduction order.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
