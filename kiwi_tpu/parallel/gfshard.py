@@ -61,6 +61,7 @@ class GFShardedPlan:
     engine: object
     mesh: object
     axis: str
+    source_axis: object
     cfg: object
     st: object
     groups: list  # receiver index arrays per shard
@@ -75,14 +76,17 @@ class GFShardedPlan:
         global rc/receiver order, computed SPMD across the mesh."""
         eng = self.engine
         pb = np.atleast_2d(np.asarray(params_batch, dtype=np.float32))
+        b = pb.shape[0]
+        ns = int(self.mesh.shape[self.source_axis]) if self.source_axis else 1
+        if b % ns:  # pad the batch to the source-shard count
+            pb = np.concatenate([pb, np.tile(pb[-1:], (ns - b % ns, 1))])
         cbatch, moments, risetimes, _shape, _g = eng._discretize_batch(pb)
         m, n, fs = self.forward(
             *self.sharded_args, cbatch, jnp.asarray(moments), jnp.asarray(risetimes)
         )
-        m = np.asarray(m)  # [B, n_shards * rc_max]
-        n = np.asarray(n)
-        fs = np.asarray(fs)  # [B, n_shards * r_max]
-        b = m.shape[0]
+        m = np.asarray(m)[:b]  # [B, n_shards * rc_max]
+        n = np.asarray(n)[:b]
+        fs = np.asarray(fs)[:b]  # [B, n_shards * r_max]
         nrc = sum(len(rc) for rc in self.rc_of)
         nrec = len(eng.receivers)
         mg = np.zeros((b, nrc), np.float32)
@@ -106,10 +110,17 @@ class GFShardedPlan:
         return int(np.prod(ext.shape[1:])) * 4
 
 
-def build_plan(engine, mesh, axis="r"):
+def build_plan(engine, mesh, axis="r", source_axis="auto"):
     """Build a distance-sharded forward for the engine's current source
     search space.  Each of the mesh's `axis` devices receives only the GF
-    window covering its receiver group (padded to a common width)."""
+    window covering its receiver group (padded to a common width).
+
+    source_axis: mesh axis to shard the source batch over ("auto" picks
+    "s" when the mesh has one, None replicates) -- with both axes the
+    forward is fully 2-D parallel: sources x (receivers + their GF store
+    partition), the TPU rendering of SURVEY's process-pool strategy."""
+    if source_axis == "auto":
+        source_axis = "s" if "s" in mesh.axis_names and mesh.shape.get("s", 1) > 1 else None
     eng = engine
     eng._require_ready()
     store = eng.store
@@ -308,8 +319,9 @@ def build_plan(engine, mesh, axis="r"):
             )
 
         m, nn, fs = jax.vmap(forward_one)(cbatch, moments, risetimes)
-        return m[None], nn[None], fs[None, :, :r_max]
+        return m, nn, fs[:, :r_max]  # [B_local, rc_max/r_max]
 
+    sa = source_axis
     fwd = jax.jit(
         jax.shard_map(
             shard_fn,
@@ -317,25 +329,21 @@ def build_plan(engine, mesh, axis="r"):
             in_specs=(
                 P(axis), P(axis), P(axis), P(axis),
                 P(axis), P(axis), P(axis), P(axis),
-                P(), P(), P(),
+                P(sa), P(sa), P(sa),
             ),
-            out_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(sa, axis), P(sa, axis), P(sa, axis)),
         )
     )
 
     def forward(ext_a, gfi_a, gfn_a, ix0_a, recs_a, ctx_a, rctx_a, aux_a,
                 cbatch, moments, risetimes):
-        m, nn, fs = fwd(ext_a, gfi_a, gfn_a, ix0_a, recs_a, ctx_a, rctx_a,
-                        aux_a, cbatch, moments, risetimes)
-        b = moments.shape[0]
-        return (
-            jnp.moveaxis(m, 0, 1).reshape(b, -1),
-            jnp.moveaxis(nn, 0, 1).reshape(b, -1),
-            jnp.moveaxis(fs, 0, 1).reshape(b, -1),
-        )
+        # outputs come back [B, n_shards * rc_max] already
+        return fwd(ext_a, gfi_a, gfn_a, ix0_a, recs_a, ctx_a, rctx_a,
+                   aux_a, cbatch, moments, risetimes)
 
     plan = GFShardedPlan(
-        engine=eng, mesh=mesh, axis=axis, cfg=cfg, st=st, groups=groups,
+        engine=eng, mesh=mesh, axis=axis, source_axis=source_axis,
+        cfg=cfg, st=st, groups=groups,
         rc_of=rc_of, rc_max=rc_max, r_max=r_max,
         forward=forward,
         sharded_args=(ext, gfi, gfn, ix0, recs, ctxd, rctxd, aux),

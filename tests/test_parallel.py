@@ -118,3 +118,25 @@ def test_gf_distance_sharding_floating(engine):
     finally:
         eng.set_misfit_method("l2norm")
         eng.set_floating_shiftrange(0.0, 0.0)
+
+
+def test_gf_sharding_2d_sources_x_receivers(engine):
+    """Full 2-D parallelism: source batch over mesh axis "s" AND GF-store
+    distance partition over "r" -- matches unsharded, including with a batch
+    size that needs source-shard padding."""
+    from kiwi_tpu.parallel import gfshard
+
+    eng, p = engine
+    batch = np.tile(p, (7, 1))  # 7 % 4 != 0 -> exercises padding
+    batch[:, 5] = np.linspace(20.0, 160.0, 7).astype(np.float32)
+
+    m0, n0, _ = eng.misfits_for_source_batch(batch)
+    m0, n0 = np.asarray(m0), np.asarray(n0)
+
+    mesh = make_mesh(n_sources=4, n_receivers=2)
+    plan = gfshard.build_plan(eng, mesh, axis="r")
+    assert plan.source_axis == "s"
+    m1, n1, _ = plan.misfits(batch)
+    scale = np.abs(m0).max()
+    np.testing.assert_allclose(m1, m0, rtol=3e-5, atol=scale * 3e-5)
+    np.testing.assert_allclose(n1, n0, rtol=3e-5, atol=np.abs(n0).max() * 3e-5)
