@@ -104,11 +104,11 @@ def main():
         batch = np.tile(base, (len(sl), 1))
         batch[:, 5] = sl
         m, n, fs = eng.misfits_for_source_batch(batch)
-        # reduce on device and fetch everything in ONE host round trip (the
-        # device tunnel has ~30 ms latency per transfer)
+        # reduce on device and fetch everything as ONE array in ONE host
+        # round trip (the device tunnel has ~30 ms latency per transfer)
         g = jnp.sqrt((m.astype(jnp.float32) ** 2).sum(axis=1))
-        g, fs = jax.device_get((g, fs))
-        return g, fs
+        out = np.asarray(jnp.concatenate([g[:, None], fs.astype(jnp.float32)], axis=1))
+        return out[:, 0], out[:, 1:]
 
     # warmup/compile
     log("compiling...")

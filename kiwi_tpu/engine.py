@@ -418,6 +418,47 @@ class Engine:
         forward_batch_raw = jax.vmap(forward_one)
         forward_batch = jax.jit(forward_batch_raw)
 
+        def forward_shared_raw(cbatch, moments, risetimes):
+            """Batch forward for shared-kinematics batches (identical
+            centroid positions/times/activity across the batch; only the
+            moment tensors vary): GF values are blended/shifted ONCE per
+            receiver and each source contributes only a weight contraction
+            -- the batched rendering of the reference's only_moment_changed
+            shortcut (minimizer_engine.f90's dirty-flag DAG)."""
+            cent0 = {k: v[0] for k, v in cbatch.items()}
+            mb = cbatch["m"]  # [B, C, 6]
+
+            def per_rec(rec):
+                kin = synth._centroid_kinematics(cfg, rec, cent0)
+                v = synth.values_matrix(ext, cfg, kin, group_size=group_size)
+                lo_, hi_ = synth.physical_spans(gfi, gfn, cfg, kin)
+                wv = jax.vmap(
+                    lambda m6: synth.weights_from_angles(kin, m6, cfg.ng)
+                )(mb)  # [B, C, 3, ng]
+                wv = jnp.where(kin["valid"][None, :, None, None], wv, 0.0)
+                ard_b = jnp.einsum("bcog,cgt->bot", wv, v)  # [B, 3, nt_out]
+                canon = jax.vmap(
+                    lambda a: synth.ard_to_components(a, rec["bazi"], (1, 2, 3, 4, 5))
+                )(ard_b)  # [B, 5, nt_out]
+                return canon, lo_, hi_
+
+            canon, los, his = jax.vmap(per_rec)(recs)  # [R, B, 5, nt], [R, 3]
+            syn_rc = (
+                canon[rc_rec_j, :, rc_chan_j] * rc_sign_j[:, None, None]
+            ).transpose(1, 0, 2)  # [B, RC, nt]
+            lo_rc = los[rc_rec_j, span_idx_j]  # [RC], batch-shared
+            hi_rc = his[rc_rec_j, span_idx_j]
+
+            def eval_one(syn, moment, risetime):
+                return mf.evaluate_misfits(
+                    ctx, syn, cfg.out_it0, lo_rc, hi_rc, method, st, nrec,
+                    moment=moment, risetime=risetime, fold_nshift_max=fold_max,
+                    shiftrange=shiftrange, rctx=rctx,
+                    any_taper=any_taper, any_filter=any_filter,
+                )
+
+            return jax.vmap(eval_one)(syn_rc, moments, risetimes)
+
         def _scaled_traces(cent, moment, risetime):
             syn_rc, lo_rc, hi_rc = synth_rc(cent)
             if fold_max > 0:
@@ -438,7 +479,9 @@ class Engine:
             "fold_max": fold_max,
             "forward_batch": forward_batch,
             "forward_batch_raw": forward_batch_raw,
+            "forward_shared_raw": forward_shared_raw,
             "fused": {},  # (source_type, shape, edt) -> disc+forward jit
+            "fused_shared": {},  # same, via the shared-kinematics forward
             "synth_one": synth_one,
             "layout": layout,
             "nrec": nrec,
@@ -590,12 +633,18 @@ class Engine:
                 stats=stats, gsize=gsize,
             )
             fkey = (self.source_type, shape, self.effective_dt)
-            fwd = plan["fused"].get(fkey)
+            shared = (
+                pb.shape[0] >= 2
+                and model.shared_kin_check is not None
+                and model.shared_kin_check(pb)
+            )
+            cache = plan["fused_shared"] if shared else plan["fused"]
+            fwd = cache.get(fkey)
             if fwd is None:
                 disc = self._disc_fn(model, shape)
-                raw = plan["forward_batch_raw"]
+                raw = plan["forward_shared_raw" if shared else "forward_batch_raw"]
                 fwd = jax.jit(lambda pbj, mts, rts: raw(disc(pbj), mts, rts))
-                plan["fused"][fkey] = fwd
+                cache[fkey] = fwd
 
             def run(idx):
                 return fwd(jnp.asarray(pb[idx]), jnp.asarray(moments[idx]),

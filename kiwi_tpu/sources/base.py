@@ -57,6 +57,11 @@ class SourceModel:
     # optional vectorized post_factors: pb [B, nparams] -> (moments [B],
     # risetimes [B]) numpy, replacing the per-row python loop
     post_factors_batch: typing.Callable = None
+    # optional host predicate pb [B, nparams] -> bool: True iff the whole
+    # batch discretizes to identical centroid positions/times/activity
+    # (only the moment tensors differ) -- unlocks the shared-kinematics
+    # forward (the reference's only_moment_changed shortcut, batched)
+    shared_kin_check: typing.Callable = None
 
     @property
     def nparams(self):
@@ -64,6 +69,12 @@ class SourceModel:
 
     def param_index(self, name):
         return self.names.index(name)
+
+
+def _cols_const(pb, idx):
+    """True iff the given param columns are identical across the batch."""
+    sub = pb[:, list(idx)]
+    return bool(np.all(sub == sub[0]))
 
 
 SOURCE_REGISTRY: dict = {}

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import (
+    _cols_const,
     DEG2RAD_F32,
     SourceModel,
     init_euler_jnp,
@@ -167,6 +168,11 @@ MODEL = register(
         post_factors=post_factors,
         param_stats=param_stats,
         shape_param_idx=(9, 10, 11, 12, 13),
+        # strike/dip/rupture-rake rotate subfault POSITIONS unless the fault
+        # is degenerate (point source); slip-rake and moment are weight-only
+        shared_kin_check=lambda pb: _cols_const(pb, (0, 1, 2, 3, 9, 10, 11, 12, 13))
+        and (_cols_const(pb, (5, 6, 8))
+             or (float(pb[0, 9] + pb[0, 10]) == 0.0 and float(pb[0, 11]) == 0.0)),
         post_factors_batch=lambda pb: (pb[:, 4].astype("f4"),
                                        np.zeros(pb.shape[0], "f4")),
     )

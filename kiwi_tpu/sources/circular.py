@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import (
+    _cols_const,
     DEG2RAD_F32,
     SourceModel,
     init_euler_jnp,
@@ -148,6 +149,8 @@ MODEL = register(
         post_factors=post_factors,
         param_stats=param_stats,
         shape_param_idx=(8, 9, 10),
+        shared_kin_check=lambda pb: _cols_const(pb, (0, 1, 2, 3, 8, 9, 10))
+        and (_cols_const(pb, (5, 6)) or float(pb[0, 8]) == 0.0),
         post_factors_batch=lambda pb: (pb[:, 4].astype("f4"),
                                        np.zeros(pb.shape[0], "f4")),
     )

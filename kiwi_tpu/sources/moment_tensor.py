@@ -5,7 +5,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .base import SourceModel, plf4_cell_weights, register
+from .base import _cols_const, SourceModel, plf4_cell_weights, register
 
 BIG = np.float32(np.finfo(np.float32).max)
 
@@ -97,6 +97,9 @@ MODEL = register(
         post_factors=post_factors,
         param_stats=param_stats,
         shape_param_idx=(10,),
+        # positions/times fixed unless origin/depth/rise-time change; the
+        # six MT components are weight-only
+        shared_kin_check=lambda pb: _cols_const(pb, (0, 1, 2, 3, 10)),
         post_factors_batch=lambda pb: (np.ones(pb.shape[0], "f4"),
                                        np.zeros(pb.shape[0], "f4")),
     )

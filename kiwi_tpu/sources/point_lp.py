@@ -6,7 +6,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .base import SourceModel, register
+from .base import _cols_const, SourceModel, register
 
 BIG = np.float32(np.finfo(np.float32).max)
 PI_F32 = np.float32(3.14159265358979)
@@ -100,6 +100,7 @@ MODEL = register(
         post_factors=post_factors,
         param_stats=param_stats,
         shape_param_idx=(11,),
+        shared_kin_check=lambda pb: _cols_const(pb, (0, 1, 2, 3, 11, 12)),
         post_factors_batch=lambda pb: (pb[:, 4].astype("f4"),
                                        np.zeros(pb.shape[0], "f4")),
     )

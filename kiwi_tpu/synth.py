@@ -468,7 +468,63 @@ def _centroid_kinematics(cfg: SynthConfig, rec, centroids):
         "frac": frac,  # [C]
         "valid": valid,  # [C]
         "bazi": rec["bazi"],
+        # angle factors kept so moment-only batches can rebuild wg for new
+        # m6 without redoing the geodesy (weights_from_angles)
+        "sin_az": sin_az,
+        "cos_az": cos_az,
+        "sin_l": sin_l,
+        "cos_l": cos_l,
     }
+
+
+def weights_from_angles(kin, m6, ng):
+    """wg [.., 3, ng] for a new m6 on fixed kinematics (the batched version
+    of the reference's only_moment_changed shortcut, psm_set_source_params /
+    minimizer_engine.f90 dirty-flag dataflow: a moment-tensor-only change
+    skips re-synthesis of the GF values)."""
+    f = make_weights_sc(kin["sin_az"], kin["cos_az"], m6)
+    return _group_weights(f, kin["cos_l"], kin["sin_l"], ng)
+
+
+def values_matrix(ext, cfg: SynthConfig, kin, group_size=1):
+    """Per-centroid GF values v f32[C, ng, nt_out]: bilinear-blended,
+    fractionally time-shifted -- everything of the synthesis EXCEPT the
+    moment-weight contraction (out = sum_c wg_c @ v_c).  Shared-kinematics
+    batches compute this once and contract per-source weights against it."""
+    c = kin["ish"].shape[0]
+    g = group_size if (group_size > 1 and c % group_size == 0) else 1
+    p = c // g
+    start_k = cfg.s_base + cfg.s_len - 1
+    ext2 = ext.reshape(cfg.nxw * cfg.nzw, cfg.ng, -1)
+    ixs, izs = kin["ixs"][::g], kin["izs"][::g]
+    nodes = jnp.stack(
+        [
+            ixs[:, 0] * cfg.nzw + izs[:, 0],
+            ixs[:, 0] * cfg.nzw + izs[:, 1],
+            ixs[:, 1] * cfg.nzw + izs[:, 0],
+            ixs[:, 1] * cfg.nzw + izs[:, 1],
+        ],
+        axis=-1,
+    )
+
+    def one_group(nd, wsp, ishs, fracs):
+        blended = (
+            wsp[0] * ext2[nd[0]] + wsp[1] * ext2[nd[1]]
+            + wsp[2] * ext2[nd[2]] + wsp[3] * ext2[nd[3]]
+        )  # [ng, nt_ext]
+
+        def one_c(ish, fr):
+            sl = jax.lax.dynamic_slice_in_dim(
+                blended, start_k - ish, cfg.nt_out + 1, axis=-1)
+            return (1.0 - fr) * sl[:, 1:] + fr * sl[:, :-1]
+
+        return jax.vmap(one_c)(ishs, fracs)  # [G, ng, nt_out]
+
+    grp = lambda a: a.reshape((p, g) + a.shape[1:])
+    v = jax.vmap(one_group)(
+        nodes, kin["wsp"][::g], grp(kin["ish"]), grp(kin["frac"])
+    )  # [P, G, ng, nt_out]
+    return v.reshape(c, cfg.ng, cfg.nt_out)
 
 
 # ---------------------------------------------------------------------------

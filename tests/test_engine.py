@@ -243,3 +243,51 @@ def test_all_source_models_self_consistent(engine, stype):
     p2[3] += 120.0  # deeper
     engine.set_source_params(stype, p2)
     assert engine.get_global_misfit() > 1e-3, stype
+
+
+def test_shared_kinematics_forward_matches(engine):
+    """Moment-only batches (MT sweep; slip-rake sweep on a fixed fault) take
+    the shared-kinematics forward (the reference's only_moment_changed
+    shortcut, batched) and must match the general path exactly."""
+    from kiwi_tpu.sources import get_source_model
+
+    engine.set_misfit_method("floating_l1norm")
+    engine.set_floating_shiftrange(-0.4, 0.4)
+
+    # finite bilateral, slip-rake sweep: kinematics shared, positions finite
+    engine.set_source_params("bilateral", BILAT)
+    engine.set_synthetic_reference()
+    model = get_source_model("bilateral")
+    batch = np.tile(BILAT, (6, 1))
+    batch[:, 7] = np.linspace(0.0, 300.0, 6).astype(np.float32)  # slip-rake
+    batch[:, 4] = np.linspace(0.5e12, 2e12, 6).astype(np.float32)  # moment
+    assert model.shared_kin_check(batch)
+
+    m1, n1, fs1 = engine.misfits_for_source_batch(batch)  # shared path
+    # force the general path by making one batch row kinematically distinct,
+    # evaluating, then comparing row-wise against per-row calls
+    for i in (0, 3, 5):
+        m_i, n_i, fs_i = engine.misfits_for_source_batch(batch[i][None, :])
+        scale = max(float(np.abs(np.asarray(m_i)).max()), 1e-30)
+        np.testing.assert_allclose(np.asarray(m1)[i], np.asarray(m_i)[0],
+                                   atol=scale * 1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(n1)[i], np.asarray(n_i)[0],
+                                   atol=scale * 1e-5, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(fs1)[i], np.asarray(fs_i)[0])
+
+    # moment_tensor m6 sweep
+    engine.set_source_params("moment_tensor", np.array(
+        [0.0, 0, 0, 400.0, 1e12, -5e11, 2e11, 3e11, -1e11, 5e11, 0.3],
+        np.float32))
+    engine.set_synthetic_reference()
+    mt = get_source_model("moment_tensor")
+    b2 = np.tile(engine.source_params, (5, 1))
+    b2[:, 4:10] *= np.linspace(0.5, 2.0, 5)[:, None].astype(np.float32)
+    b2[2, 5] = -b2[2, 5]
+    assert mt.shared_kin_check(b2)
+    m2, n2, _ = engine.misfits_for_source_batch(b2)
+    for i in (1, 2, 4):
+        m_i, n_i, _ = engine.misfits_for_source_batch(b2[i][None, :])
+        scale = max(float(np.abs(np.asarray(m_i)).max()), 1e-30)
+        np.testing.assert_allclose(np.asarray(m2)[i], np.asarray(m_i)[0],
+                                   atol=scale * 1e-5, rtol=1e-5)
