@@ -291,3 +291,79 @@ def test_shared_kinematics_forward_matches(engine):
         scale = max(float(np.abs(np.asarray(m_i)).max()), 1e-30)
         np.testing.assert_allclose(np.asarray(m2)[i], np.asarray(m_i)[0],
                                    atol=scale * 1e-5, rtol=1e-5)
+
+
+def test_ng8_store_forward():
+    """ng=8 databases (no near-field components, the reference's other
+    layout) run through the full engine forward."""
+    from kiwi_tpu.gf.store import GFStoreBuilder
+
+    rng = np.random.default_rng(2)
+    b = GFStoreBuilder(30, 6, 8, 0.1, 100.0, 100.0, 100.0, 0.0)
+    for ix in range(30):
+        for iz in range(6):
+            for ig in range(8):
+                v = rng.normal(size=30).astype(np.float32)
+                v[-1] = 0.0
+                b.put_trace(ix, iz, ig, v, 10 + ix)
+    store8 = b.build()
+
+    eng = Engine(store8)
+    olat, olon = 30.0, 70.0
+    recs = []
+    for d, az in [(1500.0, 0.3), (2400.0, -1.0)]:
+        la, lo = geo.ne_to_latlon(np.radians(olat), np.radians(olon),
+                                  d * np.cos(az), d * np.sin(az))
+        recs.append(Receiver(np.degrees(float(la)), np.degrees(float(lo)), "ned"))
+    eng.set_receivers(recs)
+    eng.set_source_location(olat, olon, 0.0)
+    eng.set_effective_dt(0.1)
+    eng.set_local_interpolation(True)
+    eng.set_source_params("bilateral", BILAT)
+    eng.set_misfit_method("l2norm")
+    eng.set_synthetic_reference()
+    assert eng.get_global_misfit() < 1e-5
+    p2 = BILAT.copy(); p2[5] += 30.0
+    eng.set_source_params("bilateral", p2)
+    assert eng.get_global_misfit() > 1e-3
+
+
+def test_teleseismic_scale_windows():
+    """A coarse 20,000 km / 10 km-grid store (gemini-like geometry): plan
+    windows, f32 distances and the forward stay sane at teleseismic range."""
+    from kiwi_tpu.gf.store import GFStoreBuilder
+
+    rng = np.random.default_rng(4)
+    nx, nz, ng = 2000, 4, 10
+    b = GFStoreBuilder(nx, nz, ng, 1.0, 10e3, 10e3, 10e3, 0.0)
+    # sparse fill: only the distance band the receivers touch
+    for ix in range(780, 860):
+        for iz in range(nz):
+            for ig in range(ng):
+                v = rng.normal(size=40).astype(np.float32)
+                v[-1] = 0.0
+                b.put_trace(ix, iz, ig, v, 900 + ix)
+    store = b.build()
+
+    eng = Engine(store)
+    olat, olon = 10.0, 20.0
+    recs = []
+    for d_km, az in [(7950.0, 0.5), (8300.0, 2.0)]:
+        la, lo = geo.ne_to_latlon(np.radians(olat), np.radians(olon),
+                                  d_km * 1e3 * np.cos(az), d_km * 1e3 * np.sin(az))
+        recs.append(Receiver(np.degrees(float(la)), np.degrees(float(lo)), "ned"))
+    eng.set_receivers(recs)
+    eng.set_source_location(olat, olon, 0.0)
+    eng.set_effective_dt(1.0)
+    eng.set_local_interpolation(True)
+    p = np.array([0.0, 0, 0, 15e3, 1e18, 30.0, 60.0, 90.0, 0.0,
+                  40e3, 30e3, 20e3, 2500.0, 4.0], np.float32)
+    eng.set_source_params("bilateral", p)
+    eng.set_misfit_method("l2norm")
+    eng.set_synthetic_reference()
+    assert eng.get_global_misfit() < 1e-5
+    traces = eng.get_synthetic_seismograms()
+    assert any(np.abs(v).max() > 0 for v, _ in traces)
+    p2 = p.copy(); p2[0] += 5.0  # 5 s later
+    eng.set_source_params("bilateral", p2)
+    assert eng.get_global_misfit() > 1e-3

@@ -205,3 +205,39 @@ set_ignore_sigint       T
     assert os.path.exists(f"{base}-xcorr-1-n.table")
     dist = np.loadtxt(f"{base}-dist.table")
     assert dist.shape[0] == 3  # one row per receiver
+
+
+def test_protocol_survives_malformed_input(dbfile, rcvfile):
+    """Malformed commands answer nok and the session keeps going
+    (minimizer.f90:1682-1697's error protocol)."""
+    script = f"""
+bogus_command 1 2 3
+set_database
+set_database /nonexistent/path.npz
+set_database {dbfile}
+set_source_location not a number
+set_source_params bilateral 1 2
+set_receivers /nonexistent.table
+set_receivers {rcvfile}
+set_source_location 30.0 70.0 0
+set_source_params bilateral 0 0 0 400 1e12 91 87 164 0 300 200 250 2500 0.2
+set_effective_dt 0.1
+get_global_misfit
+minimize_lm extra args here
+output_seismograms
+get_distances_typo
+set_misfit_method not_a_norm
+get_source_subparams 99
+"""
+    srv, out = run_session(script.strip())
+    lines = [l for l in out.splitlines() if l.strip()]
+    # the good commands succeeded
+    assert any(l.startswith("set_database: ok") for l in lines)
+    assert any(l.startswith("set_receivers: ok") for l in lines)
+    assert any(l.startswith("set_source_params: ok") for l in lines)
+    # the bad ones answered nok (no crash, no silent ok)
+    for bad in ("bogus_command", "set_misfit_method: nok",
+                "get_source_subparams: nok"):
+        assert any(bad in l for l in lines), (bad, lines)
+    # get_global_misfit noks cleanly without references
+    assert any(l.startswith("get_global_misfit: nok") for l in lines)
