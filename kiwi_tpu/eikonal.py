@@ -2,12 +2,14 @@
 
 The reference uses Sethian's fast-marching method with a binary heap
 (eikonal.f90 + heap.f90) -- inherently sequential.  Device-side we use
-*fast sweeping* (Zhao 2005): alternating directional line sweeps of the same
-Godunov upwind update, which converges to the same viscosity solution and
-maps onto lax.scan (sequential only along one axis per sweep, vectorized
-across the other).  A host-side FMM (heapq) with the reference's update
-formula (eikonal.f90:128-189) is kept as the parity oracle and for the CLI
-tools.
+*fast sweeping* (Zhao 2005) in anti-diagonal ordering: within a sweep
+direction, points on the diagonal i + j = k depend only on diagonal k - 1,
+so each diagonal updates as one vectorized lax.scan step with exact
+point-Gauss-Seidel semantics.  One round of the 4 directional sweeps is
+exact for fields whose characteristics turn < 90 degrees (all rupture-front
+speed fields); the default adds margin.  A host-side FMM (heapq) with the
+reference's update formula (eikonal.f90:128-189) is kept as the parity
+oracle and for the CLI tools.
 """
 
 from __future__ import annotations
@@ -127,38 +129,76 @@ def _upwind(told, amin, cmin, f, da, dc):
     return jnp.minimum(told, cand)
 
 
-def _directional_sweep(t, f, sd, da, dc, flip):
-    """One causal line sweep along axis 0 of t (spacing da); axis 1 has
-    spacing dc.  Uses the freshly-updated previous line for the causal
-    neighbor (line Gauss-Seidel) and old values elsewhere."""
-    if flip:
-        t, f, sd = jnp.flip(t, 0), jnp.flip(f, 0), jnp.flip(sd, 0)
-    tp = jnp.pad(t, 1, constant_values=BIG)
-    ahead = tp[2:, 1:-1]  # old value of line i+1
-    hmin = jnp.minimum(tp[1:-1, :-2], tp[1:-1, 2:])  # axis-1 neighbor mins
+def _skew(a, fill):
+    """[nx, ny] -> [nx, nx + ny - 1] with row i shifted right by i, so the
+    anti-diagonal i + j = k becomes column k."""
+    nx, ny = a.shape
+    ap = jnp.pad(a, ((0, 0), (0, nx)), constant_values=fill)
+    cols = (jnp.arange(nx + ny - 1)[None, :] - jnp.arange(nx)[:, None]) % (
+        ny + nx
+    )
+    return jnp.take_along_axis(ap, cols, axis=1)
 
-    def body(prev, row):
-        t_row, f_row, ahead_row, seed_row, hmin_row = row
-        amin = jnp.minimum(prev, ahead_row)  # axis-0 neighbors
-        tnew = _upwind(t_row, amin, hmin_row, f_row, da, dc)
-        tnew = jnp.where(seed_row, 0.0, tnew)
+
+def _unskew(s, nx, ny):
+    cols = (jnp.arange(ny)[None, :] + jnp.arange(nx)[:, None])
+    return jnp.take_along_axis(s, cols, axis=1)
+
+
+def _diagonal_sweep(t, f, sd, da, dc, flip0, flip1):
+    """One full Gauss-Seidel sweep in the (+i, +j) direction (after optional
+    axis flips): points are processed along anti-diagonals i + j = k, where
+    BOTH causal neighbors (i-1, j) and (i, j-1) lie on diagonal k-1 and are
+    already updated -- the exact point-Gauss-Seidel ordering of Zhao (2005)
+    fast sweeping, vectorized across each diagonal (a line sweep with only
+    Jacobi coupling across the line converges an order of magnitude slower
+    for characteristics oblique to the sweep axis)."""
+    if flip0:
+        t, f, sd = jnp.flip(t, 0), jnp.flip(f, 0), jnp.flip(sd, 0)
+    if flip1:
+        t, f, sd = jnp.flip(t, 1), jnp.flip(f, 1), jnp.flip(sd, 1)
+    nx, ny = t.shape
+    ts = _skew(t, BIG)  # [nx, K], K = nx + ny - 1
+    fs = _skew(f, 1.0)
+    sds = _skew(sd, False)
+    # non-causal (old) neighbors of column k live in column k + 1:
+    # down = t[i+1, j] -> skewed (i+1, k+1); right = t[i, j+1] -> (i, k+1)
+    tp = jnp.pad(ts, ((0, 1), (0, 1)), constant_values=BIG)
+    down_old = tp[1:, 1:]  # [nx, K]
+    right_old = tp[:-1, 1:]
+
+    def body(prev, col):
+        t_col, f_col, seed_col, dn_col, rt_col = col
+        up_new = jnp.concatenate([jnp.full((1,), BIG), prev[:-1]])  # t[i-1, j]
+        left_new = prev  # t[i, j-1]
+        amin = jnp.minimum(up_new, dn_col)  # axis-0 neighbors
+        cmin = jnp.minimum(left_new, rt_col)  # axis-1 neighbors
+        tnew = _upwind(t_col, amin, cmin, f_col, da, dc)
+        tnew = jnp.where(seed_col, 0.0, tnew)
         return tnew, tnew
 
-    init = jnp.full((t.shape[1],), BIG)
-    # unroll: each scan step is a tiny [ny]-vector update; sequential-step
-    # overhead dominates on TPU, so fuse 8 lines per step (bit-identical)
-    _, out = jax.lax.scan(body, init, (t, f, ahead, sd, hmin), unroll=8)
-    return jnp.flip(out, 0) if flip else out
+    init = jnp.full((nx,), BIG)
+    _, out_s = jax.lax.scan(
+        body, init,
+        (ts.T, fs.T, sds.T, down_old.T, right_old.T),
+        unroll=8,
+    )
+    out = _unskew(out_s.T, nx, ny)
+    if flip1:
+        out = jnp.flip(out, 1)
+    if flip0:
+        out = jnp.flip(out, 0)
+    return out
 
 
-def sweep_solve(speed, delta, first, initial_point, n_rounds=8):
+def sweep_solve(speed, delta, first, initial_point, n_rounds=3):
     """Fast-sweeping arrival times (jnp; vmappable over sources).
 
     speed: f32[nx, ny]; delta: (dx, dy) scalars (may be traced); first:
     (fx, fy); initial_point: (px, py) physical coordinates.  Runs n_rounds
-    of 4 directional line sweeps; information propagates one full grid line
-    per sweep, so a handful of rounds suffices for star-shaped rupture
-    fronts (use more for strongly-curved speed fields).
+    of the 4 directional diagonal sweeps; one round is exact for
+    characteristics turning < 90 degrees, three covers strongly-curved
+    fields (validated against the FMM oracle in tests).
     """
     speed = jnp.asarray(speed, jnp.float32)
     nx, ny = speed.shape
@@ -172,10 +212,10 @@ def sweep_solve(speed, delta, first, initial_point, n_rounds=8):
     times = jnp.where(seed, 0.0, BIG)
 
     def one_round(times, _):
-        times = _directional_sweep(times, speed, seed, dx, dy, False)
-        times = _directional_sweep(times, speed, seed, dx, dy, True)
-        times = _directional_sweep(times.T, speed.T, seed.T, dy, dx, False).T
-        times = _directional_sweep(times.T, speed.T, seed.T, dy, dx, True).T
+        times = _diagonal_sweep(times, speed, seed, dx, dy, False, False)
+        times = _diagonal_sweep(times, speed, seed, dx, dy, False, True)
+        times = _diagonal_sweep(times, speed, seed, dx, dy, True, False)
+        times = _diagonal_sweep(times, speed, seed, dx, dy, True, True)
         return times, None
 
     times, _ = jax.lax.scan(one_round, times, None, length=n_rounds)

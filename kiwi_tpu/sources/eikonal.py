@@ -433,7 +433,7 @@ def prepare_batch(pb_named, effective_dt, ctx: EikonalContext):
 
 
 def make_device_discretizer(static, effective_dt, ctx: EikonalContext,
-                            nt_cell_max, n_rounds=10):
+                            nt_cell_max, n_rounds=2):
     """Build the jitted batched eikonal discretizer for one static shape.
 
     Same pipeline as discretize_eikonal_host, vmapped over sources; the fine
@@ -553,7 +553,7 @@ def make_device_discretizer(static, effective_dt, ctx: EikonalContext,
 
 
 def discretize_device_batch(static, arrays, effective_dt, ctx, nt_cell_max,
-                            n_rounds=10, _cache={}):
+                            n_rounds=2, _cache={}):
     import jax.numpy as jnp
 
     key = (static["NF"], static["NC"], float(effective_dt), int(nt_cell_max),

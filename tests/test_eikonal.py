@@ -77,3 +77,25 @@ def test_sweep_slow_barrier():
     direct = np.hypot((35 - 5) * d, 0.0) / 3000.0
     assert t[35, 15] > 1.4 * direct
     assert abs(t[35, 15] - t_fmm[35, 15]) / t_fmm[35, 15] < 0.05
+
+
+def test_sweep_exact_vs_fmm_in_one_round():
+    from kiwi_tpu import eikonal as eik
+
+    """The anti-diagonal Gauss-Seidel sweep is exact (to f32) against the
+    FMM for fields whose characteristics turn < 90 degrees -- uniform,
+    layered, and masked rupture-front speed fields."""
+    rng = np.random.default_rng(0)
+    xg, yg = np.meshgrid(np.arange(90) - 45, np.arange(70) - 35, indexing="ij")
+    cases = [
+        np.full((90, 70), 3000.0, np.float32),
+        np.repeat(np.linspace(2000, 4000, 90)[:, None], 70, 1).astype(np.float32),
+        np.where(np.hypot(xg, yg) < 30, 2800.0, 700.0).astype(np.float32),
+    ]
+    for speed in cases:
+        ref = eik.fmm_solve(speed, (50.0, 50.0), (0.0, 0.0), (2200.0, 1700.0))
+        t1 = np.asarray(eik.sweep_solve(speed, (50.0, 50.0), (0.0, 0.0),
+                                        (2200.0, 1700.0), n_rounds=1))
+        finite = ref < 1e20
+        rel = np.abs(t1[finite] - ref[finite]) / np.maximum(ref[finite], 1e-3)
+        assert rel.max() < 1e-5, rel.max()

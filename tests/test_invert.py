@@ -178,4 +178,6 @@ def test_eikonal_device_batch_matches_host(engine):
     # both must identify the true radius and track each other closely
     assert np.argmin(g_host) == 1
     assert np.argmin(g_dev) == 1
-    np.testing.assert_allclose(g_dev, g_host, atol=0.02)
+    # the diagonal Gauss-Seidel sweep is exact vs the FMM on rupture
+    # speed fields, so the two pipelines agree to f32 roundoff
+    np.testing.assert_allclose(g_dev, g_host, atol=1e-5)
