@@ -219,3 +219,32 @@ def test_profiling_utilities():
         _t.sleep(0.002)
     total, window, last = c.rates()
     assert total > 0 and window > 0 and last > 0
+
+
+def test_enduring_point_source_and_traceplotter(tmp_path, engine):
+    """EnduringPointSource recovers a bilateral source's mechanism as a
+    point MT sweep; TracePlotter writes the figures (inversion.py:558+)."""
+    from kiwi_tpu.pipeline import EnduringPointSource, TracePlotter
+    from kiwi_tpu.invert import Source
+
+    eng = engine
+    true_params = TRUE
+    eng.set_misfit_method("l2norm")
+    eng.set_source_params("bilateral", true_params)
+    eng.set_synthetic_reference()
+
+    base = Source("bilateral", true_params)
+    base["strike"] = 0.0
+    eps = EnduringPointSource(str(tmp_path))
+    src = eps.work(eng, base)
+    # mechanism recovered up to the conjugate-plane ambiguity
+    d = abs(((src["strike"] - true_params[5] + 180.0) % 360.0) - 180.0)
+    dc = abs(((src["strike"] - true_params[5] - 180.0 + 180.0) % 360.0) - 180.0)
+    assert min(d, dc) <= 30.0
+    assert eps.out_config["min_misfit"] < 0.9
+
+    tp = TracePlotter(str(tmp_path))
+    figs = tp.work(eng)
+    import os as _os
+    for f in figs:
+        assert _os.path.exists(f) and _os.path.getsize(f) > 0
