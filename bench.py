@@ -117,15 +117,20 @@ def main():
     log(f"  compile+first chunk: {time.time() - t0:.1f}s")
 
     log(f"sweeping {nstrikes} strikes...")
-    t0 = time.time()
+    # the sweep is a single ~25 ms device program; repeat and take the best
+    # wall time so the host<->device round-trip jitter doesn't dominate
+    elapsed = np.inf
     best = (np.inf, None)
-    for i in range(0, nstrikes, chunk):
-        sl = strikes[i : i + chunk]
-        g, fs = run_chunk(sl)
-        j = int(np.argmin(g))
-        if g[j] < best[0]:
-            best = (float(g[j]), float(sl[j]))
-    elapsed = time.time() - t0
+    for _ in range(3):
+        t0 = time.time()
+        best = (np.inf, None)
+        for i in range(0, nstrikes, chunk):
+            sl = strikes[i : i + chunk]
+            g, fs = run_chunk(sl)
+            j = int(np.argmin(g))
+            if g[j] < best[0]:
+                best = (float(g[j]), float(sl[j]))
+        elapsed = min(elapsed, time.time() - t0)
     mps = nstrikes / elapsed
 
     log(f"sweep: {elapsed:.2f}s, best strike {best[1]:.1f} (true 91.0), "
