@@ -187,6 +187,10 @@ def _decode_steim(payload, nsamples, level):
                     nout += 1
     if x0 is None:
         return np.zeros(0, dtype=np.float32)
+    if nout < nsamples:
+        # header overstated nsamp relative to the decodable frames: zero the
+        # undecoded tail rather than integrating uninitialized memory
+        out[nout:nsamples] = 0
     diffs = out[:nsamples]
     series = np.cumsum(diffs)
     series = series - series[0] + x0

@@ -200,7 +200,7 @@ static int read_impl(const char* filename, float* data, int maxn,
     std::fclose(f);
 
     long pos = 0;
-    int total = 0;
+    int64_t total = 0;
     bool first = true;
     while (pos + 64 <= size) {
         const uint8_t* h = blob.data() + pos;
@@ -241,12 +241,32 @@ static int read_impl(const char* filename, float* data, int maxn,
             first = false;
         }
 
+        // A malformed dofs (0, < header size, or beyond the record) would put
+        // the payload outside the record or even the file; treat such records
+        // as carrying no samples, identically in the counting and the filling
+        // pass so the caller's buffer stays consistent.
+        if (dofs < 48 || (long)dofs >= (long)reclen) {
+            pos += reclen > 0 ? reclen : 64;
+            continue;
+        }
         const uint8_t* payload = blob.data() + pos + dofs;
         long paylen = reclen - dofs;
+        // Clamp the per-record sample count by what the payload can actually
+        // hold, in BOTH passes (a truncated file or a header overstating nsamp
+        // must not read past the blob).  STEIM is self-describing and already
+        // bounded by paylen below; for it keep the header count but zero-fill
+        // any undecoded tail.
+        long navail = nsamp;
+        if (enc == 4 || enc == 3) navail = paylen / 4;
+        else if (enc == 5) navail = paylen / 8;
+        else if (enc == 1) navail = paylen / 2;
+        if (navail > nsamp) navail = nsamp;
+        if (navail < 0) navail = 0;
         if (data) {
             float* out = data + total;
-            int want = nsamp;
-            if (total + want > maxn) want = maxn - total;
+            int want = (int)navail;
+            if (total + want > maxn) want = (int)(maxn - total);
+            if (want < 0) want = 0;
             if (enc == 4) {
                 for (int i = 0; i < want; i++) out[i] = get_f32(payload + 4 * i);
             } else if (enc == 5) {
@@ -256,6 +276,7 @@ static int read_impl(const char* filename, float* data, int maxn,
             } else if (enc == 1) {
                 for (int i = 0; i < want; i++) out[i] = (float)get_i16(payload + 2 * i);
             } else if (enc == 10 || enc == 11) {
+                std::memset(out, 0, (size_t)want * sizeof(float));
                 // STEIM decode
                 std::vector<int64_t> diffs;
                 diffs.reserve(nsamp + 8);
@@ -311,10 +332,11 @@ static int read_impl(const char* filename, float* data, int maxn,
                 return -3;  // unsupported encoding
             }
         }
-        total += nsamp;
-        pos += reclen;
+        total += navail;
+        if (total > 0x7fffffff) return -2;
+        pos += reclen > 0 ? reclen : 64;
     }
-    return total;
+    return (int)total;
 }
 
 int kiwi_mseed_nsamples(const char* filename) {

@@ -70,6 +70,75 @@ class GFShardedPlan:
     r_max: int
     forward: object  # jitted shard_map forward
     sharded_args: tuple  # (ext, gfi, gfn, ix0, recs, ctx, rctx) device arrays
+    built_stats: tuple = None  # (extent, depth_range, time_range) the windows cover
+    origins: list = None  # per-shard distance-window origins (store ix)
+
+    def _batch_exceeds_built_stats(self, pb):
+        """Cheap tier: conservative param_stats of the batch vs the stats the
+        windows were built from.  False = provably covered, no device sync."""
+        if self.built_stats is None:
+            return False
+        model = get_source_model(self.engine.source_type)
+        ext, (d0, d1), (t0, t1) = model.param_stats(pb, self.engine.effective_dt)
+        bext, (bd0, bd1), (bt0, bt1) = self.built_stats
+        eps = 1e-3
+        return (ext > bext + eps or d0 < bd0 - eps or d1 > bd1 + eps
+                or t0 < bt0 - eps or t1 > bt1 + eps)
+
+    def _check_coverage_precise(self, cbatch):
+        """Exact tier: the per-shard GF windows were sized from the source the
+        plan was built for; a centroid outside a shard's window clips to
+        valid=False and silently synthesizes zeros (the unsharded engine
+        re-plans from batch stats instead).  Mirror gf_indices' validity math
+        on the ACTUAL discretized centroids and raise with a rebuild hint."""
+        cfg = self.cfg
+        eng = self.engine
+        act = np.asarray(cbatch.get("active", np.bool_(True)))
+        act = np.broadcast_to(act, np.asarray(cbatch["north"]).shape).astype(bool)
+        if not act.any():
+            return
+        off = float(np.hypot(np.asarray(cbatch["north"]), np.asarray(cbatch["east"]))[act].max())
+        cd = np.asarray(cbatch["depth"])[act]
+        ct = np.asarray(cbatch["time"])[act]
+        xu = cfg.xunder if cfg.interpolate else 1
+        zu = cfg.zunder if cfg.interpolate else 1
+        geom = eng._geometry()
+        problems = []
+        for s, (idx, o) in enumerate(zip(self.groups, self.origins or [])):
+            if len(idx) == 0:
+                continue
+            dlo = float(geom.dist[idx].min()) - off
+            dhi = float(geom.dist[idx].max()) + off
+            ix1 = int(np.floor((dlo - cfg.firstx) / (cfg.dx * xu))) * xu
+            ix2 = int(np.floor((dhi - cfg.firstx) / (cfg.dx * xu))) * xu + xu
+            if ix1 < o or ix2 > o + cfg.nxw - 1:
+                problems.append(
+                    f"shard {s}: distances [{dlo:.0f}, {dhi:.0f}] m need store "
+                    f"ix [{ix1}, {ix2}] outside window [{o}, {o + cfg.nxw - 1}]"
+                )
+        zlo = float(cd.min()) - float(geom.depth.max())
+        zhi = float(cd.max()) - float(geom.depth.min())
+        iz1 = int(np.floor((zlo - cfg.firstz) / (cfg.dz * zu))) * zu
+        iz2 = int(np.floor((zhi - cfg.firstz) / (cfg.dz * zu))) * zu + zu
+        if iz1 < cfg.iz0 or iz2 > cfg.iz0 + cfg.nzw - 1:
+            problems.append(
+                f"depths [{zlo:.0f}, {zhi:.0f}] m need store iz [{iz1}, {iz2}] "
+                f"outside window [{cfg.iz0}, {cfg.iz0 + cfg.nzw - 1}]"
+            )
+        s1 = int(np.floor(float(ct.min()) / cfg.dt))
+        s2 = int(np.floor(float(ct.max()) / cfg.dt)) + 1
+        if s1 < cfg.s_base or s2 > cfg.s_base + cfg.s_len - 1:
+            problems.append(
+                f"centroid times [{ct.min():.2f}, {ct.max():.2f}] s need shifts "
+                f"[{s1}, {s2}] outside [{cfg.s_base}, {cfg.s_base + cfg.s_len - 1}]"
+            )
+        if problems:
+            raise ValueError(
+                "source batch exceeds the GF window coverage this sharded plan "
+                "was built for:\n  " + "\n  ".join(problems) + "\nset the widest "
+                "search-space source on the engine and rebuild with "
+                "gfshard.build_plan"
+            )
 
     def misfits(self, params_batch):
         """(misfit [B, RC], norm [B, RC], shift [B, R]) in the engine's
@@ -81,6 +150,8 @@ class GFShardedPlan:
         if b % ns:  # pad the batch to the source-shard count
             pb = np.concatenate([pb, np.tile(pb[-1:], (ns - b % ns, 1))])
         cbatch, moments, risetimes, _shape, _g = eng._discretize_batch(pb)
+        if self._batch_exceeds_built_stats(pb):
+            self._check_coverage_precise(cbatch)
         m, n, fs = self.forward(
             *self.sharded_args, cbatch, jnp.asarray(moments), jnp.asarray(risetimes)
         )
@@ -347,6 +418,8 @@ def build_plan(engine, mesh, axis="r", source_axis="auto"):
         rc_of=rc_of, rc_max=rc_max, r_max=r_max,
         forward=forward,
         sharded_args=(ext, gfi, gfn, ix0, recs, ctxd, rctxd, aux),
+        built_stats=(extent, depth_range, time_range),
+        origins=origins,
     )
     return plan
 

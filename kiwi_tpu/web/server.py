@@ -98,20 +98,23 @@ class SeismogramApp:
             traces = eng.get_synthetic_seismograms()
             layout = eng._plan["layout"]
 
-        gens = self.generations(session)
-        generation = (gens[-1] + 1) if gens else 1
-        gdir = self._gen_dir(session, generation)
-        rows = []
-        for (values, itmin), (irec, comp) in zip(traces, layout):
-            rows.append({
-                "receiver": irec + 1,
-                "component": comp,
-                "itmin": int(itmin),
-                "values": np.asarray(values).tolist(),
-            })
-        with open(os.path.join(gdir, "result.json"), "w") as f:
-            json.dump({"form": dict(form), "dt": self.store.dt, "traces": rows}, f)
-        self._plot(session, generation)
+            # generation allocation + result/plot writes stay under the lock:
+            # two concurrent POSTs for one session on ThreadingHTTPServer must
+            # not pick the same generation and clobber each other's result dir
+            gens = self.generations(session)
+            generation = (gens[-1] + 1) if gens else 1
+            gdir = self._gen_dir(session, generation)
+            rows = []
+            for (values, itmin), (irec, comp) in zip(traces, layout):
+                rows.append({
+                    "receiver": irec + 1,
+                    "component": comp,
+                    "itmin": int(itmin),
+                    "values": np.asarray(values).tolist(),
+                })
+            with open(os.path.join(gdir, "result.json"), "w") as f:
+                json.dump({"form": dict(form), "dt": self.store.dt, "traces": rows}, f)
+            self._plot(session, generation)
         return generation
 
     def _plot(self, session, generation):

@@ -211,3 +211,51 @@ def test_sac_native_codec_byte_identical(tmp_path):
     d3, t3, dt3 = native.sac_read(f3)
     np.testing.assert_array_equal(d3, data)
     assert abs(t3 + 2.0) < 1e-6 and abs(dt3 - 0.25) < 1e-9
+
+
+def test_native_mseed_malformed_robust(tmp_path):
+    """Truncated files and garbage data-offset headers must not read out of
+    bounds or return uninitialized memory (reads clamp to the payload that
+    is actually present)."""
+    from kiwi_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=2500).astype(np.float32)  # spans 3 records
+    good = tmp_path / "good.mseed"
+    native.mseed_write(str(good), data, 100.0, 0.5, "KW", "STA", "", "n")
+    blob = good.read_bytes()
+
+    # truncate mid-record: the counting pass and the filling pass must agree
+    # and only return samples whose bytes exist
+    trunc = tmp_path / "trunc.mseed"
+    cut = 4096 + 64 + 4 * 100  # 100 samples into record 2
+    trunc.write_bytes(blob[:cut])
+    d, t0, dt = native.mseed_read(str(trunc))
+    per_rec = (4096 - 64) // 4
+    assert len(d) == per_rec + 100
+    np.testing.assert_array_equal(d, data[: per_rec + 100])
+
+    # corrupt dofs (data offset) of record 2 to point past the record: that
+    # record contributes nothing, no crash, rest of file still decodes
+    bad = bytearray(blob)
+    import struct
+
+    bad[4096 + 44 : 4096 + 46] = struct.pack(">H", 5000)
+    badf = tmp_path / "bad.mseed"
+    badf.write_bytes(bytes(bad))
+    d2, _, _ = native.mseed_read(str(badf))
+    assert len(d2) == len(data) - per_rec
+    np.testing.assert_array_equal(d2[:per_rec], data[:per_rec])
+    np.testing.assert_array_equal(d2[per_rec:], data[2 * per_rec :])
+
+    # dofs = 0 (inside the header): also skipped
+    bad[4096 + 44 : 4096 + 46] = struct.pack(">H", 0)
+    badf.write_bytes(bytes(bad))
+    d3, _, _ = native.mseed_read(str(badf))
+    assert len(d3) == len(data) - per_rec
+
+    # python fallback also survives the truncated file
+    dp, _, _ = ms.read_py(str(trunc))
+    assert np.all(np.isfinite(dp))

@@ -140,3 +140,32 @@ def test_gf_sharding_2d_sources_x_receivers(engine):
     scale = np.abs(m0).max()
     np.testing.assert_allclose(m1, m0, rtol=3e-5, atol=scale * 3e-5)
     np.testing.assert_allclose(n1, n0, rtol=3e-5, atol=np.abs(n0).max() * 3e-5)
+
+
+def test_gfshard_rejects_out_of_coverage_batch(engine):
+    """A batch whose centroids leave the built GF windows must raise instead
+    of silently synthesizing zeros (valid=False masking)."""
+    from kiwi_tpu.parallel import gfshard
+
+    eng, p = engine
+    mesh = make_mesh(n_sources=1, n_receivers=8)
+    plan = gfshard.build_plan(eng, mesh, axis="r")
+
+    # same-coverage batch works
+    ok = np.tile(p, (4, 1))
+    ok[:, 5] = np.linspace(0.0, 90.0, 4).astype(np.float32)
+    m, _, _ = plan.misfits(ok)
+    assert np.all(np.isfinite(m))
+
+    # sweep north-shift far beyond the built windows: per-shard distance
+    # windows can't cover it
+    far = np.tile(p, (4, 1))
+    far[:, 1] = np.linspace(0.0, 1500.0, 4).astype(np.float32)  # m north
+    with pytest.raises(ValueError, match="coverage"):
+        plan.misfits(far)
+
+    # sweep time far beyond the built shift-tap window
+    late = np.tile(p, (4, 1))
+    late[:, 0] = np.linspace(0.0, 30.0, 4).astype(np.float32)  # s
+    with pytest.raises(ValueError, match="coverage"):
+        plan.misfits(late)
