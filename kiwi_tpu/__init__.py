@@ -17,9 +17,24 @@ Design notes
   over source batches.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the synthesis/misfit programs take 20-40 s to
+# compile on TPU; warm starts (protocol replays, repeated CLI runs, Step
+# pipelines) hit the cache instead.  KIWI_COMPILE_CACHE=0 disables,
+# KIWI_COMPILE_CACHE=<dir> relocates.
+_cache = _os.environ.get("KIWI_COMPILE_CACHE", "")
+if _cache != "0":
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _cache or _os.path.join(_os.path.expanduser("~"), ".cache", "kiwi_tpu", "xla"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 __version__ = "0.1.0"
 

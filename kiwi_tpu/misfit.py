@@ -349,7 +349,8 @@ def apply_fold(vals, w):
     idx = jnp.arange(nt)[None, :] - (jnp.arange(k)[:, None] - h)  # [K, NT]
     gathered = jnp.take(vals, jnp.clip(idx, 0, nt - 1), axis=-1)  # [..., K, NT]
     gathered = jnp.where(idx < 0, 0.0, gathered)
-    return jnp.einsum("k,...kt->...t", w, gathered)
+    return jnp.einsum("k,...kt->...t", w, gathered,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def ref_norm_spans(ctx, st: ProbeStatic):

@@ -1,0 +1,222 @@
+"""Pallas TPU kernel: VMEM-resident-window grouped synthesis (VPU-only).
+
+The production finite-source forward (synth._grouped_accumulate under vmap)
+is ~60x off the HBM roofline on TPU: XLA materializes the per-centroid
+gathered rows, time slices and tap blends as HBM round trips (measured
+86 ms for a 64-source x 10-receiver x 195-centroid bilateral batch whose
+intrinsic traffic is ~1.3 ms; at 256 sources the slice buffer alone is
+33 GB and OOMs).  This kernel keeps the WHOLE edge-extended GF window
+resident in VMEM (finite-source search windows are a few MB) and runs the
+entire per-group pipeline -- 4-row bilinear gather, fractional time shift,
+moment-weight contraction, accumulation -- on-chip with zero HBM round
+trips.
+
+Lessons from the shelved MXU kernel (ops/synth_pallas.py) applied here:
+  * no dot_general at all: Mosaic lowers f32 dots through one bf16 MXU pass
+    (~2^-8 error) and dynamic-rotate outputs force relayouts in front of
+    the MXU.  The moment contraction has only ~26 effective terms per
+    centroid (seismogram.f90:171-251's weight table is sparse), so it runs
+    on the VPU as scalar-broadcast row FMAs in full f32.
+  * pltpu.roll feeding VPU math is fast (the round-1 ablation's rolls-only
+    case); it was the roll->MXU layout conversion that cost 10x.
+  * all index/scalar arithmetic is traced in 32-bit mode (the package
+    enables jax x64 globally; i64 scalars won't lower).
+
+Semantics identical to synth._grouped_accumulate (same window extension,
+2-tap fractional shift, per-centroid backazimuth rotation folded into the
+weights); float32 rounding differs in reduction order only.
+
+Layout (v5e/v5p):
+  * ext rows flat [N*ng, T=128]: a group's 4 bilinear neighbors are
+    unaligned dynamic sublane slices (natively supported; lane offsets are
+    not).  The time shift is a dynamic lane ROTATE; the used output range
+    never wraps because the plan guarantees slice starts in
+    [0, nt_ext - nt_out - 1] and nt_ext <= 128.
+  * per-centroid weights ride in a blocked VMEM operand, read as scalars
+    (vmem->sreg); integer shift/node indices ride in SMEM via scalar
+    prefetch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+# wlane row indices (per centroid, lane-broadcast weight rows)
+_F1, _F2, _F3, _F4, _F5, _F6, _CL, _SL, _FR0, _FR1 = range(10)
+NW = 10  # weight rows per centroid
+
+
+def _kernel(G, ng, P, rr, node_ref, kk_ref,  # scalar prefetch (SMEM)
+            ext_ref, wsp_ref, w_ref,  # VMEM
+            out_ref):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    nb = pl.num_programs(0)
+    brp = (b * jnp.int32(rr) + r) * jnp.int32(P)
+    sbase = jnp.int32(nb) * jnp.int32(rr) * jnp.int32(P)  # strides live here
+    s1 = node_ref[sbase + 0]
+    s2 = node_ref[sbase + 1]
+    s3 = node_ref[sbase + 2]
+
+    def group(p, acc):
+        a_acc, r_acc, d_acc = acc
+        base = node_ref[brp + p]  # row index (node * ng), pre-clamped
+        ws = wsp_ref[0, 0, p]  # [4, 128] lane-broadcast bilinear weights
+        blend = (
+            ws[0:1] * ext_ref[pl.ds(base, ng), :]
+            + ws[1:2] * ext_ref[pl.ds(base + s1, ng), :]
+            + ws[2:3] * ext_ref[pl.ds(base + s2, ng), :]
+            + ws[3:4] * ext_ref[pl.ds(base + s3, ng), :]
+        )  # [ng, 128]
+
+        for g in range(G):
+            kk = kk_ref[brp * jnp.int32(G) + p * jnp.int32(G) + jnp.int32(g)]
+            # r1t[t] = blend[(t + kk + 1) mod 128]; r0t[t] = blend[(t + kk) mod 128]
+            r1t = pltpu.roll(blend, jnp.int32(127) - kk, 1)
+            r0t = pltpu.roll(r1t, 1, 1)
+            w = w_ref[0, 0, p, g]  # [NW, 128] lane-broadcast weight rows
+            v = w[_FR0:_FR0 + 1] * r1t + w[_FR1:_FR1 + 1] * r0t  # [ng, 128]
+
+            p1 = (w[_F1:_F1 + 1] * v[0:1] + w[_F2:_F2 + 1] * v[1:2]
+                  + w[_F3:_F3 + 1] * v[2:3])
+            p2 = w[_F4:_F4 + 1] * v[3:4] + w[_F5:_F5 + 1] * v[4:5]
+            dd = (w[_F1:_F1 + 1] * v[5:6] + w[_F2:_F2 + 1] * v[6:7]
+                  + w[_F3:_F3 + 1] * v[7:8])
+            if ng == 10:
+                p1 = p1 + w[_F6:_F6 + 1] * v[8:9]
+                dd = dd + w[_F6:_F6 + 1] * v[9:10]
+            a_acc = a_acc + (w[_CL:_CL + 1] * p1 - w[_SL:_SL + 1] * p2)
+            r_acc = r_acc + (w[_SL:_SL + 1] * p1 + w[_CL:_CL + 1] * p2)
+            d_acc = d_acc + dd
+        return (a_acc, r_acc, d_acc)
+
+    zero = jnp.zeros((1, 128), F32)
+    a_acc, r_acc, d_acc = jax.lax.fori_loop(0, P, group, (zero, zero, zero))
+    out_ref[0, 0, 0:1, :] = a_acc
+    out_ref[0, 0, 1:2, :] = r_acc
+    out_ref[0, 0, 2:3, :] = d_acc
+    out_ref[0, 0, 3:8, :] = jnp.zeros((5, 128), F32)
+
+
+@functools.partial(jax.jit, static_argnames=("G", "ng", "interpret"))
+def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
+                   G, ng, interpret=False):
+    """ard f32[B, R, 3, 128] from a VMEM-resident GF window.
+
+    ext_flat: f32[N*ng, 128] edge-extended rows, time padded to 128 lanes;
+    node_rows: i32[B, R, P] bilinear-origin row (node * ng), pre-clamped so
+    all four neighbor slices stay in range; strides3: i32[3] neighbor row
+    strides (zu*ng, xu*nzw*ng, (xu*nzw + zu)*ng); kks: i32[B, R, P, G] lane
+    slice starts (in [0, nt_ext - nt_out - 1]); wsp: f32[B, R, P, 4]
+    bilinear weights; wmeta: f32[B, R, P, G, NW] per-centroid scalars
+    (f1..f6, cos_l, sin_l, frac; invalid centroids carry zero f's).
+    """
+    bb, rr, P = node_rows.shape
+    with jax.enable_x64(False):
+        nodes_flat = jnp.concatenate(
+            [node_rows.reshape(-1).astype(I32), strides3.astype(I32)]
+        )
+        out = pl.pallas_call(
+            functools.partial(_kernel, G, ng, P, rr),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(bb, rr),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # ext (whole)
+                    pl.BlockSpec((1, 1, P, 4, 128), lambda b, r, *_: (b, r, 0, 0, 0)),
+                    pl.BlockSpec((1, 1, P, G, NW, 128),
+                                 lambda b, r, *_: (b, r, 0, 0, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, 1, 8, 128), lambda b, r, *_: (b, r, 0, 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((bb, rr, 8, 128), F32),
+            interpret=interpret,
+        )(nodes_flat, kks.reshape(-1).astype(I32), ext_flat,
+          wsp.astype(F32), wmeta.astype(F32))
+    return out[:, :, :3, :]
+
+
+# ---------------------------------------------------------------------------
+# engine-facing wrapper
+# ---------------------------------------------------------------------------
+
+
+def usable(cfg, vmem_budget=10 * 1024 * 1024):
+    """Can this config's window live VMEM-resident with <=128 time lanes?"""
+    nt_ext = cfg.nt_out + cfg.s_len
+    n_rows = cfg.nxw * cfg.nzw * cfg.ng
+    return (
+        nt_ext <= 128
+        and cfg.ng in (8, 10)
+        and n_rows * 128 * 4 <= vmem_budget
+    )
+
+
+def pack_ext(ext, cfg):
+    """materialize_window output [nxw, nzw, ng, nt_ext] -> flat [N*ng, 128]."""
+    n_rows = cfg.nxw * cfg.nzw * cfg.ng
+    nt_ext = ext.shape[-1]
+    flat = ext.reshape(n_rows, nt_ext)
+    if nt_ext < 128:
+        flat = jnp.pad(flat, ((0, 0), (0, 128 - nt_ext)))
+    return flat
+
+
+def pack_kinematics(cfg, kin, G):
+    """Batched kinematics dict ([B, R, C, ...] arrays) -> kernel operands.
+
+    kin must carry f [.., C, 6], cos_l, sin_l (from _centroid_kinematics),
+    wsp, ixs, izs, ish, frac, valid.
+    """
+    ng = cfg.ng
+    bb, rr, C = kin["ish"].shape
+    P = C // G
+    ixs = kin["ixs"][:, :, ::G]  # [B, R, P, 2]
+    izs = kin["izs"][:, :, ::G]
+    zu = cfg.zunder if cfg.interpolate else 1
+    xu = cfg.xunder if cfg.interpolate else 1
+    node = ixs[..., 0] * cfg.nzw + izs[..., 0]
+    # clamp so node + max stride + ng stays in range (invalid centroids have
+    # zero weights; their rows just need to be in bounds)
+    max_stride = xu * cfg.nzw + zu
+    node = jnp.clip(node, 0, cfg.nxw * cfg.nzw - 1 - max_stride)
+    node_rows = (node * ng).astype(I32)
+    strides3 = jnp.array([zu * ng, xu * cfg.nzw * ng, (xu * cfg.nzw + zu) * ng], I32)
+
+    start_base = cfg.s_base + cfg.s_len - 1  # == out_it0 - e0 - 1
+    kk = start_base - kin["ish"].reshape(bb, rr, P, G)
+    kk = jnp.clip(kk, 0, (cfg.nt_out + cfg.s_len) - cfg.nt_out - 1).astype(I32)
+
+    vmask = jnp.where(kin["valid"], 1.0, 0.0).reshape(bb, rr, P, G)
+    f = kin["f"].reshape(bb, rr, P, G, 6) * vmask[..., None]
+    cl = kin["cos_l"].reshape(bb, rr, P, G)
+    sl = kin["sin_l"].reshape(bb, rr, P, G)
+    fr = kin["frac"].reshape(bb, rr, P, G)
+    # lane-broadcast weight rows [B, R, P, G, NW, 128]: the kernel's inner
+    # loop is then pure vector FMAs (scalar vmem->sreg reads stall the VPU
+    # pipeline; measured 38 ms -> target ~6 ms for the 64x10x195 batch)
+    wrows = jnp.stack(
+        [f[..., 0], f[..., 1], f[..., 2], f[..., 3], f[..., 4], f[..., 5],
+         cl, sl, 1.0 - fr, fr],
+        axis=-1,
+    ).astype(F32)  # [B, R, P, G, NW]
+    wmeta = jnp.broadcast_to(wrows[..., None], wrows.shape + (128,))
+    wsp4 = kin["wsp"][:, :, ::G].astype(F32)  # [B, R, P, 4]
+    wsp = jnp.broadcast_to(wsp4[..., None], wsp4.shape + (128,))
+    return node_rows, strides3, kk, wsp, wmeta
+
+
+def synthesize_ard_batch(ext_flat, cfg, kin, G, interpret=False):
+    """ard f32[B, R, 3, nt_out] for a (source, receiver) batch."""
+    node_rows, strides3, kk, wsp, wmeta = pack_kinematics(cfg, kin, G)
+    out = window_forward(ext_flat, node_rows, strides3, kk, wsp, wmeta,
+                         G=G, ng=cfg.ng, interpret=interpret)
+    return out[..., : cfg.nt_out]

@@ -43,6 +43,11 @@ from .gf.trace import sample_ext
 F32 = jnp.float32
 F64 = jnp.float64
 I32 = jnp.int32
+# All synthesis contractions pin HIGHEST precision: XLA's default routes f32
+# einsum/conv through one bf16 MXU pass on TPU (~2^-8 relative error), which
+# violates the 1e-5 misfit-parity requirement (BASELINE.md).  HIGHEST uses
+# multi-pass f32-accurate MXU arithmetic.
+HIGHEST = jax.lax.Precision.HIGHEST
 
 
 # ---------------------------------------------------------------------------
@@ -474,6 +479,7 @@ def _centroid_kinematics(cfg: SynthConfig, rec, centroids):
         "cos_az": cos_az,
         "sin_l": sin_l,
         "cos_l": cos_l,
+        "f": f,  # [C, 6] MT radiation weights (ops/synth_window consumes)
     }
 
 
@@ -549,8 +555,8 @@ def synthesize_ard_direct(gf_data, gf_itmin, cfg: SynthConfig, rec, centroids):
         v1 = sample_ext(rows, its, jnp.broadcast_to(idx - 1, rows.shape[:3] + (cfg.nt_out,)))
         v = (1.0 - frac) * v0 + frac * v1  # [2, 2, ng, nt_out]
         wsp4 = wsp.reshape(2, 2)
-        blended = jnp.einsum("ab,abgt->gt", wsp4, v)  # [ng, nt_out]
-        out = jnp.einsum("og,gt->ot", wg, blended)  # [3, nt_out]
+        blended = jnp.einsum("ab,abgt->gt", wsp4, v, precision=HIGHEST)  # [ng, nt_out]
+        out = jnp.einsum("og,gt->ot", wg, blended, precision=HIGHEST)  # [3, nt_out]
         return jnp.where(valid, 1.0, 0.0) * out
 
     ard = jax.vmap(one_centroid)(
@@ -627,6 +633,7 @@ def synthesize_ard(ext, cfg: SynthConfig, rec, centroids):
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=F32,
+        precision=HIGHEST,
     )
     return out[0]  # [3, nt_out]
 
@@ -687,8 +694,8 @@ def _direct_accumulate(ext, cfg: SynthConfig, kin):
         start = (cfg.out_it0 - e0 - 1) - ish  # in [0, nt_ext - nt_out - 1]
         sl = jax.lax.dynamic_slice_in_dim(rows, start, cfg.nt_out + 1, axis=-1)
         v = (1.0 - frac) * sl[..., 1:] + frac * sl[..., :-1]
-        blended = jnp.einsum("ab,abgt->gt", wsp.reshape(2, 2), v)
-        return jnp.where(valid, 1.0, 0.0) * jnp.einsum("og,gt->ot", wg, blended)
+        blended = jnp.einsum("ab,abgt->gt", wsp.reshape(2, 2), v, precision=HIGHEST)
+        return jnp.where(valid, 1.0, 0.0) * jnp.einsum("og,gt->ot", wg, blended, precision=HIGHEST)
 
     return jax.vmap(one_centroid)(
         kin["ixs"], kin["izs"], kin["wsp"], kin["wg"], kin["ish"], kin["frac"], kin["valid"]
@@ -751,7 +758,7 @@ def _grouped_accumulate(ext, cfg: SynthConfig, kin, group_size):
         fr = fracs[:, None, None]
         v = (1.0 - fr) * sl[..., 1:] + fr * sl[..., :-1]  # [G, ng, nt_out]
         wv = jnp.where(valids, 1.0, 0.0)[:, None, None] * wgs  # [G, 3, ng]
-        return jnp.einsum("cog,cgt->ot", wv, v)  # [3, nt_out]
+        return jnp.einsum("cog,cgt->ot", wv, v, precision=HIGHEST)  # [3, nt_out]
 
     def grp(a):
         return a.reshape((p, g) + a.shape[1:])
@@ -795,6 +802,7 @@ def synthesize_with_spans(ext, gf_itmin, gf_nsamples, cfg: SynthConfig, rec, cen
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
             preferred_element_type=F32,
+            precision=HIGHEST,
         )[0]
     lo, hi = physical_spans(gf_itmin, gf_nsamples, cfg, kin)
     return out, lo, hi

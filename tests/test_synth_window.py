@@ -1,0 +1,93 @@
+"""VMEM-window Pallas kernel (ops/synth_window) vs the XLA grouped path.
+
+Runs in interpret mode on the CPU mesh; the real-TPU path is exercised by
+benchmark/profile_finite.py and was validated bit-for-bit (2e-7 relative,
+f32 reduction order) against this same interpret path on a v5e.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kiwi_tpu import geo, synth
+from kiwi_tpu.engine import Engine, Receiver
+from kiwi_tpu.gf import elseis
+from kiwi_tpu.ops import synth_window as sw
+
+
+@pytest.fixture(scope="module")
+def setup():
+    stf = np.array([0, 0, 0.3, 0.7, 1, 1, 1], dtype=np.float64)
+    store = elseis.build_ahfull_store(
+        nx=40, nz=8, dt=0.1, dx=100.0, dz=100.0, firstx=100.0, firstz=0.0,
+        material=(2300.0, 3200.0, 1600.0), stf=stf,
+    )
+    eng = Engine(store)
+    olat, olon = 30.0, 70.0
+    recs = []
+    for i in range(4):
+        d = 1200.0 + 400.0 * i
+        la, lo = geo.ne_to_latlon(np.radians(olat), np.radians(olon), d, 0.3 * i)
+        recs.append(Receiver(np.degrees(float(la)), np.degrees(float(lo)), "ned"))
+    eng.set_receivers(recs)
+    eng.set_source_location(olat, olon, 0.0)
+    eng.set_effective_dt(0.1)
+    eng.set_local_interpolation(True)
+    p = np.array(
+        [0, 0, 0, 400.0, 1e12, 91.0, 87.0, 164.0, 0.0, 300.0, 200.0, 250.0,
+         2500.0, 0.2],
+        dtype=np.float32,
+    )
+    eng.set_source_params("bilateral", p)
+    return eng, p, store
+
+
+def test_window_kernel_matches_grouped(setup):
+    eng, p, store = setup
+    batch = np.tile(p, (3, 1))
+    batch[:, 5] = np.array([20.0, 91.0, 200.0], np.float32)
+    cbatch, moments, risetimes, shape, gsize = eng._discretize_batch(batch)
+    plan = eng._ensure_plan(cbatch, float(np.max(risetimes)), shape, gsize=gsize)
+    cfg = plan["cfg"]
+    assert sw.usable(cfg)
+
+    gfd = jnp.asarray(store.data)
+    gfi = jnp.asarray(store.itmin)
+    zsl = np.s_[cfg.iz0:cfg.iz0 + cfg.nzw]
+    xsl = np.s_[cfg.ix0:cfg.ix0 + cfg.nxw]
+    ext = synth.materialize_window(gfd[xsl, zsl], gfi[xsl, zsl], cfg)
+    ext_flat = sw.pack_ext(ext, cfg)
+    geom = eng._geometry().device()
+
+    def ref_one(cent, rec):
+        kin = synth._centroid_kinematics(cfg, rec, cent)
+        return synth._grouped_accumulate(ext, cfg, kin, gsize)
+
+    ref = np.asarray(
+        jax.vmap(lambda c: jax.vmap(lambda r: ref_one(c, r))(geom))(cbatch)
+    )
+
+    def kin_one(cent):
+        return jax.vmap(lambda rec: synth._centroid_kinematics(cfg, rec, cent))(geom)
+
+    kin = jax.vmap(kin_one)(cbatch)
+    ard = np.asarray(sw.synthesize_ard_batch(ext_flat, cfg, kin, gsize,
+                                             interpret=True))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(ard, ref, rtol=1e-5, atol=scale * 1e-5)
+
+
+def test_usable_gates():
+    from kiwi_tpu.synth import SynthConfig
+
+    base = dict(dt=0.1, dx=50.0, dz=50.0, firstx=50.0, firstz=0.0, ng=10,
+                nt=100, ix0=0, iz0=0, out_it0=0, s_base=-8)
+    ok = SynthConfig(**base, nxw=64, nzw=24, nt_out=80, s_len=24)
+    assert sw.usable(ok)
+    # time axis too long for one lane tile
+    long_t = SynthConfig(**base, nxw=64, nzw=24, nt_out=140, s_len=24)
+    assert not sw.usable(long_t)
+    # window too big for VMEM residency
+    big = SynthConfig(**base, nxw=512, nzw=64, nt_out=80, s_len=24)
+    assert not sw.usable(big)
