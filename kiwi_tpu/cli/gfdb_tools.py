@@ -394,5 +394,25 @@ def main():
     fns[tool](sys.argv[2:])
 
 
+def _entry(tool):
+    """Console-script entry: `gfdb_<tool> args...` (reference binary names)."""
+    def run():
+        sys.argv = [sys.argv[0], tool] + sys.argv[1:]
+        main()
+    run.__name__ = f"main_{tool}"
+    return run
+
+
+main_build = _entry("build")
+main_extract = _entry("extract")
+main_info = _entry("info")
+main_redeploy = _entry("redeploy")
+main_build_ahfull = _entry("build_ahfull")
+main_downsample = _entry("downsample")
+main_phaser = _entry("phaser")
+main_specialextract = _entry("specialextract")
+main_meta = _entry("meta")
+
+
 if __name__ == "__main__":
     main()

@@ -178,7 +178,7 @@ def eikonal_benchmark(argv=None):
     print(f"device sweep  {n}x{n}: {t_swp:.3f} s  ({t_fmm / t_swp:.1f}x)")
 
 
-if __name__ == "__main__":
+def main():
     tool = sys.argv[1] if len(sys.argv) > 1 else ""
     fns = {
         "source_info": source_info,
@@ -191,3 +191,24 @@ if __name__ == "__main__":
     if tool not in fns:
         sys.exit(f"usage: python -m kiwi_tpu.cli.tools ({'|'.join(fns)}) args...")
     fns[tool](sys.argv[2:])
+
+
+def _entry(tool):
+    """Console-script entry: `<tool> args...` == `... tools <tool> args...`."""
+    def run():
+        sys.argv = [sys.argv[0], tool] + sys.argv[1:]
+        main()
+    run.__name__ = f"main_{tool}"
+    return run
+
+
+main_source_info = _entry("source_info")
+main_eulermt = _entry("eulermt")
+main_crust = _entry("crust")
+main_ahfull = _entry("ahfull")
+main_differential_azidist = _entry("differential_azidist")
+main_eikonal_benchmark = _entry("eikonal_benchmark")
+
+
+if __name__ == "__main__":
+    main()
