@@ -99,10 +99,19 @@ def main():
     p1 = plotting.plot_seismogram_comparison(eng, os.path.join(workdir, "seis.png"))
     p2 = plotting.plot_station_map(eng, os.path.join(workdir, "map.png"))
     p3 = plotting.plot_misfit_cross_section(grid, os.path.join(workdir, "misfit.png"))
+    p4 = plotting.plot_beachball(plotting.source_m6(eng),
+                                 os.path.join(workdir, "beachball.png"),
+                                 title="recovered mechanism")
+    p5 = plotting.plot_misfogram(eng, os.path.join(workdir, "misfogram.png"),
+                                 tmin=-5.0, tmax=5.0, nt=21)
+    p6 = plotting.plot_spectra_comparison(eng, os.path.join(workdir, "spectra.png"))
     rep = plotting.html_report(
         os.path.join(workdir, "report.html"), "synthetic inversion demo",
         [("fit", f"strike {final[5]:.2f}, depth {final[3]:.0f} m, "
                  f"global misfit {gm:.2e}", [p1]),
+         ("mechanism", "", [p4]),
+         ("misfogram", "", [p5]),
+         ("spectra", "", [p6]),
          ("geometry", "", [p2]),
          ("misfit surface", "", [p3])])
     print(f"report: {rep}")

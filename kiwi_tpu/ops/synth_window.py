@@ -115,9 +115,10 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     node_rows: i32[B, R, P] bilinear-origin row (node * ng), pre-clamped so
     all four neighbor slices stay in range; strides3: i32[3] neighbor row
     strides (zu*ng, xu*nzw*ng, (xu*nzw + zu)*ng); kks: i32[B, R, P, G] lane
-    slice starts (in [0, nt_ext - nt_out - 1]); wsp: f32[B, R, P, 4]
-    bilinear weights; wmeta: f32[B, R, P, G, NW] per-centroid scalars
-    (f1..f6, cos_l, sin_l, frac; invalid centroids carry zero f's).
+    slice starts (in [0, nt_ext - nt_out - 1]); wsp: f32[B, R, P, 4, 128]
+    lane-broadcast bilinear weights; wmeta: f32[B, R, P, G, NW, 128]
+    lane-broadcast per-centroid weight rows (f1..f6, cos_l, sin_l, 1-frac,
+    frac; invalid centroids carry zero f's).
     """
     bb, rr, P = node_rows.shape
     with jax.enable_x64(False):

@@ -340,10 +340,23 @@ class TracePlotter(Step):
                 engine, os.path.join(outdir, "seismograms.png"), self.processing
             ),
             plotting.plot_station_map(engine, os.path.join(outdir, "stations.png")),
+            plotting.plot_beachball(
+                plotting.source_m6(engine),
+                os.path.join(outdir, "beachball.png"),
+                title=f"{engine.source_type} mechanism",
+            ),
+            plotting.plot_misfogram(engine, os.path.join(outdir, "misfogram.png")),
+            plotting.plot_spectra_comparison(
+                engine, os.path.join(outdir, "spectra.png")
+            ),
         ]
         report = plotting.html_report(
             os.path.join(outdir, "report.html"), "kiwi-tpu run",
-            [("Waveforms", "", [figs[0]]), ("Stations", "", [figs[1]])],
+            [("Waveforms", "", [figs[0]]),
+             ("Stations", "", [figs[1]]),
+             ("Mechanism", "", [figs[2]]),
+             ("Misfogram", "", [figs[3]]),
+             ("Spectra", "", [figs[4]])],
         )
         self.result(report, "report")
         self.post_work()

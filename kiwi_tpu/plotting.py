@@ -175,3 +175,160 @@ def html_report(path, title, sections):
     with open(path, "w") as f:
         f.write("\n".join(rows))
     return path
+
+
+def source_m6(engine):
+    """Full moment tensor (mxx, myy, mzz, mxy, mxz, myz; NED) of the current
+    source: explicit m6 params where the model has them, otherwise the
+    rotated double couple from strike/dip/slip-rake (source_bilat.f90:437)."""
+    from .euler import mt_from_sdr, sym_to_m6
+    from .sources import get_source_model
+    from .sources.base import DEG2RAD_F32
+
+    model = get_source_model(engine.source_type)
+    names = list(model.names)
+    p = np.asarray(engine.source_params, dtype=np.float64)
+    if "mxx" in names:
+        m6 = np.array([p[names.index(k)]
+                       for k in ("mxx", "myy", "mzz", "mxy", "mxz", "myz")])
+        if "moment-factor" in names:
+            m6 = m6 * p[names.index("moment-factor")]
+        return m6
+    strike = p[names.index("strike")] * float(DEG2RAD_F32)
+    dip = p[names.index("dip")] * float(DEG2RAD_F32)
+    rake = p[names.index("slip-rake")] * float(DEG2RAD_F32)
+    moment = p[names.index("moment")] if "moment" in names else 1.0
+    return sym_to_m6(mt_from_sdr(strike, dip, rake)) * moment
+
+
+def plot_beachball(m6, path=None, ax=None, n=241, title=None):
+    """Lower-hemisphere equal-area focal-mechanism plot ('beachball').
+
+    Replaces the reference's GMT psmeca calls (tunguska/plotting.py beachball
+    figures).  Works for arbitrary (non-double-couple) tensors: the P-wave
+    first-motion sign field sign(gamma^T M gamma) is evaluated on a Lambert
+    equal-area grid of the lower focal hemisphere; compressional quadrants
+    fill dark.
+    """
+    plt = _mpl()
+    from .euler import m6_to_sym
+
+    m = m6_to_sym(np.asarray(m6, dtype=np.float64))
+    # Lambert equal-area disk grid: radius rho = sqrt(2) sin(i/2),
+    # x = east, y = north; i = inclination from down
+    lin = np.linspace(-1.0, 1.0, n)
+    x, y = np.meshgrid(lin, lin)
+    rho = np.hypot(x, y)
+    inside = rho <= 1.0
+    # rho in [0, 1] maps to inclination via rho = sin(i/2)/sin(45 deg)
+    i_inc = 2.0 * np.arcsin(np.clip(rho * np.sin(np.pi / 4.0), 0.0, 1.0))
+    az = np.arctan2(x, y)  # azimuth from north, clockwise (x = east)
+    gn = np.sin(i_inc) * np.cos(az)
+    ge = np.sin(i_inc) * np.sin(az)
+    gd = np.cos(i_inc)
+    g = np.stack([gn, ge, gd], axis=-1)
+    u = np.einsum("...i,ij,...j->...", g, m, g)
+    field = np.where(inside, u, np.nan)
+
+    own = ax is None
+    if own:
+        fig, ax = plt.subplots(figsize=(3.2, 3.2))
+    ax.contourf(x, y, field, levels=[-np.inf, 0.0, np.inf],
+                colors=["#ffffff", "#444444"])
+    ax.contour(x, y, field, levels=[0.0], colors="#000000", linewidths=0.7)
+    th = np.linspace(0, 2 * np.pi, 256)
+    ax.plot(np.cos(th), np.sin(th), color="#000000", lw=1.2)
+    ax.set_aspect("equal")
+    ax.set_xlim(-1.05, 1.05)
+    ax.set_ylim(-1.05, 1.05)
+    ax.axis("off")
+    if title:
+        ax.set_title(title, fontsize=9)
+    if own:
+        fig.tight_layout()
+        if path:
+            fig.savefig(path, dpi=130, transparent=False)
+        plt.close(fig)
+    return path
+
+
+def plot_misfogram(engine, path, tmin=-10.0, tmax=10.0, nt=41):
+    """Global + per-receiver misfit as a function of source-time shift (the
+    reference's misfogram, tunguska/plotting.py misfogram_plot machinery):
+    one batched forward over the time sweep."""
+    plt = _mpl()
+    shifts = np.linspace(float(tmin), float(tmax), int(nt)).astype(np.float32)
+    base = np.asarray(engine.source_params, dtype=np.float32)
+    batch = np.tile(base, (len(shifts), 1))
+    batch[:, 0] = base[0] + shifts  # param 0 is "time" for every source model
+    m, nrm, _fs = engine.misfits_for_source_batch(batch)
+    m = np.asarray(m, dtype=np.float64)
+    nrm = np.asarray(nrm, dtype=np.float64)
+    g = np.sqrt((m**2).sum(axis=1)) / np.sqrt((nrm**2).sum(axis=1))
+
+    layout = engine._rc_layout()
+    nrec = len(engine.receivers)
+    per_rec = np.zeros((len(shifts), nrec))
+    per_nrm = np.zeros((len(shifts), nrec))
+    for irc, (irec, _c) in enumerate(layout):
+        per_rec[:, irec] += m[:, irc] ** 2
+        per_nrm[:, irec] += nrm[:, irc] ** 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        per = np.sqrt(per_rec) / np.sqrt(per_nrm)
+
+    fig, ax = plt.subplots(figsize=(6, 3.6))
+    for irec in range(nrec):
+        ax.plot(shifts, per[:, irec], lw=0.7, color="#9db6d4",
+                label="receivers" if irec == 0 else None)
+    ax.plot(shifts, g, lw=1.8, color="#c1272d", label="global")
+    i = int(np.nanargmin(g))
+    ax.axvline(shifts[i], color="#333333", lw=0.8, ls="--",
+               label=f"best {shifts[i]:+.2f} s")
+    ax.set_xlabel("source time shift [s]")
+    ax.set_ylabel("misfit")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
+def plot_spectra_comparison(engine, path, processing="plain"):
+    """Reference-vs-synthetic amplitude spectra per (receiver, component)
+    (the reference's output_spectra + spectra report panels)."""
+    plt = _mpl()
+    syn = engine.get_amp_spectra("synthetics", processing)
+    ref = engine.get_amp_spectra("references", processing)
+    layout = engine._rc_layout()
+    nrec = len(engine.receivers)
+    ncomp = max(len(r.components) for r in engine.receivers)
+    fig, axes = plt.subplots(
+        nrec, ncomp, figsize=(4 * ncomp, 1.8 * nrec), squeeze=False,
+        sharex=True,
+    )
+    used = np.zeros((nrec, ncomp), dtype=bool)
+    counters = {}
+    for irc, (irec, c) in enumerate(layout):
+        k = counters.get(irec, 0)
+        counters[irec] = k + 1
+        ax = axes[irec][k]
+        used[irec, k] = True
+        sv, df = syn[irc]
+        f = np.arange(len(sv)) * df
+        ax.plot(f, sv, color="#c1272d", lw=0.8, label="synthetic")
+        rv, dfr = ref[irc]
+        ax.plot(np.arange(len(rv)) * dfr, rv, color="#222222", lw=0.8,
+                label="reference")
+        ax.set_ylabel(f"r{irec + 1} {c}", fontsize=8)
+        ax.set_yscale("log")
+        ax.tick_params(labelsize=7)
+    for irec in range(nrec):
+        for k in range(ncomp):
+            if not used[irec, k]:
+                axes[irec][k].set_visible(False)
+    axes[0][0].legend(fontsize=7, loc="upper right")
+    axes[-1][0].set_xlabel("frequency [Hz]")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
