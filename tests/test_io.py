@@ -259,3 +259,35 @@ def test_native_mseed_malformed_robust(tmp_path):
     # python fallback also survives the truncated file
     dp, _, _ = ms.read_py(str(trunc))
     assert np.all(np.isfinite(dp))
+
+
+def test_gfdb_reader_on_golden_foreign_file():
+    """The HDF5 GFDB reader must parse files it did NOT write: a committed
+    golden fixture hand-assembled to gfdb_io_hdf.f90:182-427's exact layout
+    (tests/make_golden_gfdb.py documents every encoded layout fact)."""
+    h5py = pytest.importorskip("h5py")  # noqa: F841
+    import os as _os
+
+    from kiwi_tpu.io.gfdb_hdf5 import load_gfdb
+    from tests.make_golden_gfdb import dense_expected
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    base = _os.path.join(here, "data", "golden_gfdb", "golden")
+    assert _os.path.exists(base + ".index"), "golden fixture missing"
+
+    store = load_gfdb(base)
+    assert (store.nx, store.nz, store.ng) == (3, 2, 2)
+    assert store.dt == np.float32(0.25)
+    assert store.dx == np.float32(100.0)
+    assert store.firstx == np.float32(400.0)
+
+    expect = dense_expected()
+    for (ix, iz, ig), (values, itmin) in expect.items():
+        got = store.get_trace(ix, iz, ig)
+        assert got is not None, (ix, iz, ig)
+        gv, gi = got
+        assert gi == itmin
+        np.testing.assert_array_equal(gv, values)
+    # missing slots stay empty
+    assert store.get_trace(1, 0, 0) is None
+    assert store.get_trace(0, 0, 1) is None
