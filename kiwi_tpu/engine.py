@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,7 @@ from . import misfit as mf
 from . import synth
 from .gf.store import GFStore
 from .gf.trace import dataspan, fnint
+from .ops import synth_window
 from .plf import PLF
 from .sources import get_source_model
 
@@ -423,6 +425,66 @@ class Engine:
             )
 
         forward_batch_raw = jax.vmap(forward_one)
+
+        # VMEM-resident-window Pallas kernel for the finite-source regime:
+        # the vmapped XLA path above materializes per-centroid gather/slice
+        # buffers in HBM (~60x off roofline, measured 53 ms device for a
+        # 64x10x195 bilateral batch vs the kernel's 10.6 ms).  Gated on the
+        # window fitting VMEM and <= 128 time lanes; CPU tests opt in via
+        # interpret mode (KIWI_WINDOW_INTERPRET=1), KIWI_WINDOW=0 disables.
+        ncent_plan = int(np.prod(nshape))
+        gw = group_size if group_size >= 1 else 1
+        use_window = (
+            os.environ.get("KIWI_WINDOW", "1") != "0"
+            and path == "direct"
+            and synth_window.usable(cfg)
+            and gw >= 1
+            and ncent_plan % gw == 0
+            and (
+                jax.default_backend() == "tpu"
+                or os.environ.get("KIWI_WINDOW_INTERPRET") == "1"
+            )
+        )
+        if use_window:
+            ext_flat = synth_window.pack_ext(ext, cfg)
+            interp = jax.default_backend() != "tpu"
+
+            def forward_batch_window(cbatch, moments, risetimes):
+                def kin_one(cent):
+                    return jax.vmap(
+                        lambda rec: synth._centroid_kinematics(cfg, rec, cent)
+                    )(recs)
+
+                kin = jax.vmap(kin_one)(cbatch)  # leaves [B, R, C, ...]
+                ard = synth_window.synthesize_ard_batch(
+                    ext_flat, cfg, kin, gw, interpret=interp
+                )  # [B, R, 3, nt_out]
+                lo, hi = jax.vmap(
+                    jax.vmap(lambda k: synth.physical_spans(gfi, gfn, cfg, k))
+                )(kin)  # [B, R, 3]
+                canon = jax.vmap(
+                    lambda ab: jax.vmap(
+                        lambda a, bz: synth.ard_to_components(a, bz, (1, 2, 3, 4, 5))
+                    )(ab, recs["bazi"])
+                )(ard)  # [B, R, 5, nt_out]
+                syn_rc = canon[:, rc_rec_j, rc_chan_j] * rc_sign_j[None, :, None]
+                lo_rc = lo[:, rc_rec_j, span_idx_j]
+                hi_rc = hi[:, rc_rec_j, span_idx_j]
+
+                def eval_one(syn, lo1, hi1, moment, risetime):
+                    return mf.evaluate_misfits(
+                        ctx, syn, cfg.out_it0, lo1, hi1, method, st, nrec,
+                        moment=moment, risetime=risetime,
+                        fold_nshift_max=fold_max, shiftrange=shiftrange,
+                        rctx=rctx, any_taper=any_taper, any_filter=any_filter,
+                    )
+
+                return jax.vmap(eval_one)(syn_rc, lo_rc, hi_rc, moments, risetimes)
+
+            forward_batch_raw_xla = forward_batch_raw
+            forward_batch_raw = forward_batch_window
+        else:
+            forward_batch_raw_xla = forward_batch_raw
         forward_batch = jax.jit(forward_batch_raw)
 
         def forward_shared_raw(cbatch, moments, risetimes):
@@ -486,6 +548,7 @@ class Engine:
             "fold_max": fold_max,
             "forward_batch": forward_batch,
             "forward_batch_raw": forward_batch_raw,
+            "forward_batch_raw_xla": forward_batch_raw_xla,
             "forward_shared_raw": forward_shared_raw,
             "fused": {},  # (source_type, shape, edt) -> disc+forward jit
             "fused_shared": {},  # same, via the shared-kinematics forward

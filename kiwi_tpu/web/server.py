@@ -63,6 +63,36 @@ class SeismogramApp:
 
     # -- the forward (seismograms.pl:344-420's calculate) ---------------------
 
+    def source_centroids(self, session, generation):
+        """Discretized centroid table of a generation's source (feeds the
+        /source3d viewer -- the 3-D rupture-geometry role of the reference's
+        snufflek/kinherd_sourceview VTK viewers)."""
+        from ..sources import get_source_model
+
+        form = self._load(session, generation)["form"]
+        stype = form.get("sourcetype", self.default_source_type)
+        model = get_source_model(stype)
+        params = np.array(
+            [float(form.get(f"param.{name}", model.defaults[i]))
+             for i, name in enumerate(model.names)],
+            dtype=np.float32,
+        )
+        with self.lock:
+            eng = self.engine
+            eng.set_effective_dt(float(form.get("effective_dt", self.store.dt)))
+            eng.set_source_params(stype, params)
+            cb, _m, _r, _s, _g = eng._discretize_batch(params[None, :])
+        act = np.asarray(cb["active"][0]).astype(bool)
+        mmag = np.abs(np.asarray(cb["m"][0], np.float64)).sum(axis=-1)
+        return {
+            "sourcetype": stype,
+            "north": np.asarray(cb["north"][0])[act].tolist(),
+            "east": np.asarray(cb["east"][0])[act].tolist(),
+            "depth": np.asarray(cb["depth"][0])[act].tolist(),
+            "time": np.asarray(cb["time"][0])[act].tolist(),
+            "weight": mmag[act].tolist(),
+        }
+
     def calculate(self, session, form):
         from ..sources import get_source_model
 
@@ -258,6 +288,32 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, _TRACE_VIEWER_HTML % {
                 "session": session, "generation": generation,
                 "gens": ",".join(str(g) for g in gens)})
+        if url.path == "/source3d.json":
+            try:
+                session = int(q.get("session", 0))
+                generation = int(q.get("generation", 0))
+            except ValueError:
+                return self._send(400, "malformed parameter")
+            gens = self.app.generations(session)
+            if not generation and gens:
+                generation = gens[-1]
+            if generation not in gens:
+                return self._send(404, "no such generation")
+            data = self.app.source_centroids(session, generation)
+            return self._send(200, json.dumps(data), "application/json")
+        if url.path == "/source3d":
+            try:
+                session = int(q.get("session", 0))
+                generation = int(q.get("generation", 0))
+            except ValueError:
+                return self._send(400, "malformed parameter")
+            gens = self.app.generations(session)
+            if not generation and gens:
+                generation = gens[-1]
+            if generation not in gens:
+                return self._send(404, "no such generation")
+            return self._send(200, _SOURCE3D_HTML % {
+                "session": session, "generation": generation})
         if url.path == "/":
             session = int(q.get("session", os.getpid() % 100000))
             gens = self.app.generations(session)
@@ -414,4 +470,75 @@ window.addEventListener('keydown', e => {
 });
 window.addEventListener('resize', draw);
 loadGen();
+</script></body></html>"""
+
+
+_SOURCE3D_HTML = """<!DOCTYPE html><html><head>
+<title>kiwi-tpu source view</title>
+<style>body{font-family:sans-serif;margin:0;background:#111;color:#ddd}
+#hud{position:fixed;top:8px;left:10px;font-size:12px}
+canvas{display:block}</style></head><body>
+<div id="hud">session %(session)s gen %(generation)s &middot; drag to rotate,
+wheel to zoom &middot; color = rupture onset time, size = cell moment</div>
+<canvas id="cv"></canvas>
+<script>
+// Self-contained 3-D point-cloud viewer (no external libs -- zero-egress):
+// orthographic projection with drag-rotate, replacing the rupture-geometry
+// view of the reference's snufflek / kinherd_sourceview VTK apps.
+const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
+let W, H; function resize(){W=cv.width=innerWidth;H=cv.height=innerHeight;}
+resize(); addEventListener('resize', ()=>{resize(); draw();});
+let rotX = -1.0, rotZ = 0.6, zoom = 1.0, pts = null, scale = 1, cx=0, cy=0, cz=0;
+let tmin=0, tmax=1, wmax=1;
+fetch('/source3d.json?session=%(session)s&generation=%(generation)s')
+ .then(r=>r.json()).then(d=>{
+  const n=d.north, e=d.east, z=d.depth, t=d.time, w=d.weight;
+  cx=e.reduce((a,b)=>a+b,0)/e.length; cy=n.reduce((a,b)=>a+b,0)/n.length;
+  cz=z.reduce((a,b)=>a+b,0)/z.length;
+  let ext=1;
+  for(let i=0;i<n.length;i++)
+    ext=Math.max(ext, Math.abs(e[i]-cx), Math.abs(n[i]-cy), Math.abs(z[i]-cz));
+  scale=0.4*Math.min(innerWidth, innerHeight)/ext;
+  tmin=Math.min(...t); tmax=Math.max(...t, tmin+1e-9); wmax=Math.max(...w,1e-30);
+  pts={n,e,z,t,w}; draw();
+ });
+function color(u){ // dark blue -> yellow ramp
+  const r=Math.round(40+215*u), g=Math.round(30+200*u), b=Math.round(120*(1-u)+40);
+  return `rgb(${r},${g},${b})`;}
+function draw(){
+  ctx.fillStyle='#111'; ctx.fillRect(0,0,W,H);
+  if(!pts) return;
+  const ca=Math.cos(rotZ), sa=Math.sin(rotZ), cb=Math.cos(rotX), sb=Math.sin(rotX);
+  const proj=[], s=scale*zoom;
+  for(let i=0;i<pts.n.length;i++){
+    const x=pts.e[i]-cx, y=pts.n[i]-cy, zz=pts.z[i]-cz;
+    const x1=ca*x-sa*y, y1=sa*x+ca*y;        // rotate about vertical
+    const y2=cb*y1-sb*zz, z2=sb*y1+cb*zz;    // tilt
+    proj.push([W/2+x1*s, H/2-y2*s, z2, i]);
+  }
+  proj.sort((a,b)=>a[2]-b[2]);
+  for(const [px,py,pz,i] of proj){
+    const u=(pts.t[i]-tmin)/(tmax-tmin);
+    const r=2+5*Math.sqrt(pts.w[i]/wmax);
+    ctx.fillStyle=color(u); ctx.beginPath();
+    ctx.arc(px,py,r*zoom,0,6.283); ctx.fill();
+  }
+  // axes tripod (N green, E red, down blue)
+  const axes=[[0,1,0,'#6c6','N'],[1,0,0,'#c66','E'],[0,0,1,'#66c','Z']];
+  for(const [ax,ay,az,col,lab] of axes){
+    const L=60, x1=ca*ax-sa*ay, y1=sa*ax+ca*ay;
+    const y2=cb*y1-sb*az;
+    ctx.strokeStyle=col; ctx.beginPath(); ctx.moveTo(70,H-70);
+    ctx.lineTo(70+x1*L, H-70-y2*L); ctx.stroke();
+    ctx.fillStyle=col; ctx.fillText(lab, 70+x1*L*1.15, H-70-y2*L*1.15);
+  }
+}
+let dragging=false, lx=0, ly=0;
+cv.addEventListener('mousedown',ev=>{dragging=true;lx=ev.clientX;ly=ev.clientY;});
+addEventListener('mouseup',()=>dragging=false);
+addEventListener('mousemove',ev=>{
+  if(!dragging) return;
+  rotZ+=(ev.clientX-lx)*0.01; rotX+=(ev.clientY-ly)*0.01;
+  lx=ev.clientX; ly=ev.clientY; draw();});
+cv.addEventListener('wheel',ev=>{zoom*=Math.exp(-ev.deltaY*0.001);draw();ev.preventDefault();});
 </script></body></html>"""

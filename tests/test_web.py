@@ -99,3 +99,42 @@ def test_web_trace_browser(server):
 
     assert code("/traces?session=3&generation=99") == 404
     assert code("/traces?session=zzz") == 400
+
+
+def test_web_source3d_view(server):
+    """3-D rupture/source viewer: the JSON endpoint returns the discretized
+    centroid table and the page embeds the self-contained viewer (the
+    snufflek/kinherd_sourceview role)."""
+    import json
+
+    form = {
+        "session": "7", "sourcetype": "bilateral",
+        "source_latitude": "30.0", "source_longitude": "70.0",
+        "effective_dt": "0.1", "interpolation": "bilinear",
+        "receivers": "30.02 70.0 ned",
+        "param.depth": "400", "param.moment": "1e12", "param.strike": "91",
+        "param.dip": "87", "param.slip-rake": "164",
+        "param.length-a": "300", "param.length-b": "200", "param.width": "250",
+        "param.rupture-velocity": "2500", "param.rise-time": "0.2",
+        "calculate": "1",
+    }
+    _post(server, form)
+    data = json.loads(urllib.request.urlopen(
+        server + "/source3d.json?session=7", timeout=300).read())
+    n = len(data["north"])
+    assert n >= 1
+    for k in ("east", "depth", "time", "weight"):
+        assert len(data[k]) == n
+    page = urllib.request.urlopen(
+        server + "/source3d?session=7", timeout=30).read().decode()
+    assert "source3d.json" in page and "canvas" in page
+
+    def code(path):
+        try:
+            return urllib.request.urlopen(server + path, timeout=30).status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert code("/source3d?session=7&generation=999") == 404
+    assert code("/source3d.json?session=bad") == 400
+    assert data["sourcetype"] == "bilateral"
