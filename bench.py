@@ -119,6 +119,9 @@ def bench_point(eng, log):
 
     nstrikes = 3610
     strikes = np.linspace(0.0, 360.0, nstrikes).astype(np.float32)
+    # one 4096-row dispatch: small chunks underfill the chip (512-row chunks
+    # measured 40% slower than one batched dispatch even with the tunnel
+    # round trip amortized)
     chunk = 4096
 
     def dispatch(sl):
@@ -190,13 +193,19 @@ def bench_eikonal(eng, log):
     discretizer."""
     import jax.numpy as jnp
 
+    # test-scale rupture (a ~100x100 fine grid; the grid-cell size is the
+    # reference's min(100*dt/2, 4000) m, source_eikonal.f90:293, so larger
+    # ruptures/denser dt grow the eikonal grid quadratically for BOTH stacks)
     p = np.array(
-        [0.0, 0.0, 0.0, 5000.0, 1e12, 91.0, 87.0, 164.0,
-         0.0, 0.0, 900.0, 0.0, 0.0, 0.9, 0.2],
+        [0.0, 0.0, 0.0, 400.0, 1e12, 30.0, 80.0, 164.0,
+         0.0, 0.0, 250.0, 50.0, -50.0, 0.9, 0.3],
         dtype=np.float32,
     )
     eng.set_misfit_method("l2norm")
     eng.set_floating_shiftrange(0.0, 0.0)
+    eng.set_source_constraints(
+        [[0, 0, 50.0], [0, 0, 700.0]], [[0, 0, -1.0], [0, 0, 1.0]]
+    )
     eng.set_source_params("eikonal", p)
     eng.set_synthetic_reference()
 
@@ -210,7 +219,7 @@ def bench_eikonal(eng, log):
         return jnp.asarray(g)
 
     batches = [
-        np.linspace(700.0, 1100.0, B).astype(np.float32) for _ in range(nbatches)
+        np.linspace(200.0, 350.0, B).astype(np.float32) for _ in range(nbatches)
     ]
     mps, _ = steady_state_mps(dispatch, batches, log, "eikonal")
     log(f"  eikonal finite rupture: MPS {mps:.0f}")

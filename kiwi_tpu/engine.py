@@ -33,6 +33,16 @@ from .ops import synth_window
 from .plf import PLF
 from .sources import get_source_model
 
+
+def _on_tpu():
+    """True when the default device is real TPU hardware.  The backend
+    PLATFORM name is not reliably "tpu" (the axon tunnel registers as
+    "axon"); the device kind is."""
+    try:
+        return "tpu" in jax.devices()[0].device_kind.lower()
+    except Exception:  # noqa: BLE001
+        return False
+
 F32 = jnp.float32
 
 
@@ -440,14 +450,11 @@ class Engine:
             and synth_window.usable(cfg)
             and gw >= 1
             and ncent_plan % gw == 0
-            and (
-                jax.default_backend() == "tpu"
-                or os.environ.get("KIWI_WINDOW_INTERPRET") == "1"
-            )
+            and (_on_tpu() or os.environ.get("KIWI_WINDOW_INTERPRET") == "1")
         )
         if use_window:
             ext_flat = synth_window.pack_ext(ext, cfg)
-            interp = jax.default_backend() != "tpu"
+            interp = not _on_tpu()
 
             def forward_batch_window(cbatch, moments, risetimes):
                 def kin_one(cent):
@@ -483,6 +490,12 @@ class Engine:
 
             forward_batch_raw_xla = forward_batch_raw
             forward_batch_raw = forward_batch_window
+            # the kernel's transients are the lane-broadcast weight arrays +
+            # kinematics, not the XLA path's gather/slice buffers
+            R_ = len(self.receivers)
+            P_ = max(ncent_plan // gw, 1)
+            per_source_bytes = R_ * P_ * (gw * synth_window.NW + 4) * 128 * 4 \
+                + R_ * ncent_plan * 3 * cfg.ng * 4
         else:
             forward_batch_raw_xla = forward_batch_raw
         forward_batch = jax.jit(forward_batch_raw)

@@ -106,10 +106,92 @@ def _kernel(G, ng, P, rr, node_ref, kk_ref,  # scalar prefetch (SMEM)
     out_ref[0, 0, 3:8, :] = jnp.zeros((5, 128), F32)
 
 
+def _kernel_dma(G, ng, P, rr, node_ref, kk_ref,  # scalar prefetch (SMEM)
+                ext_ref, wsp_ref, w_ref,  # ext in HBM/ANY; rest VMEM
+                out_ref, rows, sems):
+    """Variant for windows too large for VMEM residency: the 4 bilinear
+    neighbor rows of each group are DMA'd HBM->VMEM double-buffered one
+    group ahead (the per-group traffic is 4*ng*128*4 bytes ~ 20 KB, so the
+    pipeline hides it behind the group's VPU math)."""
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    nb = pl.num_programs(0)
+    brp = (b * jnp.int32(rr) + r) * jnp.int32(P)
+    sbase = jnp.int32(nb) * jnp.int32(rr) * jnp.int32(P)
+    offs = (jnp.int32(0), node_ref[sbase + 0], node_ref[sbase + 1],
+            node_ref[sbase + 2])
+
+    def dma(p, slot, a):
+        base = node_ref[brp + p]
+        return pltpu.make_async_copy(
+            ext_ref.at[pl.ds(base + offs[a], ng), :],
+            rows.at[slot, a],
+            sems.at[slot, a],
+        )
+
+    def start(p, slot):
+        for a in range(4):
+            dma(p, slot, a).start()
+
+    start(0, jnp.int32(0))
+
+    def group(p, acc):
+        a_acc, r_acc, d_acc = acc
+        slot = jax.lax.rem(p, jnp.int32(2))
+        nslot = jax.lax.rem(p + jnp.int32(1), jnp.int32(2))
+
+        @pl.when(p + 1 < jnp.int32(P))
+        def _lookahead():
+            start(p + 1, nslot)
+
+        for a in range(4):
+            dma(p, slot, a).wait()
+
+        ws = wsp_ref[0, 0, p]
+        blend = (
+            ws[0:1] * rows[slot, 0]
+            + ws[1:2] * rows[slot, 1]
+            + ws[2:3] * rows[slot, 2]
+            + ws[3:4] * rows[slot, 3]
+        )  # [ng, 128]
+
+        for g in range(G):
+            kk = kk_ref[brp * jnp.int32(G) + p * jnp.int32(G) + jnp.int32(g)]
+            r1t = pltpu.roll(blend, jnp.int32(127) - kk, 1)
+            r0t = pltpu.roll(r1t, 1, 1)
+            w = w_ref[0, 0, p, g]
+            v = w[_FR0:_FR0 + 1] * r1t + w[_FR1:_FR1 + 1] * r0t
+            p1 = (w[_F1:_F1 + 1] * v[0:1] + w[_F2:_F2 + 1] * v[1:2]
+                  + w[_F3:_F3 + 1] * v[2:3])
+            p2 = w[_F4:_F4 + 1] * v[3:4] + w[_F5:_F5 + 1] * v[4:5]
+            dd = (w[_F1:_F1 + 1] * v[5:6] + w[_F2:_F2 + 1] * v[6:7]
+                  + w[_F3:_F3 + 1] * v[7:8])
+            if ng == 10:
+                p1 = p1 + w[_F6:_F6 + 1] * v[8:9]
+                dd = dd + w[_F6:_F6 + 1] * v[9:10]
+            a_acc = a_acc + (w[_CL:_CL + 1] * p1 - w[_SL:_SL + 1] * p2)
+            r_acc = r_acc + (w[_SL:_SL + 1] * p1 + w[_CL:_CL + 1] * p2)
+            d_acc = d_acc + dd
+        return (a_acc, r_acc, d_acc)
+
+    zero = jnp.zeros((1, 128), F32)
+    a_acc, r_acc, d_acc = jax.lax.fori_loop(0, P, group, (zero, zero, zero))
+    out_ref[0, 0, 0:1, :] = a_acc
+    out_ref[0, 0, 1:2, :] = r_acc
+    out_ref[0, 0, 2:3, :] = d_acc
+    out_ref[0, 0, 3:8, :] = jnp.zeros((5, 128), F32)
+
+
+# windows at or below this live whole in VMEM; larger ones stay in HBM with
+# per-group double-buffered row DMA (v5e/v5p VMEM ~ 16 MB/core)
+VMEM_RESIDENT_BYTES = 10 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("G", "ng", "interpret"))
 def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
                    G, ng, interpret=False):
-    """ard f32[B, R, 3, 128] from a VMEM-resident GF window.
+    """ard f32[B, R, 3, 128] from a GF window (VMEM-resident when it fits,
+    HBM + double-buffered row DMA otherwise).
 
     ext_flat: f32[N*ng, 128] edge-extended rows, time padded to 128 lanes;
     node_rows: i32[B, R, P] bilinear-origin row (node * ng), pre-clamped so
@@ -121,22 +203,35 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     frac; invalid centroids carry zero f's).
     """
     bb, rr, P = node_rows.shape
+    resident = int(ext_flat.shape[0]) * 128 * 4 <= VMEM_RESIDENT_BYTES
     with jax.enable_x64(False):
         nodes_flat = jnp.concatenate(
             [node_rows.reshape(-1).astype(I32), strides3.astype(I32)]
         )
+        if resident:
+            kernel = functools.partial(_kernel, G, ng, P, rr)
+            ext_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+            scratch = []
+        else:
+            kernel = functools.partial(_kernel_dma, G, ng, P, rr)
+            ext_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+            scratch = [
+                pltpu.VMEM((2, 4, ng, 128), F32),
+                pltpu.SemaphoreType.DMA((2, 4)),
+            ]
         out = pl.pallas_call(
-            functools.partial(_kernel, G, ng, P, rr),
+            kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(bb, rr),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # ext (whole)
+                    ext_spec,
                     pl.BlockSpec((1, 1, P, 4, 128), lambda b, r, *_: (b, r, 0, 0, 0)),
                     pl.BlockSpec((1, 1, P, G, NW, 128),
                                  lambda b, r, *_: (b, r, 0, 0, 0, 0)),
                 ],
                 out_specs=pl.BlockSpec((1, 1, 8, 128), lambda b, r, *_: (b, r, 0, 0)),
+                scratch_shapes=scratch,
             ),
             out_shape=jax.ShapeDtypeStruct((bb, rr, 8, 128), F32),
             interpret=interpret,
@@ -150,15 +245,12 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
 # ---------------------------------------------------------------------------
 
 
-def usable(cfg, vmem_budget=10 * 1024 * 1024):
-    """Can this config's window live VMEM-resident with <=128 time lanes?"""
+def usable(cfg):
+    """Window-kernel applicability: <=128 time lanes and a standard GF
+    component count.  Window size is unconstrained -- windows beyond
+    VMEM_RESIDENT_BYTES take the HBM + per-group-DMA kernel variant."""
     nt_ext = cfg.nt_out + cfg.s_len
-    n_rows = cfg.nxw * cfg.nzw * cfg.ng
-    return (
-        nt_ext <= 128
-        and cfg.ng in (8, 10)
-        and n_rows * 128 * 4 <= vmem_budget
-    )
+    return nt_ext <= 128 and cfg.ng in (8, 10)
 
 
 def pack_ext(ext, cfg):

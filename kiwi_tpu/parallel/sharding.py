@@ -7,14 +7,13 @@ equivalents, expressed as a jax.sharding Mesh + NamedShardings so XLA
 inserts the collectives:
 
 * axis "s" (sources): the grid-search batch axis -- embarrassingly parallel,
-  the dominant axis (replaces the reference's serial source loop).
-* axis "r" (receivers): the reference's distance-balanced receiver split;
-  receiver geometry, misfit context rows and the per-receiver synthesis are
-  sharded, and the global-misfit reduction becomes a psum across "r".
-
-The GF window is replicated (it is small once windowed; the full store can
-be sharded along distance for giant databases -- the store's distance axis
-maps onto "r" exactly like the reference's locality heuristic).
+  the dominant axis (replaces the reference's serial source loop).  THIS
+  module's `sharded_forward` shards only this axis; the GF window and the
+  misfit context ride along replicated.
+* axis "r" (receivers): the reference's distance-balanced receiver split
+  with per-device GF *store partitions* lives in `parallel/gfshard.py`
+  (build_plan shards receiver groups + their GF distance windows over "r"
+  under shard_map); use it when the replicated window does not fit.
 """
 
 from __future__ import annotations
