@@ -496,8 +496,14 @@ class Engine:
             P_ = max(ncent_plan // gw, 1)
             per_source_bytes = R_ * P_ * (gw * synth_window.NW + 4) * 128 * 4 \
                 + R_ * ncent_plan * 3 * cfg.ng * 4
+            # the kernel's node/shift indices ride in SMEM via scalar
+            # prefetch (~1 MB/core on v5e/v5p): cap the batch so
+            # (node_rows + kks) i32 words fit with headroom
+            smem_words_per_source = R_ * (P_ + ncent_plan)
+            max_chunk = max(1, (800 * 1024 // 4) // max(smem_words_per_source, 1))
         else:
             forward_batch_raw_xla = forward_batch_raw
+            max_chunk = None
         forward_batch = jax.jit(forward_batch_raw)
 
         def forward_shared_raw(cbatch, moments, risetimes):
@@ -558,6 +564,7 @@ class Engine:
             "ctx": ctx,
             "setup": setup,
             "per_source_bytes": per_source_bytes * nrec,
+            "max_chunk": max_chunk,
             "fold_max": fold_max,
             "forward_batch": forward_batch,
             "forward_batch_raw": forward_batch_raw,
@@ -799,6 +806,8 @@ class Engine:
         # keep per-call transients bounded (device HBM budget); XLA fuses
         # much of it, but the scatter/gather buffers can materialize
         chunk = int(max(8, min(b, self.memory_budget // max(plan["per_source_bytes"], 1))))
+        if plan.get("max_chunk"):
+            chunk = max(1, min(chunk, plan["max_chunk"]))
         if chunk >= b:
             return run(np.arange(b))
         ms, ns, fss = [], [], []

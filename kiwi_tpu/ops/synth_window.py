@@ -214,7 +214,7 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
             scratch = []
         else:
             kernel = functools.partial(_kernel_dma, G, ng, P, rr)
-            ext_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+            ext_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch = [
                 pltpu.VMEM((2, 4, ng, 128), F32),
                 pltpu.SemaphoreType.DMA((2, 4)),

@@ -42,6 +42,16 @@ class EikonalContext:
     layer_depths: np.ndarray  # [L] interface depths (m)
     layer_vs: np.ndarray  # [L+?] vs per interval (crust2x2.layers_at)
 
+    def content_key(self):
+        """Hashable identity for jit caches (the engine builds a fresh
+        context object per call; id() would recompile every batch)."""
+        return (
+            tuple((tuple(np.asarray(p)), tuple(np.asarray(n)))
+                  for p, n in self.constraints),
+            tuple(np.asarray(self.layer_depths).tolist()),
+            tuple(np.asarray(self.layer_vs).tolist()),
+        )
+
 
 def _vs_at_depth(ctx: EikonalContext, depth):
     """vs step-function lookup (crust2x2_get_at_depth semantics)."""
@@ -557,7 +567,7 @@ def discretize_device_batch(static, arrays, effective_dt, ctx, nt_cell_max,
     import jax.numpy as jnp
 
     key = (static["NF"], static["NC"], float(effective_dt), int(nt_cell_max),
-           n_rounds, id(ctx))
+           n_rounds, ctx.content_key())
     fn = _cache.get(key)
     if fn is None:
         fn = make_device_discretizer(static, effective_dt, ctx, nt_cell_max, n_rounds)

@@ -78,6 +78,55 @@ def test_window_kernel_matches_grouped(setup):
     np.testing.assert_allclose(ard, ref, rtol=1e-5, atol=scale * 1e-5)
 
 
+def test_window_dma_variant_matches_resident(setup, monkeypatch):
+    """Force the HBM + row-DMA kernel on the small window and check it
+    against the VMEM-resident variant (same math, different staging)."""
+    eng, p, store = setup
+    batch = np.tile(p, (2, 1))
+    batch[:, 5] = np.array([45.0, 135.0], np.float32)
+    cbatch, moments, risetimes, shape, gsize = eng._discretize_batch(batch)
+    plan = eng._ensure_plan(cbatch, float(np.max(risetimes)), shape, gsize=gsize)
+    cfg = plan["cfg"]
+
+    gfd = jnp.asarray(store.data)
+    gfi = jnp.asarray(store.itmin)
+    ext = synth.materialize_window(
+        gfd[cfg.ix0:cfg.ix0 + cfg.nxw, cfg.iz0:cfg.iz0 + cfg.nzw],
+        gfi[cfg.ix0:cfg.ix0 + cfg.nxw, cfg.iz0:cfg.iz0 + cfg.nzw], cfg)
+    ext_flat = sw.pack_ext(ext, cfg)
+    geom = eng._geometry().device()
+
+    def kin_one(cent):
+        return jax.vmap(lambda rec: synth._centroid_kinematics(cfg, rec, cent))(geom)
+
+    kin = jax.vmap(kin_one)(cbatch)
+    res = np.asarray(sw.synthesize_ard_batch(ext_flat, cfg, kin, gsize,
+                                             interpret=True))
+    monkeypatch.setattr(sw, "VMEM_RESIDENT_BYTES", 0)
+    sw.window_forward.clear_cache()
+    dma = np.asarray(sw.synthesize_ard_batch(ext_flat, cfg, kin, gsize,
+                                             interpret=True))
+    sw.window_forward.clear_cache()
+    scale = max(np.abs(res).max(), 1e-30)
+    np.testing.assert_allclose(dma, res, rtol=1e-6, atol=scale * 1e-6)
+
+
+def test_smem_chunk_cap(setup):
+    """The engine caps window-kernel batches so the scalar-prefetch index
+    arrays (node_rows + kks) fit SMEM (~1 MB/core)."""
+    eng, p, store = setup
+    cbatch, moments, risetimes, shape, gsize = eng._discretize_batch(
+        np.tile(p, (2, 1)))
+    plan = eng._ensure_plan(cbatch, float(np.max(risetimes)), shape, gsize=gsize)
+    if plan["max_chunk"] is None:
+        pytest.skip("window path not active in this environment")
+    R = 4
+    ncent = int(np.prod(shape))
+    P = ncent // gsize
+    words = R * (P + ncent)
+    assert plan["max_chunk"] * words * 4 <= 800 * 1024
+
+
 def test_usable_gates():
     from kiwi_tpu.synth import SynthConfig
 
@@ -88,6 +137,9 @@ def test_usable_gates():
     # time axis too long for one lane tile
     long_t = SynthConfig(**base, nxw=64, nzw=24, nt_out=140, s_len=24)
     assert not sw.usable(long_t)
-    # window too big for VMEM residency
+    # window too big for VMEM residency: still usable -- it takes the
+    # HBM + per-group row-DMA kernel variant
     big = SynthConfig(**base, nxw=512, nzw=64, nt_out=80, s_len=24)
-    assert not sw.usable(big)
+    assert sw.usable(big)
+    n_rows = big.nxw * big.nzw * big.ng
+    assert n_rows * 128 * 4 > sw.VMEM_RESIDENT_BYTES
