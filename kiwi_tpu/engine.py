@@ -455,6 +455,7 @@ class Engine:
         if use_window:
             ext_flat = synth_window.pack_ext(ext, cfg)
             interp = not _on_tpu()
+            span_tab = synth.span_tables(gfi, gfn, cfg)
 
             def forward_batch_window(cbatch, moments, risetimes):
                 def kin_one(cent):
@@ -467,7 +468,9 @@ class Engine:
                     ext_flat, cfg, kin, gw, interpret=interp
                 )  # [B, R, 3, nt_out]
                 lo, hi = jax.vmap(
-                    jax.vmap(lambda k: synth.physical_spans(gfi, gfn, cfg, k))
+                    jax.vmap(
+                        lambda k: synth.physical_spans_from_tables(span_tab, cfg, k)
+                    )
                 )(kin)  # [B, R, 3]
                 canon = jax.vmap(
                     lambda ab: jax.vmap(

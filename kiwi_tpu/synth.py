@@ -676,6 +676,85 @@ def physical_spans(gf_itmin, gf_nsamples, cfg: SynthConfig, kin):
     return lo, hi
 
 
+def span_tables(gf_itmin, gf_nsamples, cfg: SynthConfig):
+    """Per-node span-union tables for physical_spans_from_tables.
+
+    physical_spans gathers [C, 2, 2, ng] elements per (source, receiver) --
+    on TPU those lower to per-element gathers and cost as much as the
+    whole synthesis kernel (measured 10.9 ms for a 64x10x195 batch vs the
+    window kernel's 12 ms).  The 4-neighbor x ng-component union depends
+    only on the node, so it is precomputed here ONCE per plan with plain
+    shifted slices (no gathers); the per-centroid part then gathers a
+    single [4] row per centroid.
+
+    Returns i32[nxw*nzw, 4]: (lo, hi) for channel group away/right and
+    (lo, hi) for the down group, unioned over each node's 4 bilinear
+    neighbors (+xu, +zu stencil) and the group's GF components, with empty
+    traces (nsamples == 0) excluded via +/-big sentinels.  Rows whose
+    +xu/+zu neighbor would leave the window carry the edge-clamped union;
+    such centroids are invalid in gf_indices and masked out of the span
+    reduction anyway.
+    """
+    big = jnp.int32(1 << 30)
+    rows_lo = gf_itmin  # [nxw, nzw, ng]
+    rows_hi = gf_itmin + jnp.maximum(gf_nsamples - 1, 0)
+    empty = gf_nsamples == 0
+    lo_n = jnp.where(empty, big, rows_lo)
+    hi_n = jnp.where(empty, -big, rows_hi)
+
+    g0 = [0, 1, 2, 3, 4] + ([8] if cfg.ng == 10 else [])  # away+right share
+    g2 = [5, 6, 7] + ([9] if cfg.ng == 10 else [])
+
+    xu = cfg.xunder if cfg.interpolate else 1
+    zu = cfg.zunder if cfg.interpolate else 1
+
+    def union4(a, reduce_min):
+        # pad far edges so the +xu/+zu shifts clamp like gf_indices' clip
+        mode = "edge"
+        ap = jnp.pad(a, ((0, xu), (0, zu)), mode=mode)
+        n1, n2 = a.shape
+        parts = (ap[:n1, :n2], ap[:n1, zu:zu + n2],
+                 ap[xu:xu + n1, :n2], ap[xu:xu + n1, zu:zu + n2])
+        op = jnp.minimum if reduce_min else jnp.maximum
+        out = parts[0]
+        for p in parts[1:]:
+            out = op(out, p)
+        return out
+
+    lo0 = union4(lo_n[..., g0].min(axis=-1), True)
+    hi0 = union4(hi_n[..., g0].max(axis=-1), False)
+    lo2 = union4(lo_n[..., g2].min(axis=-1), True)
+    hi2 = union4(hi_n[..., g2].max(axis=-1), False)
+    return jnp.stack(
+        [lo0.reshape(-1), hi0.reshape(-1), lo2.reshape(-1), hi2.reshape(-1)],
+        axis=-1,
+    )
+
+
+def physical_spans_from_tables(tables, cfg: SynthConfig, kin):
+    """physical_spans via precomputed span_tables: one [4] row gather per
+    centroid instead of [2, 2, ng] element gathers.  Semantics identical
+    (tests pin both paths against each other)."""
+    node = kin["ixs"][:, 0] * cfg.nzw + kin["izs"][:, 0]  # [C]
+    t = tables[node]  # [C, 4]
+    big = jnp.int32(1 << 30)
+    active = kin["valid"]
+    ish = kin["ish"]
+    lo_out = []
+    hi_out = []
+    for ch in (0, 0, 2):
+        col = 0 if ch == 0 else 2
+        glo = t[:, col] + ish
+        ghi = t[:, col + 1] + ish + 1
+        glo = jnp.where(active, glo, big)
+        ghi = jnp.where(active, ghi, -big)
+        lo_out.append(glo.min())
+        hi_out.append(ghi.max())
+    lo = jnp.clip(jnp.stack(lo_out), cfg.out_it0, cfg.out_it0 + cfg.nt_out - 1)
+    hi = jnp.clip(jnp.stack(hi_out), cfg.out_it0, cfg.out_it0 + cfg.nt_out - 1)
+    return lo, hi
+
+
 def _direct_accumulate(ext, cfg: SynthConfig, kin):
     """Per-centroid slice accumulation (the reference dataflow, vectorized).
 

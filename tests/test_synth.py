@@ -220,3 +220,37 @@ def test_fast_geodesy_matches_f64_reference():
             abs(float(dist_f) - float(dist)) / max(float(dist), 1.0),
         )
     assert worst < 1e-6, worst
+
+
+def test_span_tables_match_physical_spans(setup, store):
+    """The precomputed span-union tables (one row gather per centroid)
+    must reproduce physical_spans' [C, 2, 2, ng] gather exactly, including
+    masked/out-of-window centroids and empty traces."""
+    src_lat, src_lon, rec_lat, rec_lon, geom, centroids, cfg = setup
+    gfi = jnp.asarray(store.itmin[cfg.ix0:cfg.ix0 + cfg.nxw,
+                                  cfg.iz0:cfg.iz0 + cfg.nzw])
+    gfn = np.asarray(store.nsamples[cfg.ix0:cfg.ix0 + cfg.nxw,
+                                    cfg.iz0:cfg.iz0 + cfg.nzw]).copy()
+    # punch some empty traces into the window to exercise the sentinels
+    gfn[1, 1, :] = 0
+    gfn[3, :, 2] = 0
+    gfn_j = jnp.asarray(gfn)
+    tables = synth.span_tables(gfi, gfn_j, cfg)
+
+    gd = geom.device()
+    rng = np.random.default_rng(7)
+    cents = dict(centroids)
+    # push a couple of centroids outside the window so valid=False rows hit
+    # the masked branch in both implementations
+    cents["depth"] = np.array(cents["depth"], np.float32).copy()
+    cents["depth"][2] = 5e4
+    cents["time"] = np.array(cents["time"], np.float32).copy()
+    cents["time"][4] = 3.7
+    for i in range(geom.nreceivers):
+        rec = _rec_slice(gd, i)
+        kin = synth._centroid_kinematics(cfg, rec, {
+            k: jnp.asarray(v) for k, v in cents.items()})
+        lo_ref, hi_ref = synth.physical_spans(gfi, gfn_j, cfg, kin)
+        lo_tab, hi_tab = synth.physical_spans_from_tables(tables, cfg, kin)
+        np.testing.assert_array_equal(np.asarray(lo_tab), np.asarray(lo_ref))
+        np.testing.assert_array_equal(np.asarray(hi_tab), np.asarray(hi_ref))
