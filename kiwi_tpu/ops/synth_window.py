@@ -54,9 +54,44 @@ _F1, _F2, _F3, _F4, _F5, _F6, _CL, _SL, _FR0, _FR1 = range(10)
 NW = 10  # weight rows per centroid
 
 
-def _kernel(G, ng, P, rr, node_ref, kk_ref,  # scalar prefetch (SMEM)
+def _contract(w, c):
+    """Channel contraction + backazimuth rotation of pre-tap rows c
+    [ng, 128] -> stacked [3, 128] (away, right, down)."""
+    ng = c.shape[0]
+    p1 = (w[_F1:_F1 + 1] * c[0:1] + w[_F2:_F2 + 1] * c[1:2]
+          + w[_F3:_F3 + 1] * c[2:3])
+    p2 = w[_F4:_F4 + 1] * c[3:4] + w[_F5:_F5 + 1] * c[4:5]
+    dd = (w[_F1:_F1 + 1] * c[5:6] + w[_F2:_F2 + 1] * c[6:7]
+          + w[_F3:_F3 + 1] * c[7:8])
+    if ng == 10:
+        p1 = p1 + w[_F6:_F6 + 1] * c[8:9]
+        dd = dd + w[_F6:_F6 + 1] * c[9:10]
+    av = w[_CL:_CL + 1] * p1 - w[_SL:_SL + 1] * p2
+    rv = w[_SL:_SL + 1] * p1 + w[_CL:_CL + 1] * p2
+    return jnp.concatenate([av, rv, dd], axis=0)
+
+
+def _bucket_combine(acc, D, out_ref):
+    """acc [D*3, 128] shift buckets -> output rows via D static rolls.
+    out[t] = sum_d acc[d][(t + d) mod 128]; used lanes never wrap (the
+    plan bounds kk by nt_ext - nt_out - 1 and pack_ext zero-pads)."""
+    a_acc = jnp.zeros((1, 128), F32)
+    r_acc = jnp.zeros((1, 128), F32)
+    d_acc = jnp.zeros((1, 128), F32)
+    for d in range(D):
+        amt = (128 - d) % 128
+        a_acc = a_acc + pltpu.roll(acc[d * 3:d * 3 + 1, :], amt, 1)
+        r_acc = r_acc + pltpu.roll(acc[d * 3 + 1:d * 3 + 2, :], amt, 1)
+        d_acc = d_acc + pltpu.roll(acc[d * 3 + 2:d * 3 + 3, :], amt, 1)
+    out_ref[0, 0, 0:1, :] = a_acc
+    out_ref[0, 0, 1:2, :] = r_acc
+    out_ref[0, 0, 2:3, :] = d_acc
+    out_ref[0, 0, 3:8, :] = jnp.zeros((5, 128), F32)
+
+
+def _kernel(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
             ext_ref, wsp_ref, w_ref,  # VMEM
-            out_ref):
+            out_ref, acc):
     b = pl.program_id(0)
     r = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -65,9 +100,9 @@ def _kernel(G, ng, P, rr, node_ref, kk_ref,  # scalar prefetch (SMEM)
     s1 = node_ref[sbase + 0]
     s2 = node_ref[sbase + 1]
     s3 = node_ref[sbase + 2]
+    acc[...] = jnp.zeros((D * 3, 128), F32)
 
-    def group(p, acc):
-        a_acc, r_acc, d_acc = acc
+    def group(p, _):
         base = node_ref[brp + p]  # row index (node * ng), pre-clamped
         ws = wsp_ref[0, 0, p]  # [4, 128] lane-broadcast bilinear weights
         blend = (
@@ -76,39 +111,27 @@ def _kernel(G, ng, P, rr, node_ref, kk_ref,  # scalar prefetch (SMEM)
             + ws[2:3] * ext_ref[pl.ds(base + s2, ng), :]
             + ws[3:4] * ext_ref[pl.ds(base + s3, ng), :]
         )  # [ng, 128]
+        sb = pltpu.roll(blend, 127, 1)  # static: sb[t] = blend[t+1]
 
         for g in range(G):
             kk = kk_ref[brp * jnp.int32(G) + p * jnp.int32(G) + jnp.int32(g)]
-            # r1t[t] = blend[(t + kk + 1) mod 128]; r0t[t] = blend[(t + kk) mod 128]
-            r1t = pltpu.roll(blend, jnp.int32(127) - kk, 1)
-            r0t = pltpu.roll(r1t, 1, 1)
             w = w_ref[0, 0, p, g]  # [NW, 128] lane-broadcast weight rows
-            v = w[_FR0:_FR0 + 1] * r1t + w[_FR1:_FR1 + 1] * r0t  # [ng, 128]
+            # pre-shift taps: c[t] = (1-fr)*blend[t+1] + fr*blend[t], so the
+            # per-centroid contribution is c[t + kk] -- accumulated into the
+            # kk shift bucket instead of dynamically rolled (scalar-amount
+            # lane rolls measured ~6.3 ms of the 11.3 ms kernel; the bucket
+            # RMW at a dynamic SUBLANE offset is near-free)
+            c = w[_FR0:_FR0 + 1] * sb + w[_FR1:_FR1 + 1] * blend
+            acc[pl.ds(kk * 3, 3), :] += _contract(w, c)
+        return 0
 
-            p1 = (w[_F1:_F1 + 1] * v[0:1] + w[_F2:_F2 + 1] * v[1:2]
-                  + w[_F3:_F3 + 1] * v[2:3])
-            p2 = w[_F4:_F4 + 1] * v[3:4] + w[_F5:_F5 + 1] * v[4:5]
-            dd = (w[_F1:_F1 + 1] * v[5:6] + w[_F2:_F2 + 1] * v[6:7]
-                  + w[_F3:_F3 + 1] * v[7:8])
-            if ng == 10:
-                p1 = p1 + w[_F6:_F6 + 1] * v[8:9]
-                dd = dd + w[_F6:_F6 + 1] * v[9:10]
-            a_acc = a_acc + (w[_CL:_CL + 1] * p1 - w[_SL:_SL + 1] * p2)
-            r_acc = r_acc + (w[_SL:_SL + 1] * p1 + w[_CL:_CL + 1] * p2)
-            d_acc = d_acc + dd
-        return (a_acc, r_acc, d_acc)
-
-    zero = jnp.zeros((1, 128), F32)
-    a_acc, r_acc, d_acc = jax.lax.fori_loop(0, P, group, (zero, zero, zero))
-    out_ref[0, 0, 0:1, :] = a_acc
-    out_ref[0, 0, 1:2, :] = r_acc
-    out_ref[0, 0, 2:3, :] = d_acc
-    out_ref[0, 0, 3:8, :] = jnp.zeros((5, 128), F32)
+    jax.lax.fori_loop(0, P, group, 0)
+    _bucket_combine(acc, D, out_ref)
 
 
-def _kernel_dma(G, ng, P, rr, node_ref, kk_ref,  # scalar prefetch (SMEM)
+def _kernel_dma(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
                 ext_ref, wsp_ref, w_ref,  # ext in HBM/ANY; rest VMEM
-                out_ref, rows, sems):
+                out_ref, acc, rows, sems):
     """Variant for windows too large for VMEM residency: the 4 bilinear
     neighbor rows of each group are DMA'd HBM->VMEM double-buffered one
     group ahead (the per-group traffic is 4*ng*128*4 bytes ~ 20 KB, so the
@@ -120,6 +143,7 @@ def _kernel_dma(G, ng, P, rr, node_ref, kk_ref,  # scalar prefetch (SMEM)
     sbase = jnp.int32(nb) * jnp.int32(rr) * jnp.int32(P)
     offs = (jnp.int32(0), node_ref[sbase + 0], node_ref[sbase + 1],
             node_ref[sbase + 2])
+    acc[...] = jnp.zeros((D * 3, 128), F32)
 
     def dma(p, slot, a):
         base = node_ref[brp + p]
@@ -135,8 +159,7 @@ def _kernel_dma(G, ng, P, rr, node_ref, kk_ref,  # scalar prefetch (SMEM)
 
     start(0, jnp.int32(0))
 
-    def group(p, acc):
-        a_acc, r_acc, d_acc = acc
+    def group(p, _):
         slot = jax.lax.rem(p, jnp.int32(2))
         nslot = jax.lax.rem(p + jnp.int32(1), jnp.int32(2))
 
@@ -154,32 +177,17 @@ def _kernel_dma(G, ng, P, rr, node_ref, kk_ref,  # scalar prefetch (SMEM)
             + ws[2:3] * rows[slot, 2]
             + ws[3:4] * rows[slot, 3]
         )  # [ng, 128]
+        sb = pltpu.roll(blend, 127, 1)
 
         for g in range(G):
             kk = kk_ref[brp * jnp.int32(G) + p * jnp.int32(G) + jnp.int32(g)]
-            r1t = pltpu.roll(blend, jnp.int32(127) - kk, 1)
-            r0t = pltpu.roll(r1t, 1, 1)
             w = w_ref[0, 0, p, g]
-            v = w[_FR0:_FR0 + 1] * r1t + w[_FR1:_FR1 + 1] * r0t
-            p1 = (w[_F1:_F1 + 1] * v[0:1] + w[_F2:_F2 + 1] * v[1:2]
-                  + w[_F3:_F3 + 1] * v[2:3])
-            p2 = w[_F4:_F4 + 1] * v[3:4] + w[_F5:_F5 + 1] * v[4:5]
-            dd = (w[_F1:_F1 + 1] * v[5:6] + w[_F2:_F2 + 1] * v[6:7]
-                  + w[_F3:_F3 + 1] * v[7:8])
-            if ng == 10:
-                p1 = p1 + w[_F6:_F6 + 1] * v[8:9]
-                dd = dd + w[_F6:_F6 + 1] * v[9:10]
-            a_acc = a_acc + (w[_CL:_CL + 1] * p1 - w[_SL:_SL + 1] * p2)
-            r_acc = r_acc + (w[_SL:_SL + 1] * p1 + w[_CL:_CL + 1] * p2)
-            d_acc = d_acc + dd
-        return (a_acc, r_acc, d_acc)
+            c = w[_FR0:_FR0 + 1] * sb + w[_FR1:_FR1 + 1] * blend
+            acc[pl.ds(kk * 3, 3), :] += _contract(w, c)
+        return 0
 
-    zero = jnp.zeros((1, 128), F32)
-    a_acc, r_acc, d_acc = jax.lax.fori_loop(0, P, group, (zero, zero, zero))
-    out_ref[0, 0, 0:1, :] = a_acc
-    out_ref[0, 0, 1:2, :] = r_acc
-    out_ref[0, 0, 2:3, :] = d_acc
-    out_ref[0, 0, 3:8, :] = jnp.zeros((5, 128), F32)
+    jax.lax.fori_loop(0, P, group, 0)
+    _bucket_combine(acc, D, out_ref)
 
 
 # windows at or below this live whole in VMEM; larger ones stay in HBM with
@@ -187,9 +195,9 @@ def _kernel_dma(G, ng, P, rr, node_ref, kk_ref,  # scalar prefetch (SMEM)
 VMEM_RESIDENT_BYTES = 10 * 1024 * 1024
 
 
-@functools.partial(jax.jit, static_argnames=("G", "ng", "interpret"))
+@functools.partial(jax.jit, static_argnames=("G", "ng", "nshift", "interpret"))
 def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
-                   G, ng, interpret=False):
+                   G, ng, nshift, interpret=False):
     """ard f32[B, R, 3, 128] from a GF window (VMEM-resident when it fits,
     HBM + double-buffered row DMA otherwise).
 
@@ -203,19 +211,21 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     frac; invalid centroids carry zero f's).
     """
     bb, rr, P = node_rows.shape
+    D = int(nshift)
     resident = int(ext_flat.shape[0]) * 128 * 4 <= VMEM_RESIDENT_BYTES
     with jax.enable_x64(False):
         nodes_flat = jnp.concatenate(
             [node_rows.reshape(-1).astype(I32), strides3.astype(I32)]
         )
         if resident:
-            kernel = functools.partial(_kernel, G, ng, P, rr)
+            kernel = functools.partial(_kernel, G, ng, P, rr, D)
             ext_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-            scratch = []
+            scratch = [pltpu.VMEM((D * 3, 128), F32)]
         else:
-            kernel = functools.partial(_kernel_dma, G, ng, P, rr)
+            kernel = functools.partial(_kernel_dma, G, ng, P, rr, D)
             ext_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch = [
+                pltpu.VMEM((D * 3, 128), F32),
                 pltpu.VMEM((2, 4, ng, 128), F32),
                 pltpu.SemaphoreType.DMA((2, 4)),
             ]
@@ -310,6 +320,7 @@ def pack_kinematics(cfg, kin, G):
 def synthesize_ard_batch(ext_flat, cfg, kin, G, interpret=False):
     """ard f32[B, R, 3, nt_out] for a (source, receiver) batch."""
     node_rows, strides3, kk, wsp, wmeta = pack_kinematics(cfg, kin, G)
+    # kk is clipped to [0, nt_ext - nt_out - 1] => s_len shift buckets
     out = window_forward(ext_flat, node_rows, strides3, kk, wsp, wmeta,
-                         G=G, ng=cfg.ng, interpret=interpret)
+                         G=G, ng=cfg.ng, nshift=cfg.s_len, interpret=interpret)
     return out[..., : cfg.nt_out]
