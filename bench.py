@@ -119,9 +119,9 @@ def bench_point(eng, log):
 
     nstrikes = 3610
     strikes = np.linspace(0.0, 360.0, nstrikes).astype(np.float32)
-    # one 4096-row dispatch: small chunks underfill the chip (512-row chunks
-    # measured 40% slower than one batched dispatch even with the tunnel
-    # round trip amortized)
+    # one 4096-row dispatch per sweep: small chunks underfill the chip
+    # (512-row chunks measured 40% slower than one batched dispatch even
+    # with the tunnel round trip amortized)
     chunk = 4096
 
     def dispatch(sl):
@@ -133,7 +133,11 @@ def bench_point(eng, log):
         g = jnp.sqrt((m.astype(jnp.float32) ** 2).sum(axis=1))
         return g
 
-    batches = [strikes[i:i + chunk] for i in range(0, nstrikes, chunk)]
+    # 8 sweep replicas in flight: the sweep is ONE dispatch (3610 <= 4096),
+    # so a single replica would time host-issue + device + a full tunnel
+    # round trip (~25 ms) against a ~5 ms device program; sustained grid
+    # searches pipeline dispatches, so the bench does too
+    batches = [strikes] * 8
     mps, outs = steady_state_mps(dispatch, batches, log, "point")
     g = np.concatenate([np.asarray(o) for o in outs])[:nstrikes]
     best = float(strikes[int(np.argmin(g))])

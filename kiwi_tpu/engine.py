@@ -597,7 +597,13 @@ class Engine:
         param columns are deduplicated first so uniform sweeps cost one
         grid_shape call instead of one per row."""
         if model.shape_param_idx is not None:
-            rows = np.unique(pb[:, list(model.shape_param_idx)], axis=0)
+            cols = pb[:, list(model.shape_param_idx)]
+            if (cols == cols[0]).all():
+                # uniform sweep (the hot case): np.unique(axis=0) costs
+                # ~5 ms at B=4096, the equality check microseconds
+                rows = cols[:1]
+            else:
+                rows = np.unique(cols, axis=0)
             full = np.tile(pb[0], (rows.shape[0], 1))
             full[:, list(model.shape_param_idx)] = rows
         else:
