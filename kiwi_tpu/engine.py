@@ -339,7 +339,18 @@ class Engine:
             dpath_bytes, dpath_group = grouped_bytes, gsize
         else:
             dpath_bytes, dpath_group = direct_bytes, 1
-        if dpath_bytes <= conv_bytes:
+        # the window kernel (synth_window) beats both XLA formulations
+        # whenever it applies (its transients are the lane-broadcast weight
+        # arrays, not gather/slice buffers), and it rides the direct layout
+        # -- so a kernel-eligible plan always picks direct, regardless of
+        # the conv-vs-direct byte comparison
+        kernel_ok = (
+            os.environ.get("KIWI_WINDOW", "1") != "0"
+            and synth_window.usable(cfg)
+            and ncent % max(dpath_group, 1) == 0
+            and (_on_tpu() or os.environ.get("KIWI_WINDOW_INTERPRET") == "1")
+        )
+        if kernel_ok or dpath_bytes <= conv_bytes:
             path, group_size, per_source_bytes = "direct", dpath_group, dpath_bytes
         else:
             path, group_size, per_source_bytes = "conv", 1, conv_bytes
@@ -494,11 +505,12 @@ class Engine:
             forward_batch_raw_xla = forward_batch_raw
             forward_batch_raw = forward_batch_window
             # the kernel's transients are the lane-broadcast weight arrays +
-            # kinematics, not the XLA path's gather/slice buffers
+            # kinematics, not the XLA path's gather/slice buffers.  PER
+            # RECEIVER here: the plan dict multiplies by nrec below.
             R_ = len(self.receivers)
             P_ = max(ncent_plan // gw, 1)
-            per_source_bytes = R_ * P_ * (gw * synth_window.NW + 4) * 128 * 4 \
-                + R_ * ncent_plan * 3 * cfg.ng * 4
+            per_source_bytes = P_ * (gw * synth_window.NW + 4) * 128 * 4 \
+                + ncent_plan * 3 * cfg.ng * 4
             # the kernel's node/shift indices ride in SMEM via scalar
             # prefetch (~1 MB/core on v5e/v5p): cap the batch so
             # (node_rows + kks) i32 words fit with headroom

@@ -64,20 +64,38 @@ def circle_to_polygon(center, transform, npoints):
 
 def trim_polygon(points, hs_point, hs_normal):
     """Cut off the polygon parts outside one half-space
-    (trim_polygon_one, geometry.f90:193-236)."""
+    (trim_polygon_one, geometry.f90:193-236).
+
+    Vectorized Sutherland-Hodgman pass: all edges evaluated at once (the
+    per-edge piercing_point loop cost ~2.5 ms per 180-gon and dominated
+    batched eikonal discretization); semantics identical to the scalar
+    piercing_point per edge, including the reference's single-precision
+    parallelism threshold."""
     points = np.asarray(points, dtype=np.float64)
     n = points.shape[0]
-    out = []
-    for i in range(n):
-        j = (i + 1) % n
-        pp, pierce, _par, a_in, _b_in = piercing_point(
-            points[i], points[j], hs_point, hs_normal
-        )
-        if a_in:
-            out.append(points[i])
-        if pierce:
-            out.append(pp)
-    return np.array(out).reshape(-1, 3)
+    if n == 0:
+        return points.reshape(-1, 3)
+    hs_point = np.asarray(hs_point, dtype=np.float64)
+    hs_normal = np.asarray(hs_normal, dtype=np.float64)
+    a = points
+    b = points[(np.arange(n) + 1) % n]
+    ab = b - a
+    la = (hs_point - a) @ hs_normal
+    lb = (hs_point - b) @ hs_normal
+    lab = ab @ hs_normal
+    a_in = la >= 0.0
+    pierce = a_in != (lb >= 0.0)
+    parallel = lab * lab < (ab * ab).sum(axis=-1) / 2**24
+    pp = a + ab * (la / np.where(lab == 0.0, 1.0, lab))[:, None]
+    pp_par = np.where((np.abs(la) <= np.abs(lb))[:, None], a, b)
+    pp = np.where((parallel & pierce)[:, None], pp_par, pp)
+
+    cnt = a_in.astype(np.int64) + pierce.astype(np.int64)
+    off = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    out = np.empty((int(cnt.sum()), 3))
+    out[off[a_in]] = a[a_in]
+    out[(off + a_in)[pierce]] = pp[pierce]
+    return out
 
 
 def trim_polygon_multi(points, constraints):

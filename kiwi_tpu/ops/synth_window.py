@@ -89,6 +89,26 @@ def _bucket_combine(acc, D, out_ref):
     out_ref[0, 0, 3:8, :] = jnp.zeros((5, 128), F32)
 
 
+def _g_loop(G, p, centroid):
+    """Per-centroid loop: fully unrolled up to 4 (fastest; measured 9.6 ms
+    vs fori's 11.7 ms at G=4), block-unrolled by 4 inside a fori beyond
+    that to bound kernel code size / register pressure."""
+    if G <= 4:
+        for g in range(G):
+            centroid(p, jnp.int32(g))
+        return
+    full, rem = divmod(G, 4)
+
+    def body(i, _):
+        for j in range(4):
+            centroid(p, i * 4 + jnp.int32(j))
+        return 0
+
+    jax.lax.fori_loop(0, full, body, 0)
+    for j in range(rem):
+        centroid(p, jnp.int32(full * 4 + j))
+
+
 def _kernel(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
             ext_ref, wsp_ref, w_ref,  # VMEM
             out_ref, acc):
@@ -113,8 +133,8 @@ def _kernel(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
         )  # [ng, 128]
         sb = pltpu.roll(blend, 127, 1)  # static: sb[t] = blend[t+1]
 
-        for g in range(G):
-            kk = kk_ref[brp * jnp.int32(G) + p * jnp.int32(G) + jnp.int32(g)]
+        def centroid(p, g):
+            kk = kk_ref[brp * jnp.int32(G) + p * jnp.int32(G) + g]
             w = w_ref[0, 0, p, g]  # [NW, 128] lane-broadcast weight rows
             # pre-shift taps: c[t] = (1-fr)*blend[t+1] + fr*blend[t], so the
             # per-centroid contribution is c[t + kk] -- accumulated into the
@@ -123,6 +143,8 @@ def _kernel(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
             # RMW at a dynamic SUBLANE offset is near-free)
             c = w[_FR0:_FR0 + 1] * sb + w[_FR1:_FR1 + 1] * blend
             acc[pl.ds(kk * 3, 3), :] += _contract(w, c)
+
+        _g_loop(G, p, centroid)
         return 0
 
     jax.lax.fori_loop(0, P, group, 0)
@@ -179,11 +201,13 @@ def _kernel_dma(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
         )  # [ng, 128]
         sb = pltpu.roll(blend, 127, 1)
 
-        for g in range(G):
-            kk = kk_ref[brp * jnp.int32(G) + p * jnp.int32(G) + jnp.int32(g)]
+        def centroid(p, g):
+            kk = kk_ref[brp * jnp.int32(G) + p * jnp.int32(G) + g]
             w = w_ref[0, 0, p, g]
             c = w[_FR0:_FR0 + 1] * sb + w[_FR1:_FR1 + 1] * blend
             acc[pl.ds(kk * 3, 3), :] += _contract(w, c)
+
+        _g_loop(G, p, centroid)
         return 0
 
     jax.lax.fori_loop(0, P, group, 0)

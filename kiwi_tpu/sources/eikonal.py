@@ -384,7 +384,7 @@ def prepare_batch(pb_named, effective_dt, ctx: EikonalContext):
         poly = geom.trim_polygon_multi(poly, ctx.constraints)
         if poly.shape[0] == 0:
             raise ValueError("Empty rupture area")
-        poly_rc = np.array([rotmat.T @ (q - center3) for q in poly])
+        poly_rc = (poly - center3) @ rotmat
         min_rc, max_rc = geom.polygon_box(poly_rc)
 
         nukl = np.array([p["nukl_shift_x"], p["nukl_shift_y"], 0.0])
