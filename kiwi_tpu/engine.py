@@ -803,8 +803,17 @@ class Engine:
             fwd = cache.get(fkey)
             if fwd is None:
                 disc = self._disc_fn(model, shape)
-                raw = plan["forward_shared_raw" if shared else "forward_batch_raw"]
-                fwd = jax.jit(lambda pbj, mts, rts: raw(disc(pbj), mts, rts))
+                if not shared and plan.get("max_chunk"):
+                    # window-kernel plans: keep discretizer and forward as
+                    # separate jits -- inlining the XLA discretizer into
+                    # the pallas-call graph measured 20.3 ms vs 11.1 + 2.1
+                    # composed (both dispatches are async; no extra host
+                    # round trip)
+                    fb = plan["forward_batch"]
+                    fwd = lambda pbj, mts, rts: fb(disc(pbj), mts, rts)  # noqa: E731
+                else:
+                    raw = plan["forward_shared_raw" if shared else "forward_batch_raw"]
+                    fwd = jax.jit(lambda pbj, mts, rts: raw(disc(pbj), mts, rts))
                 cache[fkey] = fwd
 
             def run(idx):
@@ -831,6 +840,9 @@ class Engine:
             chunk = max(1, min(chunk, plan["max_chunk"]))
         if chunk >= b:
             return run(np.arange(b))
+        # balance chunk sizes (256 over a 78 cap would otherwise run
+        # 78+78+78+22->pad78, wasting 22% of the last dispatch)
+        chunk = -(-b // (-(-b // chunk)))
         ms, ns, fss = [], [], []
         for i in range(0, b, chunk):
             sl = slice(i, min(i + chunk, b))

@@ -29,12 +29,19 @@ weights); float32 rounding differs in reduction order only.
 Layout (v5e/v5p):
   * ext rows flat [N*ng, T=128]: a group's 4 bilinear neighbors are
     unaligned dynamic sublane slices (natively supported; lane offsets are
-    not).  The time shift is a dynamic lane ROTATE; the used output range
-    never wraps because the plan guarantees slice starts in
-    [0, nt_ext - nt_out - 1] and nt_ext <= 128.
-  * per-centroid weights ride in a blocked VMEM operand, read as scalars
-    (vmem->sreg); integer shift/node indices ride in SMEM via scalar
-    prefetch.
+    not).
+  * the per-centroid integer time shift kk is NOT applied as a dynamic
+    lane roll (scalar-amount rolls measured ~6.3 ms of an 11.3 ms kernel,
+    regardless of roll width or count per centroid): contributions are
+    accumulated into per-kk SHIFT BUCKETS via a dynamic-sublane-offset
+    VMEM read-modify-write (near-free, like the slices), and the D =
+    nt_ext - nt_out buckets are combined with D static rolls at program
+    end.  The used output range never wraps because the plan bounds kk by
+    nt_ext - nt_out - 1 and pack_ext zero-pads the time axis to 128.
+  * per-centroid weights ride in a blocked VMEM operand as lane-broadcast
+    rows (compact [NW, 1] operands with in-kernel broadcast measured 28%
+    slower; scalar vmem->sreg reads stall the VPU); integer shift/node
+    indices ride in SMEM via scalar prefetch.
 """
 
 from __future__ import annotations
