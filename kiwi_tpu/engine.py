@@ -360,7 +360,9 @@ class Engine:
                 ("conv", 1): conv_bytes,
                 ("direct", 1): direct_bytes,
             }.get((path, group_size), grouped_bytes)
-        ext = synth.materialize_window(gfd, gfi, cfg)
+        # one jit per helper: eagerly these dispatch dozens of small ops,
+        # each a compile+dispatch round trip over the device tunnel
+        ext = jax.jit(synth.materialize_window, static_argnums=2)(gfd, gfi, cfg)
 
         fold_max = int(np.ceil(0.5 * risetime_max / store.dt)) + 1 if risetime_max > 0 else 0
 
@@ -464,9 +466,13 @@ class Engine:
             and (_on_tpu() or os.environ.get("KIWI_WINDOW_INTERPRET") == "1")
         )
         if use_window:
-            ext_flat = synth_window.pack_ext(ext, cfg)
+            ext_flat = jax.jit(
+                synth_window.pack_ext, static_argnums=1
+            )(ext, cfg)
             interp = not _on_tpu()
-            span_tab = synth.span_tables(gfi, gfn, cfg)
+            span_tab = jax.jit(
+                synth.span_tables, static_argnums=2
+            )(gfi, gfn, cfg)
 
             def forward_batch_window(cbatch, moments, risetimes):
                 def kin_one(cent):

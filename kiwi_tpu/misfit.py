@@ -24,6 +24,7 @@ reference-shift range and pick the minimum summed misfit per receiver
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -379,11 +380,28 @@ def precompute_ref_context(ctx, method, st: ProbeStatic, shiftrange=(0, 0),
     """Source-independent misfit quantities, computed once per plan:
     processed reference arrays (per shift for floating norms) and the
     reference norm factors.  Replaces the per-source reference probe updates
-    of the reference implementation."""
-    use_fft = any_filter
+    of the reference implementation.
+
+    The whole computation runs under ONE jit: eagerly, the per-shift loop
+    dispatched hundreds of tiny device ops and cost ~6 s of plan-build time
+    over the axon tunnel."""
+    out = dict(_prc_jit(
+        ctx, method, int(shiftrange[0]), int(shiftrange[1]),
+        bool(any_filter), st.ps0, st.pl, float(st.dt),
+    ))
+    out["method"] = method
+    if method in (FLOATING_L2NORM, FLOATING_L1NORM):
+        out["base"] = L2NORM if method == FLOATING_L2NORM else L1NORM
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("method", "s1", "s2", "use_fft", "ps0", "pl", "dt")
+)
+def _prc_jit(ctx, method, s1, s2, use_fft, ps0, pl, dt):
+    st = ProbeStatic(ps0=ps0, pl=pl, dt=dt)
     if method in (FLOATING_L2NORM, FLOATING_L1NORM):
         base = L2NORM if method == FLOATING_L2NORM else L1NORM
-        s1, s2 = shiftrange
         shifts = np.arange(s1, s2 + 1)
 
         refs = []
@@ -407,8 +425,6 @@ def precompute_ref_context(ctx, method, st: ProbeStatic, shiftrange=(0, 0),
         cnt = jnp.maximum(jnp.sum(in_range, axis=0), 1)
         norm = jnp.sum(jnp.where(in_range, nstack, 0.0), axis=0) / cnt
         return {
-            "method": method,
-            "base": base,
             "shifts": jnp.asarray(shifts, I32),
             "ref_proc": ref_proc,
             "ref_lo_s": ctx["ref_lo"][None, :] + jnp.asarray(shifts, I32)[:, None],
@@ -428,7 +444,6 @@ def precompute_ref_context(ctx, method, st: ProbeStatic, shiftrange=(0, 0),
         else:
             norm = df * jnp.sum(jnp.abs(ref_amp).astype(ACCUM), axis=-1)
         return {
-            "method": method,
             "ref_amp": ref_amp,
             "norm": jnp.where(ctx["enabled"], norm.astype(F32), 0.0),
         }
@@ -437,7 +452,6 @@ def precompute_ref_context(ctx, method, st: ProbeStatic, shiftrange=(0, 0),
     nlo, nhi = ref_norm_spans(ctx, st)
     norm = _ref_norm(ref_proc, _span_mask(nlo, nhi, st), method, st)
     return {
-        "method": method,
         "ref_proc": ref_proc,
         "norm": jnp.where(ctx["enabled"], norm, 0.0),
     }
