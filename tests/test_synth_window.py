@@ -143,3 +143,57 @@ def test_usable_gates():
     assert sw.usable(big)
     n_rows = big.nxw * big.nzw * big.ng
     assert n_rows * 128 * 4 > sw.VMEM_RESIDENT_BYTES
+
+
+def test_g_loop_block_unroll_matches_numpy_oracle():
+    """G > 4 takes the block-unrolled fori path in _g_loop (one fori block
+    of 4 + unrolled remainder at G=6); pin it against a numpy emulation of
+    the kernel math on synthetic operands."""
+    from kiwi_tpu.synth import SynthConfig
+
+    rng = np.random.default_rng(3)
+    B, R, P, G, ng = 2, 3, 5, 6, 10
+    nxw, nzw = 6, 5
+    nt_out, s_len = 40, 24
+    nt_ext = nt_out + s_len
+    N = nxw * nzw
+    ext = rng.normal(size=(N * ng, nt_ext)).astype(np.float32)
+    ext_flat = jnp.asarray(np.pad(ext, ((0, 0), (0, 128 - nt_ext))))
+    node = (rng.integers(0, N - nzw - 2, size=(B, R, P)) * ng).astype(np.int32)
+    strides3 = jnp.asarray(np.array([ng, nzw * ng, (nzw + 1) * ng], np.int32))
+    kks = rng.integers(0, s_len, size=(B, R, P, G)).astype(np.int32)
+    wsp = rng.random((B, R, P, 4)).astype(np.float32)
+    wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
+    wsp_b = jnp.broadcast_to(jnp.asarray(wsp)[..., None], wsp.shape + (128,))
+    wm_b = jnp.broadcast_to(jnp.asarray(wm)[..., None], wm.shape + (128,))
+
+    out = np.asarray(sw.window_forward(
+        ext_flat, jnp.asarray(node), strides3, jnp.asarray(kks), wsp_b, wm_b,
+        G=G, ng=ng, nshift=s_len, interpret=True))
+
+    # numpy oracle of the kernel math
+    s3 = np.array([ng, nzw * ng, (nzw + 1) * ng])
+    ref = np.zeros((B, R, 3, 128), np.float32)
+    extp = np.pad(ext, ((0, 0), (0, 128 - nt_ext)))
+    for b in range(B):
+        for r in range(R):
+            for p in range(P):
+                base = node[b, r, p]
+                rows = (extp[base:base + ng] * wsp[b, r, p, 0]
+                        + extp[base + s3[0]:base + s3[0] + ng] * wsp[b, r, p, 1]
+                        + extp[base + s3[1]:base + s3[1] + ng] * wsp[b, r, p, 2]
+                        + extp[base + s3[2]:base + s3[2] + ng] * wsp[b, r, p, 3])
+                sb = np.roll(rows, -1, axis=1)
+                for g in range(G):
+                    w = wm[b, r, p, g]
+                    kk = kks[b, r, p, g]
+                    c = w[8] * sb + w[9] * rows
+                    p1 = w[0] * c[0] + w[1] * c[1] + w[2] * c[2] + w[5] * c[8]
+                    p2 = w[3] * c[3] + w[4] * c[4]
+                    dd = w[0] * c[5] + w[1] * c[6] + w[2] * c[7] + w[5] * c[9]
+                    av = w[6] * p1 - w[7] * p2
+                    rv = w[7] * p1 + w[6] * p2
+                    for ch, row in ((0, av), (1, rv), (2, dd)):
+                        ref[b, r, ch] += np.roll(row, -kk)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=scale * 1e-5)
