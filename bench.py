@@ -33,8 +33,9 @@ import time
 
 import numpy as np
 
-ASSUMED_FORTRAN_MPS = 1000.0
+ASSUMED_FORTRAN_MPS = 1000.0  # inside the 0.7-2.7k/core bound, BASELINE.md
 V5E_HBM_GBPS = 819.0
+V5E_VPU_GFLOPS = 3930.0  # 4 ALUs x 8x128 lanes x 0.94 GHz, f32
 
 CACHE = os.environ.get("KIWI_BENCHDB", "/tmp/kiwi_tpu_benchdb.npz")
 
@@ -137,7 +138,7 @@ def bench_point(eng, log):
     # so a single replica would time host-issue + device + a full tunnel
     # round trip (~25 ms) against a ~5 ms device program; sustained grid
     # searches pipeline dispatches, so the bench does too
-    batches = [strikes] * 8
+    batches = [strikes] * 16
     mps, outs = steady_state_mps(dispatch, batches, log, "point")
     g = np.concatenate([np.asarray(o) for o in outs])[:nstrikes]
     best = float(strikes[int(np.argmin(g))])
@@ -178,18 +179,30 @@ def bench_finite(eng, log):
     mps, _outs = steady_state_mps(dispatch, batches, log, "finite")
     log(f"  finite (195-centroid bilateral): MPS {mps:.0f}")
 
-    # HBM roofline utilization of the synthesis: intrinsic bytes per model =
-    # gather of 4 neighbor rows per spatial group over ng components and the
-    # extended window (the kernel's only HBM traffic is weights+outputs; the
-    # VMEM-resident window makes the intrinsic gather VMEM-side, so this
-    # reports the XLA-equivalent traffic the kernel avoids vs wall time)
+    # Roofline accounting for the shift-bucket kernel (docs/performance.md):
+    # intrinsic f32 vector work per model (MAC = 2 flops) and actual HBM
+    # traffic (lane-broadcast weight operands + outputs; the GF window is
+    # VMEM-resident).  Neither roofline binds -- the kernel is
+    # instruction-issue bound -- but both utilizations are reported so
+    # regressions toward either wall are visible.
     plan = eng._plan
     cfg = plan["cfg"]
-    P = 65
-    nt_ext = cfg.nt_out + cfg.s_len
-    bytes_per_model = 10 * P * 4 * cfg.ng * nt_ext * 4  # R*P*4*ng*nt_ext*f32
-    util = bytes_per_model * mps / (V5E_HBM_GBPS * 1e9)
-    return mps, util
+    R, C, G = 10, 195, 3
+    P = C // G
+    blend_flops = P * 4 * cfg.ng * 128 * 2
+    cent_flops = C * (2 * cfg.ng + 10 + 4 + 3) * 128 * 2
+    flops_per_model = R * (blend_flops + cent_flops)
+    gflops = flops_per_model * mps / 1e9
+    wmeta_bytes = R * (P * (G * 10 + 4) * 128 * 4 + C * 3 * cfg.ng * 4)
+    hbm_gbps = wmeta_bytes * mps / 1e9
+    log(f"  finite kernel: {gflops:.0f} Gflop/s ({gflops/V5E_VPU_GFLOPS:.1%} "
+        f"of VPU peak), {hbm_gbps:.0f} GB/s ({hbm_gbps/V5E_HBM_GBPS:.1%} of HBM)")
+    return mps, {
+        "finite_vpu_gflops": round(gflops, 1),
+        "finite_vpu_utilization": round(gflops / V5E_VPU_GFLOPS, 4),
+        "finite_hbm_gbps": round(hbm_gbps, 1),
+        "finite_hbm_utilization": round(hbm_gbps / V5E_HBM_GBPS, 4),
+    }
 
 
 def bench_eikonal(eng, log):
@@ -213,8 +226,12 @@ def bench_eikonal(eng, log):
     eng.set_source_params("eikonal", p)
     eng.set_synthetic_reference()
 
-    B = 32
-    nbatches = 4
+    # grid searches sweep hundreds of ruptures per round; B=96 amortizes
+    # the fast-sweeping solver's sequential diagonal steps over the batch
+    # (B=32 measured 118 MPS, B=96 277 MPS -- the solve is latency-bound,
+    # not throughput-bound)
+    B = 96
+    nbatches = 2
 
     def dispatch(radii):
         batch = np.tile(p, (B, 1))
@@ -238,7 +255,7 @@ def main():
     eng = make_engine(store)
 
     point_mps = bench_point(eng, log)
-    finite_mps, hbm_util = bench_finite(eng, log)
+    finite_mps, roofline = bench_finite(eng, log)
     try:
         eik_mps = bench_eikonal(eng, log)
     except Exception as e:  # noqa: BLE001
@@ -252,7 +269,7 @@ def main():
         "vs_baseline": round(point_mps / ASSUMED_FORTRAN_MPS, 2),
         "finite_mps": round(finite_mps, 1),
         "eikonal_mps": round(eik_mps, 1),
-        "finite_hbm_equiv_utilization": round(hbm_util, 3),
+        **roofline,
     }))
 
 
