@@ -129,7 +129,7 @@ def _kernel(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
     s3 = node_ref[sbase + 2]
     acc[...] = jnp.zeros((D * 3, 128), F32)
 
-    def group(p, _):
+    def group(p):
         base = node_ref[brp + p]  # row index (node * ng), pre-clamped
         ws = wsp_ref[0, 0, p]  # [4, 128] lane-broadcast bilinear weights
         blend = (
@@ -152,9 +152,22 @@ def _kernel(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
             acc[pl.ds(kk * 3, 3), :] += _contract(w, c)
 
         _g_loop(G, p, centroid)
+
+    # block the group loop so each fori body carries several independent
+    # groups: Mosaic interleaves them, hiding dependency stalls (measured
+    # 8.5 -> 5.3 ms for the 64x10x195 batch going from 1 to 8 groups per
+    # body at G=3); ~24 unrolled centroid blocks per body stays clear of
+    # register-spill territory
+    K = max(1, min(8, 24 // max(G, 1)))
+
+    def block(i, _):
+        for j in range(K):
+            group(i * K + jnp.int32(j))
         return 0
 
-    jax.lax.fori_loop(0, P, group, 0)
+    jax.lax.fori_loop(0, P // K, block, 0)
+    for j in range(P % K):
+        group(jnp.int32((P // K) * K + j))
     _bucket_combine(acc, D, out_ref)
 
 
