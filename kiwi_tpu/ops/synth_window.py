@@ -116,18 +116,24 @@ def _g_loop(G, p, centroid):
         centroid(p, jnp.int32(full * 4 + j))
 
 
-def _kernel(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
+def _kernel(G, ng, Pb, Ptot, rr, NP, D,
+            node_ref, kk_ref,  # scalar prefetch (SMEM)
             ext_ref, wsp_ref, w_ref,  # VMEM
             out_ref, acc):
     b = pl.program_id(0)
     r = pl.program_id(1)
+    ip = pl.program_id(2)  # P-axis block (bounds the double-buffered VMEM
+    # weight blocks; acc persists across ip steps of one (b, r))
     nb = pl.num_programs(0)
-    brp = (b * jnp.int32(rr) + r) * jnp.int32(P)
-    sbase = jnp.int32(nb) * jnp.int32(rr) * jnp.int32(P)  # strides live here
+    brp = (b * jnp.int32(rr) + r) * jnp.int32(Ptot) + ip * jnp.int32(Pb)
+    sbase = jnp.int32(nb) * jnp.int32(rr) * jnp.int32(Ptot)  # strides here
     s1 = node_ref[sbase + 0]
     s2 = node_ref[sbase + 1]
     s3 = node_ref[sbase + 2]
-    acc[...] = jnp.zeros((D * 3, 128), F32)
+
+    @pl.when(ip == 0)
+    def _zero():
+        acc[...] = jnp.zeros((D * 3, 128), F32)
 
     def group(p):
         base = node_ref[brp + p]  # row index (node * ng), pre-clamped
@@ -141,7 +147,7 @@ def _kernel(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
         sb = pltpu.roll(blend, 127, 1)  # static: sb[t] = blend[t+1]
 
         def centroid(p, g):
-            kk = kk_ref[brp * jnp.int32(G) + p * jnp.int32(G) + g]
+            kk = kk_ref[(brp + p) * jnp.int32(G) + g]
             w = w_ref[0, 0, p, g]  # [NW, 128] lane-broadcast weight rows
             # pre-shift taps: c[t] = (1-fr)*blend[t+1] + fr*blend[t], so the
             # per-centroid contribution is c[t + kk] -- accumulated into the
@@ -165,13 +171,17 @@ def _kernel(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
             group(i * K + jnp.int32(j))
         return 0
 
-    jax.lax.fori_loop(0, P // K, block, 0)
-    for j in range(P % K):
-        group(jnp.int32((P // K) * K + j))
-    _bucket_combine(acc, D, out_ref)
+    jax.lax.fori_loop(0, Pb // K, block, 0)
+    for j in range(Pb % K):
+        group(jnp.int32((Pb // K) * K + j))
+
+    @pl.when(ip == jnp.int32(NP - 1))
+    def _emit():
+        _bucket_combine(acc, D, out_ref)
 
 
-def _kernel_dma(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
+def _kernel_dma(G, ng, Pb, Ptot, rr, NP, D,
+                node_ref, kk_ref,  # scalar prefetch (SMEM)
                 ext_ref, wsp_ref, w_ref,  # ext in HBM/ANY; rest VMEM
                 out_ref, acc, rows, sems):
     """Variant for windows too large for VMEM residency: the 4 bilinear
@@ -180,12 +190,16 @@ def _kernel_dma(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
     pipeline hides it behind the group's VPU math)."""
     b = pl.program_id(0)
     r = pl.program_id(1)
+    ip = pl.program_id(2)
     nb = pl.num_programs(0)
-    brp = (b * jnp.int32(rr) + r) * jnp.int32(P)
-    sbase = jnp.int32(nb) * jnp.int32(rr) * jnp.int32(P)
+    brp = (b * jnp.int32(rr) + r) * jnp.int32(Ptot) + ip * jnp.int32(Pb)
+    sbase = jnp.int32(nb) * jnp.int32(rr) * jnp.int32(Ptot)
     offs = (jnp.int32(0), node_ref[sbase + 0], node_ref[sbase + 1],
             node_ref[sbase + 2])
-    acc[...] = jnp.zeros((D * 3, 128), F32)
+
+    @pl.when(ip == 0)
+    def _zero():
+        acc[...] = jnp.zeros((D * 3, 128), F32)
 
     def dma(p, slot, a):
         base = node_ref[brp + p]
@@ -205,7 +219,7 @@ def _kernel_dma(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
         slot = jax.lax.rem(p, jnp.int32(2))
         nslot = jax.lax.rem(p + jnp.int32(1), jnp.int32(2))
 
-        @pl.when(p + 1 < jnp.int32(P))
+        @pl.when(p + 1 < jnp.int32(Pb))
         def _lookahead():
             start(p + 1, nslot)
 
@@ -222,7 +236,7 @@ def _kernel_dma(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
         sb = pltpu.roll(blend, 127, 1)
 
         def centroid(p, g):
-            kk = kk_ref[brp * jnp.int32(G) + p * jnp.int32(G) + g]
+            kk = kk_ref[(brp + p) * jnp.int32(G) + g]
             w = w_ref[0, 0, p, g]
             c = w[_FR0:_FR0 + 1] * sb + w[_FR1:_FR1 + 1] * blend
             acc[pl.ds(kk * 3, 3), :] += _contract(w, c)
@@ -230,13 +244,21 @@ def _kernel_dma(G, ng, P, rr, D, node_ref, kk_ref,  # scalar prefetch (SMEM)
         _g_loop(G, p, centroid)
         return 0
 
-    jax.lax.fori_loop(0, P, group, 0)
-    _bucket_combine(acc, D, out_ref)
+    jax.lax.fori_loop(0, Pb, group, 0)
+
+    @pl.when(ip == jnp.int32(NP - 1))
+    def _emit():
+        _bucket_combine(acc, D, out_ref)
 
 
 # windows at or below this live whole in VMEM; larger ones stay in HBM with
 # per-group double-buffered row DMA (v5e/v5p VMEM ~ 16 MB/core)
 VMEM_RESIDENT_BYTES = 10 * 1024 * 1024
+# total scoped-VMEM budget for the kernel: window + double-buffered weight
+# blocks + scratch must fit.  The hard limit is 16 MB/core and Mosaic's
+# stack frame adds ~3 MB on top of the operand accounting (measured: a
+# predicted-13.3 MB configuration allocated 16.4 MB), so budget well under.
+VMEM_BUDGET_BYTES = 11 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("G", "ng", "nshift", "interpret"))
@@ -256,17 +278,39 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     """
     bb, rr, P = node_rows.shape
     D = int(nshift)
-    resident = int(ext_flat.shape[0]) * 128 * 4 <= VMEM_RESIDENT_BYTES
+    ext_bytes = int(ext_flat.shape[0]) * 128 * 4
+    resident = ext_bytes <= VMEM_RESIDENT_BYTES
+
+    # split the P axis over a third grid dimension when the per-(b, r)
+    # weight blocks would blow scoped VMEM: Mosaic double-buffers blocked
+    # operands, so a P=380, G=4 plan would otherwise request ~28 MB
+    # against the 16 MB limit.  acc persists across the ip steps of one
+    # (b, r); the output is emitted on the last step.
+    per_p = (G * NW + 4) * 128 * 4
+    fixed = (ext_bytes if resident else 2 * 4 * ng * 128 * 4) \
+        + (D * 3 + 8) * 128 * 4
+    budget = max(VMEM_BUDGET_BYTES - fixed, 2 * per_p)
+    Pb = int(max(1, min(P, budget // (2 * per_p))))
+    NP = -(-P // Pb)
+    Pb = -(-P // NP)  # balance the blocks
+    Ptot = NP * Pb
+    if Ptot > P:  # pad: zero weights make padded groups no-ops
+        padw = ((0, 0), (0, 0), (0, Ptot - P))
+        node_rows = jnp.pad(node_rows, padw)
+        kks = jnp.pad(kks, padw + ((0, 0),))
+        wsp = jnp.pad(wsp, padw + ((0, 0), (0, 0)))
+        wmeta = jnp.pad(wmeta, padw + ((0, 0), (0, 0), (0, 0)))
+
     with jax.enable_x64(False):
         nodes_flat = jnp.concatenate(
             [node_rows.reshape(-1).astype(I32), strides3.astype(I32)]
         )
         if resident:
-            kernel = functools.partial(_kernel, G, ng, P, rr, D)
+            kernel = functools.partial(_kernel, G, ng, Pb, Ptot, rr, NP, D)
             ext_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
             scratch = [pltpu.VMEM((D * 3, 128), F32)]
         else:
-            kernel = functools.partial(_kernel_dma, G, ng, P, rr, D)
+            kernel = functools.partial(_kernel_dma, G, ng, Pb, Ptot, rr, NP, D)
             ext_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch = [
                 pltpu.VMEM((D * 3, 128), F32),
@@ -277,14 +321,16 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(bb, rr),
+                grid=(bb, rr, NP),
                 in_specs=[
                     ext_spec,
-                    pl.BlockSpec((1, 1, P, 4, 128), lambda b, r, *_: (b, r, 0, 0, 0)),
-                    pl.BlockSpec((1, 1, P, G, NW, 128),
-                                 lambda b, r, *_: (b, r, 0, 0, 0, 0)),
+                    pl.BlockSpec((1, 1, Pb, 4, 128),
+                                 lambda b, r, ip, *_: (b, r, ip, 0, 0)),
+                    pl.BlockSpec((1, 1, Pb, G, NW, 128),
+                                 lambda b, r, ip, *_: (b, r, ip, 0, 0, 0)),
                 ],
-                out_specs=pl.BlockSpec((1, 1, 8, 128), lambda b, r, *_: (b, r, 0, 0)),
+                out_specs=pl.BlockSpec((1, 1, 8, 128),
+                                       lambda b, r, ip, *_: (b, r, 0, 0)),
                 scratch_shapes=scratch,
             ),
             out_shape=jax.ShapeDtypeStruct((bb, rr, 8, 128), F32),

@@ -197,3 +197,46 @@ def test_g_loop_block_unroll_matches_numpy_oracle():
                         ref[b, r, ch] += np.roll(row, -kk)
     scale = np.abs(ref).max()
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=scale * 1e-5)
+
+
+def test_p_axis_grid_split_matches_unsplit():
+    """Plans whose weight blocks exceed the scoped-VMEM budget split the P
+    axis over a third grid dimension (accumulating in scratch); forcing a
+    tiny budget must not change results."""
+    from kiwi_tpu.synth import SynthConfig
+
+    rng = np.random.default_rng(5)
+    B, R, P, G, ng = 2, 2, 11, 3, 10
+    nxw, nzw = 6, 5
+    nt_out, s_len = 40, 24
+    nt_ext = nt_out + s_len
+    N = nxw * nzw
+    ext = rng.normal(size=(N * ng, nt_ext)).astype(np.float32)
+    ext_flat = jnp.asarray(np.pad(ext, ((0, 0), (0, 128 - nt_ext))))
+    node = jnp.asarray((rng.integers(0, N - nzw - 2, size=(B, R, P)) * ng)
+                       .astype(np.int32))
+    strides3 = jnp.asarray(np.array([ng, nzw * ng, (nzw + 1) * ng], np.int32))
+    kks = jnp.asarray(rng.integers(0, s_len, size=(B, R, P, G)).astype(np.int32))
+    wsp = rng.random((B, R, P, 4)).astype(np.float32)
+    wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
+    wsp_b = jnp.broadcast_to(jnp.asarray(wsp)[..., None], wsp.shape + (128,))
+    wm_b = jnp.broadcast_to(jnp.asarray(wm)[..., None], wm.shape + (128,))
+
+    args = (ext_flat, node, strides3, kks, wsp_b, wm_b)
+    ref = np.asarray(sw.window_forward(*args, G=G, ng=ng, nshift=s_len,
+                                       interpret=True))
+    budget = sw.VMEM_BUDGET_BYTES
+    try:
+        # leave room for exactly ~2 groups per block -> NP = ceil(11/2) = 6,
+        # padded to 12 with no-op groups
+        per_p = (G * sw.NW + 4) * 128 * 4
+        sw.VMEM_BUDGET_BYTES = (ext_flat.shape[0] * 128 * 4
+                                + (s_len * 3 + 8) * 128 * 4 + 4 * per_p)
+        sw.window_forward.clear_cache()
+        split = np.asarray(sw.window_forward(*args, G=G, ng=ng, nshift=s_len,
+                                             interpret=True))
+    finally:
+        sw.VMEM_BUDGET_BYTES = budget
+        sw.window_forward.clear_cache()
+    scale = max(np.abs(ref).max(), 1e-30)
+    np.testing.assert_allclose(split, ref, rtol=1e-6, atol=scale * 1e-6)
