@@ -240,3 +240,33 @@ def test_p_axis_grid_split_matches_unsplit():
         sw.window_forward.clear_cache()
     scale = max(np.abs(ref).max(), 1e-30)
     np.testing.assert_allclose(split, ref, rtol=1e-6, atol=scale * 1e-6)
+
+
+def test_engine_window_wiring_matches_xla_path(setup, monkeypatch):
+    """Full engine integration: with the window kernel forced on (interpret
+    mode), misfits/norms/shifts from the batched forward must match the
+    XLA path -- pins the span tables, rc gather, chunking and fold wiring
+    around the kernel, not just the kernel math."""
+    eng, p, store = setup
+    monkeypatch.setenv("KIWI_WINDOW_INTERPRET", "1")
+    eng.set_misfit_method("floating_l1norm")
+    eng.set_floating_shiftrange(-0.3, 0.3)
+    eng.set_source_params("bilateral", p)
+    eng.set_synthetic_reference()
+
+    batch = np.tile(p, (3, 1))
+    batch[:, 5] = np.array([45.0, 135.0, 291.0], np.float32)
+    cbatch, moments, risetimes, shape, gsize = eng._discretize_batch(batch)
+    plan = eng._ensure_plan(cbatch, float(np.max(risetimes)), shape,
+                            gsize=gsize)
+    assert plan["max_chunk"] is not None, "window path not active"
+    cbj = {k: jnp.asarray(v) for k, v in cbatch.items()}
+    moj, rtj = jnp.asarray(moments), jnp.asarray(risetimes)
+    m_k, n_k, fs_k = [np.asarray(x) for x in
+                      plan["forward_batch"](cbj, moj, rtj)]
+    m_x, n_x, fs_x = [np.asarray(x) for x in
+                      jax.jit(plan["forward_batch_raw_xla"])(cbj, moj, rtj)]
+    scale = max(np.abs(m_x).max(), 1e-30)
+    np.testing.assert_allclose(m_k, m_x, rtol=1e-5, atol=scale * 1e-5)
+    np.testing.assert_allclose(n_k, n_x, rtol=1e-5, atol=scale * 1e-5)
+    np.testing.assert_array_equal(fs_k, fs_x)
