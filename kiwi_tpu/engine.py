@@ -418,13 +418,14 @@ class Engine:
         rc_chan_j = jnp.asarray(rc_chan)
         rc_sign_j = jnp.asarray(rc_sign)
         span_idx_j = jnp.asarray(span_of_chan[rc_chan])
+        span_tab_xla = jax.jit(synth.span_tables, static_argnums=2)(gfi, gfn, cfg)
 
         def synth_rc(cent):
             """One source -> component traces + spans: f32[RC, nt_out]."""
             def per_rec(rec):
                 ard, lo_, hi_ = synth.synthesize_with_spans(
                     ext, gfi, gfn, cfg, rec, cent, gf_data=gfd, path=path,
-                    group_size=group_size,
+                    group_size=group_size, span_tab=span_tab_xla,
                 )
                 canon = synth.ard_to_components(ard, rec["bazi"], (1, 2, 3, 4, 5))
                 return canon, lo_, hi_
@@ -470,9 +471,7 @@ class Engine:
                 synth_window.pack_ext, static_argnums=1
             )(ext, cfg)
             interp = not _on_tpu()
-            span_tab = jax.jit(
-                synth.span_tables, static_argnums=2
-            )(gfi, gfn, cfg)
+            span_tab = span_tab_xla
 
             def forward_batch_window(cbatch, moments, risetimes):
                 def kin_one(cent):

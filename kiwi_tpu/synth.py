@@ -850,7 +850,8 @@ def _grouped_accumulate(ext, cfg: SynthConfig, kin, group_size):
 
 
 def synthesize_with_spans(ext, gf_itmin, gf_nsamples, cfg: SynthConfig, rec, centroids,
-                          gf_data=None, path="conv", group_size=1):
+                          gf_data=None, path="conv", group_size=1,
+                          span_tab=None):
     """Synthesis plus physical span tracking.
 
     path="conv": scatter+convolution over the window (best for many
@@ -883,7 +884,10 @@ def synthesize_with_spans(ext, gf_itmin, gf_nsamples, cfg: SynthConfig, rec, cen
             preferred_element_type=F32,
             precision=HIGHEST,
         )[0]
-    lo, hi = physical_spans(gf_itmin, gf_nsamples, cfg, kin)
+    if span_tab is not None:  # precomputed per-node union tables (fast)
+        lo, hi = physical_spans_from_tables(span_tab, cfg, kin)
+    else:
+        lo, hi = physical_spans(gf_itmin, gf_nsamples, cfg, kin)
     return out, lo, hi
 
 
