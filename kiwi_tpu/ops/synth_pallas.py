@@ -1,8 +1,12 @@
-"""Pallas TPU kernel for grouped-direct seismogram synthesis (EXPERIMENTAL).
+"""Pallas TPU kernel for grouped-direct seismogram synthesis (SUPERSEDED).
 
-STATUS: correct in interpret mode (tests) and compiles+runs on a v5e, but
-not wired into the engine -- measured slower than the XLA grouped path.
-Benchmarks on v5e (52 sources x 11 receivers x 65 groups x 3 centroids):
+STATUS: kept as the documented negative result that shaped the production
+kernel.  The lessons below (dynamic-rotate -> MXU relayouts, single-pass
+bf16 f32 dots) led to `ops/synth_window.py` -- a VPU-only, roll-free
+shift-bucket kernel that IS wired into the engine and beats the XLA
+grouped path ~8x (40 ms XLA vs ~5 ms kernel for comparable batches; see
+docs/performance.md).  Original measurements on v5e (52 sources x 11
+receivers x 65 groups x 3 centroids):
 
 * XLA `_grouped_accumulate`: ~40 ms (the production path)
 * this kernel: ~135 ms, and only ~1e-3 relative accuracy
