@@ -153,15 +153,21 @@ class MisfitGrid:
         for i, sh in enumerate(shapes):
             buckets.setdefault(sh, []).append(i)
 
+        # dispatch all chunks asynchronously, fetch at the end: device
+        # results are futures, so the per-dispatch host<->device round trip
+        # overlaps compute instead of serializing every chunk on it
+        pending = []
         for sh, idxs in buckets.items():
             for start in range(0, len(idxs), chunk):
                 sel = idxs[start : start + chunk]
                 m, n, _fs = engine.misfits_for_source_batch(self.params[sel])
-                m = np.asarray(m)
-                n = np.asarray(n)
-                for irc, (r, k) in enumerate(slots):
-                    m_src[sel, r, k] = m[:, irc]
-                    n_src[sel, r, k] = n[:, irc]
+                pending.append((sel, m, n))
+        for sel, m, n in pending:
+            m = np.asarray(m)
+            n = np.asarray(n)
+            for irc, (r, k) in enumerate(slots):
+                m_src[sel, r, k] = m[:, irc]
+                n_src[sel, r, k] = n[:, irc]
 
         self.misfits_by_src = m_src
         self.norms_by_src = n_src
