@@ -270,3 +270,42 @@ def test_engine_window_wiring_matches_xla_path(setup, monkeypatch):
     np.testing.assert_allclose(m_k, m_x, rtol=1e-5, atol=scale * 1e-5)
     np.testing.assert_allclose(n_k, n_x, rtol=1e-5, atol=scale * 1e-5)
     np.testing.assert_array_equal(fs_k, fs_x)
+
+
+def test_dma_variant_with_p_split(monkeypatch):
+    """The HBM+row-DMA kernel combined with a split P axis (both limits hit
+    at once: window too big for VMEM residency AND weight blocks over the
+    scoped budget) must still match the resident single-block result."""
+    rng = np.random.default_rng(9)
+    B, R, P, G, ng = 2, 2, 7, 2, 10
+    nxw, nzw = 6, 5
+    nt_out, s_len = 40, 24
+    nt_ext = nt_out + s_len
+    N = nxw * nzw
+    ext = rng.normal(size=(N * ng, nt_ext)).astype(np.float32)
+    ext_flat = jnp.asarray(np.pad(ext, ((0, 0), (0, 128 - nt_ext))))
+    node = jnp.asarray((rng.integers(0, N - nzw - 2, size=(B, R, P)) * ng)
+                       .astype(np.int32))
+    strides3 = jnp.asarray(np.array([ng, nzw * ng, (nzw + 1) * ng], np.int32))
+    kks = jnp.asarray(rng.integers(0, s_len, size=(B, R, P, G)).astype(np.int32))
+    wsp = rng.random((B, R, P, 4)).astype(np.float32)
+    wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
+    wsp_b = jnp.broadcast_to(jnp.asarray(wsp)[..., None], wsp.shape + (128,))
+    wm_b = jnp.broadcast_to(jnp.asarray(wm)[..., None], wm.shape + (128,))
+    args = (ext_flat, node, strides3, kks, wsp_b, wm_b)
+
+    ref = np.asarray(sw.window_forward(*args, G=G, ng=ng, nshift=s_len,
+                                       interpret=True))
+    per_p = (G * sw.NW + 4) * 128 * 4
+    monkeypatch.setattr(sw, "VMEM_RESIDENT_BYTES", 0)
+    monkeypatch.setattr(
+        sw, "VMEM_BUDGET_BYTES",
+        2 * 4 * ng * 128 * 4 + (s_len * 3 + 8) * 128 * 4 + 6 * per_p)
+    sw.window_forward.clear_cache()
+    try:
+        got = np.asarray(sw.window_forward(*args, G=G, ng=ng, nshift=s_len,
+                                           interpret=True))
+    finally:
+        sw.window_forward.clear_cache()
+    scale = max(np.abs(ref).max(), 1e-30)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=scale * 1e-6)
