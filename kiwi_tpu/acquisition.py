@@ -108,16 +108,22 @@ class FDSNCatalog:
             w = line.split("|")
             # EventID|Time|Lat|Lon|Depth/km|Author|Catalog|Contributor|
             # ContributorID|MagType|Magnitude|MagAuthor|LocationName
-            events.append(Event(
-                timestamp=_parse_fdsn_time(w[1]),
-                lat=float(w[2]),
-                lon=float(w[3]),
-                depth=float(w[4]) * 1000.0,
-                mag=float(w[10]) if len(w) > 10 and w[10] else 0.0,
-                region=w[12].strip() if len(w) > 12 else "",
-                datasource=self.base_url,
-                name=w[0].strip(),
-            ))
+            # -- some catalogs leave depth/magnitude blank or non-numeric;
+            # skip those rows instead of aborting the whole response (same
+            # policy as get_waveforms' per-channel failures)
+            try:
+                events.append(Event(
+                    timestamp=_parse_fdsn_time(w[1]),
+                    lat=float(w[2]),
+                    lon=float(w[3]),
+                    depth=float(w[4]) * 1000.0 if w[4].strip() else 0.0,
+                    mag=float(w[10]) if len(w) > 10 and w[10].strip() else 0.0,
+                    region=w[12].strip() if len(w) > 12 else "",
+                    datasource=self.base_url,
+                    name=w[0].strip(),
+                ))
+            except (ValueError, IndexError) as e:
+                logger.info("skipping malformed event row %r: %s", line, e)
         events.sort(key=lambda e: e.timestamp)
         return events
 
@@ -151,17 +157,20 @@ class FDSNWaveforms:
                 continue
             w = line.split("|")
             # Network|Station|Location|Channel|Lat|Lon|Elev|Depth|...
-            key = (w[0].strip(), w[1].strip(), w[2].strip())
-            st = found.get(key)
-            if st is None:
-                st = Station(
-                    network=key[0], station=key[1], location=key[2],
-                    lat=float(w[4]), lon=float(w[5]),
-                    elevation=float(w[6] or 0.0), depth=float(w[7] or 0.0),
-                )
-                st.channels = []
-                found[key] = st
-            st.channels.append(w[3].strip())
+            try:
+                key = (w[0].strip(), w[1].strip(), w[2].strip())
+                st = found.get(key)
+                if st is None:
+                    st = Station(
+                        network=key[0], station=key[1], location=key[2],
+                        lat=float(w[4]), lon=float(w[5]),
+                        elevation=float(w[6] or 0.0), depth=float(w[7] or 0.0),
+                    )
+                    st.channels = []
+                    found[key] = st
+                st.channels.append(w[3].strip())
+            except (ValueError, IndexError) as e:
+                logger.info("skipping malformed station row %r: %s", line, e)
         out = []
         for st in found.values():
             d = geo.distance_accurate50m(

@@ -89,13 +89,21 @@ def minimize_lm(engine, mask=None, subparam_mins=None, subparam_maxs=None,
             # probe rows can straddle a discretization-grid-shape boundary
             # (a forward-difference step on a geometry parameter quantizes
             # to a different grid); bucket rows by shape, one device call
-            # per bucket
+            # per bucket.  Each bucket is padded to the full k = n + 1 rows
+            # (repeating its last row) so every bucket reuses ONE compiled
+            # program per shape -- varying bucket sizes across LM iterations
+            # would each trigger a fresh TPU compile (tens of seconds)
             shapes = [model.grid_shape(r, engine.effective_dt) for r in rows]
             out = None
             for shp in sorted(set(shapes)):
                 sel = np.array([i for i, s in enumerate(shapes) if s == shp])
-                m, _n, _fs = engine.misfits_for_source_batch(rows[sel])
-                m = np.asarray(m, dtype=np.float64)
+                rb = rows[sel]
+                if rb.shape[0] < k:
+                    rb = np.concatenate(
+                        [rb, np.tile(rb[-1:], (k - rb.shape[0], 1))]
+                    )
+                m, _n, _fs = engine.misfits_for_source_batch(rb)
+                m = np.asarray(m, dtype=np.float64)[: sel.size]
                 if out is None:
                     out = np.zeros((k, m.shape[1]))
                 out[sel] = m

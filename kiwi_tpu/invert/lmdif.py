@@ -112,8 +112,10 @@ def qrsolv(r, ipvt, diag, qtb):
 
     Given R (upper triangle of r, [n, n]), permutation ipvt, diagonal D and
     Q^T b, determine x minimizing ||A x - b||^2 + ||D x||^2 via Givens
-    rotations.  Returns (x, sdiag) with sdiag the diagonal of the rotated
-    upper-triangular S.
+    rotations.  Returns (x, sdiag, s): sdiag is the diagonal of the rotated
+    upper-triangular S and s its full upper triangle (MINPACK's qrsolv
+    stores S's strict upper triangle back into r for lmpar's Newton
+    correction; we return it instead of mutating the caller's array).
     """
     n = r.shape[1]
     s = np.triu(r[:n, :n]).copy()
@@ -159,7 +161,7 @@ def qrsolv(r, ipvt, diag, qtb):
         acc = float(s[j, j + 1: nsing] @ z[j + 1: nsing]) if j + 1 < nsing else 0.0
         z[j] = (wa[j] - acc) / sdiag[j]
     x[ipvt] = z
-    return x, sdiag
+    return x, sdiag, s
 
 
 def lmpar(r, ipvt, diag, qtb, delta, par0):
@@ -216,33 +218,23 @@ def lmpar(r, ipvt, diag, qtb, delta, par0):
     for _it in range(10):
         if par == 0.0:
             par = max(_DWARF, 0.001 * paru)
-        x, sdiag = qrsolv(r, ipvt, np.sqrt(par) * diag, qtb)
+        x, sdiag, S = qrsolv(r, ipvt, np.sqrt(par) * diag, qtb)
         dxnorm = enorm(diag * x)
         temp = fp
         fp = dxnorm - delta
         if (abs(fp) <= 0.1 * delta
                 or (parl == 0.0 and fp <= temp and temp < 0.0)):
             return par, x
-        # Newton correction on phi(par)
+        # Newton correction on phi(par): forward substitution on S^T
+        # (lmpar.f:199-211; S is nonsingular for par > 0 with diag > 0, but
+        # zero Jacobian columns give diag == 0 in mode 1 -- treat those rows
+        # as rank-deficient like qrsolv's own solve does)
         wa1 = diag[ipvt] * (diag[ipvt] * x[ipvt]) / dxnorm
         for j in range(n):
-            wa1[j] /= sdiag[j]
+            wa1[j] = wa1[j] / sdiag[j] if sdiag[j] != 0.0 else 0.0
             if j + 1 < n:
-                wa1[j + 1:] -= np.triu(r[:n, :n])[j, j + 1:] * 0.0  # R not used here
-        # MINPACK solves S^T w = wa1 using the rotated S from qrsolv; since
-        # qrsolv doesn't return S's off-diagonals here, redo the solve from
-        # scratch: S^T S = R^T R + par D^2 (permuted), so ||S^-T v|| can be
-        # had from a Cholesky of that small matrix.
-        Rp = np.triu(r[:n, :n])
-        M = Rp.T @ Rp
-        Dp = diag[ipvt]
-        M[np.arange(n), np.arange(n)] += par * Dp * Dp
-        try:
-            L = np.linalg.cholesky(M)
-            w = np.linalg.solve(L, diag[ipvt] * (diag[ipvt] * x[ipvt]) / dxnorm)
-            temp = enorm(w)
-        except np.linalg.LinAlgError:
-            temp = 1.0
+                wa1[j + 1:] -= S[j, j + 1:] * wa1[j]
+        temp = enorm(wa1)
         parc = (fp / delta) / temp / temp
         if fp > 0.0:
             parl = max(parl, par)

@@ -294,16 +294,18 @@ def pair_norms(ctx, ref_arr, syn_arr, mask, method, st: ProbeStatic):
 
 def ampspec_norms(ctx, ref_amp, syn_amp, method, st: ProbeStatic):
     """Frequency-domain norms over all rfft bins with dt := df
-    (probes_norm_frequencydomain, comparator.f90:861-909)."""
-    df = jnp.float64(st.df)
+    (probes_norm_frequencydomain, comparator.f90:861-909).  Accumulates in
+    ACCUM (f32 tree reductions) like the time-domain norms -- device f64
+    sums are emulated on TPU and an order of magnitude slower."""
+    df = ACCUM(st.df)
     fb = ctx["syn_factor"][..., None]
     diff = ref_amp - fb * syn_amp
     if method == AMPSPEC_L2NORM:
-        m = jnp.sqrt(df * jnp.sum((diff * diff).astype(jnp.float64), axis=-1))
-        n = jnp.sqrt(df * jnp.sum((ref_amp * ref_amp).astype(jnp.float64), axis=-1))
+        m = jnp.sqrt(df * jnp.sum((diff * diff).astype(ACCUM), axis=-1))
+        n = jnp.sqrt(df * jnp.sum((ref_amp * ref_amp).astype(ACCUM), axis=-1))
     elif method == AMPSPEC_L1NORM:
-        m = df * jnp.sum(jnp.abs(diff).astype(jnp.float64), axis=-1)
-        n = df * jnp.sum(jnp.abs(ref_amp).astype(jnp.float64), axis=-1)
+        m = df * jnp.sum(jnp.abs(diff).astype(ACCUM), axis=-1)
+        n = df * jnp.sum(jnp.abs(ref_amp).astype(ACCUM), axis=-1)
     else:
         raise ValueError(f"unsupported frequency-domain method {method}")
     return m.astype(F32), n.astype(F32)

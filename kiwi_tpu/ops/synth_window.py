@@ -11,7 +11,7 @@ entire per-group pipeline -- 4-row bilinear gather, fractional time shift,
 moment-weight contraction, accumulation -- on-chip with zero HBM round
 trips.
 
-Lessons from the shelved MXU kernel (ops/synth_pallas.py) applied here:
+Lessons from the shelved (now removed) round-1 MXU kernel applied here:
   * no dot_general at all: Mosaic lowers f32 dots through one bf16 MXU pass
     (~2^-8 error) and dynamic-rotate outputs force relayouts in front of
     the MXU.  The moment contraction has only ~26 effective terms per

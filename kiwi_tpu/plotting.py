@@ -260,7 +260,10 @@ def plot_misfogram(engine, path, tmin=-10.0, tmax=10.0, nt=41):
     shifts = np.linspace(float(tmin), float(tmax), int(nt)).astype(np.float32)
     base = np.asarray(engine.source_params, dtype=np.float32)
     batch = np.tile(base, (len(shifts), 1))
-    batch[:, 0] = base[0] + shifts  # param 0 is "time" for every source model
+    from .sources import get_source_model
+
+    it = get_source_model(engine.source_type).names.index("time")
+    batch[:, it] = base[it] + shifts
     m, nrm, _fs = engine.misfits_for_source_batch(batch)
     m = np.asarray(m, dtype=np.float64)
     nrm = np.asarray(nrm, dtype=np.float64)
