@@ -301,65 +301,13 @@ class Engine:
         sl = np.s_[cfg.ix0 : cfg.ix0 + cfg.nxw, cfg.iz0 : cfg.iz0 + cfg.nzw]
         gfn = jnp.asarray(store.nsamples[sl])
 
-        # pick the synthesis formulation by per-source transient bytes: the
-        # dense scatter+conv kernel materializes W[3, window, ng, taps]; the
-        # direct path materializes per-centroid slices [C, 4, ng, nt_out+1];
-        # the grouped-direct path shares the 4-trace gather across the
-        # gsize centroids of each spatial cell (one [4, ng, nt_ext] blend
-        # per group + one [ng, nt_out+1] slice per centroid).  Estimates use
-        # the TPU-padded sizes -- the minor two axes of every transient tile
-        # to (8 sublanes, 128 lanes), so [.., ng, time] arrays really occupy
-        # pad8(ng) * pad128(time) elements.
-        def _pad(n, m):
-            return -(-int(n) // m) * m
-
+        # formulation choice is shared with parallel/gfshard so the sharded
+        # forward picks the same path as the unsharded plan
         ncent = int(np.prod(nshape))
-        nt_ext = cfg.nt_out + cfg.s_len
-        ng_p = _pad(cfg.ng, 8)
-        conv_bytes = 3 * cfg.nxw * cfg.nzw * ng_p * _pad(cfg.s_len + 1, 128) * 4
-        direct_bytes = ncent * 4 * ng_p * _pad(cfg.nt_out + 1, 128) * 4
-        if gsize > 1 and ncent % gsize == 0:
-            # x2 for multi-group sources: measured HBM high-water on v5e
-            # runs ~2x this structural bound (gather/slice buffers
-            # double-buffered by the scheduler); single-group (point-like)
-            # sources have tiny transients and the x2 would needlessly
-            # split large grid-search batches into chunks
-            mult = 2 if ncent // gsize >= 2 else 1
-            grouped_bytes = mult * (
-                (ncent // gsize) * 4 * ng_p * _pad(nt_ext, 128)
-                + ncent * ng_p * _pad(cfg.nt_out + 1, 128)
-            ) * 4
-        else:
-            grouped_bytes = 1 << 62
-        # grouped strictly reduces gather work vs ungrouped direct, so it
-        # wins whenever the layout admits it even when its transient
-        # footprint is slightly larger; bytes only decide conv-vs-direct
-        # and the chunk size
-        if grouped_bytes < (1 << 62):
-            dpath_bytes, dpath_group = grouped_bytes, gsize
-        else:
-            dpath_bytes, dpath_group = direct_bytes, 1
-        # the window kernel (synth_window) beats both XLA formulations
-        # whenever it applies (its transients are the lane-broadcast weight
-        # arrays, not gather/slice buffers), and it rides the direct layout
-        # -- so a kernel-eligible plan always picks direct, regardless of
-        # the conv-vs-direct byte comparison
-        kernel_ok = (
-            os.environ.get("KIWI_WINDOW", "1") != "0"
-            and synth_window.usable(cfg)
-            and ncent % max(dpath_group, 1) == 0
-            and (_on_tpu() or os.environ.get("KIWI_WINDOW_INTERPRET") == "1")
-        )
-        if kernel_ok or dpath_bytes <= conv_bytes:
-            path, group_size, per_source_bytes = "direct", dpath_group, dpath_bytes
-        else:
-            path, group_size, per_source_bytes = "conv", 1, conv_bytes
-        if self.force_path is not None:  # benchmarking/debug override
-            path, group_size = self.force_path
-            per_source_bytes = {
-                ("conv", 1): conv_bytes,
-                ("direct", 1): direct_bytes,
-            }.get((path, group_size), grouped_bytes)
+        form = synth.choose_formulation(cfg, ncent, gsize, len(self.receivers),
+                                        force=self.force_path)
+        path, group_size = form.path, form.group_size
+        per_source_bytes = form.per_source_bytes
         # one jit per helper: eagerly these dispatch dozens of small ops,
         # each a compile+dispatch round trip over the device tunnel
         ext = jax.jit(synth.materialize_window, static_argnums=2)(gfd, gfi, cfg)
@@ -453,19 +401,11 @@ class Engine:
         # VMEM-resident-window Pallas kernel for the finite-source regime:
         # the vmapped XLA path above materializes per-centroid gather/slice
         # buffers in HBM (~60x off roofline, measured 53 ms device for a
-        # 64x10x195 bilateral batch vs the kernel's 10.6 ms).  Gated on the
-        # window fitting VMEM and <= 128 time lanes; CPU tests opt in via
-        # interpret mode (KIWI_WINDOW_INTERPRET=1), KIWI_WINDOW=0 disables.
-        ncent_plan = int(np.prod(nshape))
-        gw = group_size if group_size >= 1 else 1
-        use_window = (
-            os.environ.get("KIWI_WINDOW", "1") != "0"
-            and path == "direct"
-            and synth_window.usable(cfg)
-            and gw >= 1
-            and ncent_plan % gw == 0
-            and (_on_tpu() or os.environ.get("KIWI_WINDOW_INTERPRET") == "1")
-        )
+        # 64x10x195 bilateral batch vs the kernel's 10.6 ms).  Gated by
+        # choose_formulation; CPU tests opt in via interpret mode
+        # (KIWI_WINDOW_INTERPRET=1), KIWI_WINDOW=0 disables.
+        gw = max(group_size, 1)
+        use_window = form.use_window
         if use_window:
             ext_flat = jax.jit(
                 synth_window.pack_ext, static_argnums=1
@@ -509,21 +449,9 @@ class Engine:
 
             forward_batch_raw_xla = forward_batch_raw
             forward_batch_raw = forward_batch_window
-            # the kernel's transients are the lane-broadcast weight arrays +
-            # kinematics, not the XLA path's gather/slice buffers.  PER
-            # RECEIVER here: the plan dict multiplies by nrec below.
-            R_ = len(self.receivers)
-            P_ = max(ncent_plan // gw, 1)
-            per_source_bytes = P_ * (gw * synth_window.NW + 4) * 128 * 4 \
-                + ncent_plan * 3 * cfg.ng * 4
-            # the kernel's node/shift indices ride in SMEM via scalar
-            # prefetch (~1 MB/core on v5e/v5p): cap the batch so
-            # (node_rows + kks) i32 words fit with headroom
-            smem_words_per_source = R_ * (P_ + ncent_plan)
-            max_chunk = max(1, (800 * 1024 // 4) // max(smem_words_per_source, 1))
         else:
             forward_batch_raw_xla = forward_batch_raw
-            max_chunk = None
+        max_chunk = form.max_chunk
         forward_batch = jax.jit(forward_batch_raw)
 
         def forward_shared_raw(cbatch, moments, risetimes):

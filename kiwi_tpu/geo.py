@@ -158,24 +158,28 @@ def ne_to_latlon(lat0, lon0, north, east):
     Exact spherical formulation (the inverse direction of
     approx_differential_azidist's geometry); used to place receivers for
     benchmarks, mirroring pyrocko.orthodrome.ne_to_latlon usage in
-    benchmark/kiwibench.py:100.
+    benchmark/kiwibench.py:100.  Pure numpy: this is host-side setup
+    geometry, and eager jnp scalar ops each cost a device compile+dispatch
+    round trip (measured ~150 s of session setup over the axon tunnel).
     """
-    a = jnp.sqrt(north**2 + east**2) / EARTHRADIUS
-    gamma = jnp.arctan2(east, north)
+    import numpy as np
+
+    a = np.sqrt(north**2 + east**2) / EARTHRADIUS
+    gamma = np.arctan2(east, north)
 
     # spherical triangle from the north pole
-    b = PI / 2.0 - lat0
-    c = jnp.arccos(
-        _clip(jnp.cos(a) * jnp.cos(b) + jnp.sin(a) * jnp.sin(b) * jnp.cos(gamma), -1, 1)
+    b = np.pi / 2.0 - lat0
+    c = np.arccos(
+        np.clip(np.cos(a) * np.cos(b) + np.sin(a) * np.sin(b) * np.cos(gamma), -1, 1)
     )
-    lat = PI / 2.0 - c
-    sinc = jnp.sin(c)
-    safe_sinc = jnp.where(sinc == 0.0, 1.0, sinc)
-    dlon = jnp.arcsin(_clip(jnp.sin(a) * jnp.sin(gamma) / safe_sinc, -1.0, 1.0))
+    lat = np.pi / 2.0 - c
+    sinc = np.sin(c)
+    safe_sinc = np.where(sinc == 0.0, 1.0, sinc)
+    dlon = np.arcsin(np.clip(np.sin(a) * np.sin(gamma) / safe_sinc, -1.0, 1.0))
     # quadrant fix when moving past the pole
-    dlon = jnp.where(
-        jnp.cos(a) - jnp.cos(b) * jnp.cos(c) < 0,
-        jnp.where(dlon > 0, PI - dlon, -PI - dlon),
+    dlon = np.where(
+        np.cos(a) - np.cos(b) * np.cos(c) < 0,
+        np.where(dlon > 0, np.pi - dlon, -np.pi - dlon),
         dlon,
     )
     lon = lon0 + dlon

@@ -27,9 +27,14 @@ Semantics identical to synth._grouped_accumulate (same window extension,
 weights); float32 rounding differs in reduction order only.
 
 Layout (v5e/v5p):
-  * ext rows flat [N*ng, T=128]: a group's 4 bilinear neighbors are
-    unaligned dynamic sublane slices (natively supported; lane offsets are
-    not).
+  * ext rows flat [N*ng, T] (T = nt_ext padded to k*128 lanes, k*128 <=
+    T_MAX): a group's 4 bilinear neighbors are unaligned dynamic sublane
+    slices (natively supported; lane offsets are not).  Long time axes are
+    just wider vectors -- every per-centroid op scales linearly in T while
+    weights stay [.., 128] and are lane-tiled in-kernel (_rep), so long
+    windows keep the kernel's efficiency instead of falling back to the
+    XLA gather/slice paths (sparse_trace.f90:597-707 handles arbitrary
+    strip lengths; this is the TPU rendering of that).
   * the per-centroid integer time shift kk is NOT applied as a dynamic
     lane roll (scalar-amount rolls measured ~6.3 ms of an 11.3 ms kernel,
     regardless of roll width or count per centroid): contributions are
@@ -78,22 +83,29 @@ def _contract(w, c):
     return jnp.concatenate([av, rv, dd], axis=0)
 
 
-def _bucket_combine(acc, D, out_ref):
-    """acc [D*3, 128] shift buckets -> output rows via D static rolls.
-    out[t] = sum_d acc[d][(t + d) mod 128]; used lanes never wrap (the
+def _bucket_combine(acc, D, T, out_ref):
+    """acc [D*3, T] shift buckets -> output rows via D static rolls.
+    out[t] = sum_d acc[d][(t + d) mod T]; used lanes never wrap (the
     plan bounds kk by nt_ext - nt_out - 1 and pack_ext zero-pads)."""
-    a_acc = jnp.zeros((1, 128), F32)
-    r_acc = jnp.zeros((1, 128), F32)
-    d_acc = jnp.zeros((1, 128), F32)
+    a_acc = jnp.zeros((1, T), F32)
+    r_acc = jnp.zeros((1, T), F32)
+    d_acc = jnp.zeros((1, T), F32)
     for d in range(D):
-        amt = (128 - d) % 128
+        amt = (T - d) % T
         a_acc = a_acc + pltpu.roll(acc[d * 3:d * 3 + 1, :], amt, 1)
         r_acc = r_acc + pltpu.roll(acc[d * 3 + 1:d * 3 + 2, :], amt, 1)
         d_acc = d_acc + pltpu.roll(acc[d * 3 + 2:d * 3 + 3, :], amt, 1)
     out_ref[0, 0, 0:1, :] = a_acc
     out_ref[0, 0, 1:2, :] = r_acc
     out_ref[0, 0, 2:3, :] = d_acc
-    out_ref[0, 0, 3:8, :] = jnp.zeros((5, 128), F32)
+    out_ref[0, 0, 3:8, :] = jnp.zeros((5, T), F32)
+
+
+def _rep(w, NT):
+    """Lane-tile a [.., 128] weight operand to [.., NT*128].  Weight rows
+    are lane-constant (broadcast from [.., 1]), so tile-vs-element repeat
+    semantics are irrelevant; Mosaic lowers this to vreg copies."""
+    return w if NT == 1 else pltpu.repeat(w, NT, w.ndim - 1)
 
 
 def _g_loop(G, p, centroid):
@@ -116,10 +128,11 @@ def _g_loop(G, p, centroid):
         centroid(p, jnp.int32(full * 4 + j))
 
 
-def _kernel(G, ng, Pb, Ptot, rr, NP, D,
+def _kernel(G, ng, Pb, Ptot, rr, NP, D, T,
             node_ref, kk_ref,  # scalar prefetch (SMEM)
             ext_ref, wsp_ref, w_ref,  # VMEM
             out_ref, acc):
+    NT = T // 128
     b = pl.program_id(0)
     r = pl.program_id(1)
     ip = pl.program_id(2)  # P-axis block (bounds the double-buffered VMEM
@@ -133,22 +146,22 @@ def _kernel(G, ng, Pb, Ptot, rr, NP, D,
 
     @pl.when(ip == 0)
     def _zero():
-        acc[...] = jnp.zeros((D * 3, 128), F32)
+        acc[...] = jnp.zeros((D * 3, T), F32)
 
     def group(p):
         base = node_ref[brp + p]  # row index (node * ng), pre-clamped
-        ws = wsp_ref[0, 0, p]  # [4, 128] lane-broadcast bilinear weights
+        ws = _rep(wsp_ref[0, 0, p], NT)  # [4, T] lane-broadcast weights
         blend = (
             ws[0:1] * ext_ref[pl.ds(base, ng), :]
             + ws[1:2] * ext_ref[pl.ds(base + s1, ng), :]
             + ws[2:3] * ext_ref[pl.ds(base + s2, ng), :]
             + ws[3:4] * ext_ref[pl.ds(base + s3, ng), :]
-        )  # [ng, 128]
-        sb = pltpu.roll(blend, 127, 1)  # static: sb[t] = blend[t+1]
+        )  # [ng, T]
+        sb = pltpu.roll(blend, T - 1, 1)  # static: sb[t] = blend[t+1]
 
         def centroid(p, g):
             kk = kk_ref[(brp + p) * jnp.int32(G) + g]
-            w = w_ref[0, 0, p, g]  # [NW, 128] lane-broadcast weight rows
+            w = _rep(w_ref[0, 0, p, g], NT)  # [NW, T] weight rows
             # pre-shift taps: c[t] = (1-fr)*blend[t+1] + fr*blend[t], so the
             # per-centroid contribution is c[t + kk] -- accumulated into the
             # kk shift bucket instead of dynamically rolled (scalar-amount
@@ -177,17 +190,18 @@ def _kernel(G, ng, Pb, Ptot, rr, NP, D,
 
     @pl.when(ip == jnp.int32(NP - 1))
     def _emit():
-        _bucket_combine(acc, D, out_ref)
+        _bucket_combine(acc, D, T, out_ref)
 
 
-def _kernel_dma(G, ng, Pb, Ptot, rr, NP, D,
+def _kernel_dma(G, ng, Pb, Ptot, rr, NP, D, T,
                 node_ref, kk_ref,  # scalar prefetch (SMEM)
                 ext_ref, wsp_ref, w_ref,  # ext in HBM/ANY; rest VMEM
                 out_ref, acc, rows, sems):
     """Variant for windows too large for VMEM residency: the 4 bilinear
     neighbor rows of each group are DMA'd HBM->VMEM double-buffered one
-    group ahead (the per-group traffic is 4*ng*128*4 bytes ~ 20 KB, so the
+    group ahead (the per-group traffic is 4*ng*T*4 bytes, so the
     pipeline hides it behind the group's VPU math)."""
+    NT = T // 128
     b = pl.program_id(0)
     r = pl.program_id(1)
     ip = pl.program_id(2)
@@ -199,7 +213,7 @@ def _kernel_dma(G, ng, Pb, Ptot, rr, NP, D,
 
     @pl.when(ip == 0)
     def _zero():
-        acc[...] = jnp.zeros((D * 3, 128), F32)
+        acc[...] = jnp.zeros((D * 3, T), F32)
 
     def dma(p, slot, a):
         base = node_ref[brp + p]
@@ -226,18 +240,18 @@ def _kernel_dma(G, ng, Pb, Ptot, rr, NP, D,
         for a in range(4):
             dma(p, slot, a).wait()
 
-        ws = wsp_ref[0, 0, p]
+        ws = _rep(wsp_ref[0, 0, p], NT)
         blend = (
             ws[0:1] * rows[slot, 0]
             + ws[1:2] * rows[slot, 1]
             + ws[2:3] * rows[slot, 2]
             + ws[3:4] * rows[slot, 3]
-        )  # [ng, 128]
-        sb = pltpu.roll(blend, 127, 1)
+        )  # [ng, T]
+        sb = pltpu.roll(blend, T - 1, 1)
 
         def centroid(p, g):
             kk = kk_ref[(brp + p) * jnp.int32(G) + g]
-            w = w_ref[0, 0, p, g]
+            w = _rep(w_ref[0, 0, p, g], NT)
             c = w[_FR0:_FR0 + 1] * sb + w[_FR1:_FR1 + 1] * blend
             acc[pl.ds(kk * 3, 3), :] += _contract(w, c)
 
@@ -248,7 +262,7 @@ def _kernel_dma(G, ng, Pb, Ptot, rr, NP, D,
 
     @pl.when(ip == jnp.int32(NP - 1))
     def _emit():
-        _bucket_combine(acc, D, out_ref)
+        _bucket_combine(acc, D, T, out_ref)
 
 
 # windows at or below this live whole in VMEM; larger ones stay in HBM with
@@ -267,7 +281,8 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     """ard f32[B, R, 3, 128] from a GF window (VMEM-resident when it fits,
     HBM + double-buffered row DMA otherwise).
 
-    ext_flat: f32[N*ng, 128] edge-extended rows, time padded to 128 lanes;
+    ext_flat: f32[N*ng, T] edge-extended rows, time zero-padded to a
+    multiple of 128 lanes (T <= T_MAX);
     node_rows: i32[B, R, P] bilinear-origin row (node * ng), pre-clamped so
     all four neighbor slices stay in range; strides3: i32[3] neighbor row
     strides (zu*ng, xu*nzw*ng, (xu*nzw + zu)*ng); kks: i32[B, R, P, G] lane
@@ -278,7 +293,8 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     """
     bb, rr, P = node_rows.shape
     D = int(nshift)
-    ext_bytes = int(ext_flat.shape[0]) * 128 * 4
+    T = int(ext_flat.shape[1])  # lane width: nt_ext padded to k*128
+    ext_bytes = int(ext_flat.shape[0]) * T * 4
     resident = ext_bytes <= VMEM_RESIDENT_BYTES
 
     # split the P axis over a third grid dimension when the per-(b, r)
@@ -287,8 +303,8 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     # against the 16 MB limit.  acc persists across the ip steps of one
     # (b, r); the output is emitted on the last step.
     per_p = (G * NW + 4) * 128 * 4
-    fixed = (ext_bytes if resident else 2 * 4 * ng * 128 * 4) \
-        + (D * 3 + 8) * 128 * 4
+    fixed = (ext_bytes if resident else 2 * 4 * ng * T * 4) \
+        + (D * 3 + 8 + 3 * ng) * T * 4
     budget = max(VMEM_BUDGET_BYTES - fixed, 2 * per_p)
     Pb = int(max(1, min(P, budget // (2 * per_p))))
     NP = -(-P // Pb)
@@ -306,15 +322,16 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
             [node_rows.reshape(-1).astype(I32), strides3.astype(I32)]
         )
         if resident:
-            kernel = functools.partial(_kernel, G, ng, Pb, Ptot, rr, NP, D)
+            kernel = functools.partial(_kernel, G, ng, Pb, Ptot, rr, NP, D, T)
             ext_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-            scratch = [pltpu.VMEM((D * 3, 128), F32)]
+            scratch = [pltpu.VMEM((D * 3, T), F32)]
         else:
-            kernel = functools.partial(_kernel_dma, G, ng, Pb, Ptot, rr, NP, D)
+            kernel = functools.partial(
+                _kernel_dma, G, ng, Pb, Ptot, rr, NP, D, T)
             ext_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch = [
-                pltpu.VMEM((D * 3, 128), F32),
-                pltpu.VMEM((2, 4, ng, 128), F32),
+                pltpu.VMEM((D * 3, T), F32),
+                pltpu.VMEM((2, 4, ng, T), F32),
                 pltpu.SemaphoreType.DMA((2, 4)),
             ]
         out = pl.pallas_call(
@@ -329,11 +346,11 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
                     pl.BlockSpec((1, 1, Pb, G, NW, 128),
                                  lambda b, r, ip, *_: (b, r, ip, 0, 0, 0)),
                 ],
-                out_specs=pl.BlockSpec((1, 1, 8, 128),
+                out_specs=pl.BlockSpec((1, 1, 8, T),
                                        lambda b, r, ip, *_: (b, r, 0, 0)),
                 scratch_shapes=scratch,
             ),
-            out_shape=jax.ShapeDtypeStruct((bb, rr, 8, 128), F32),
+            out_shape=jax.ShapeDtypeStruct((bb, rr, 8, T), F32),
             interpret=interpret,
         )(nodes_flat, kks.reshape(-1).astype(I32), ext_flat,
           wsp.astype(F32), wmeta.astype(F32))
@@ -345,21 +362,36 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
 # ---------------------------------------------------------------------------
 
 
+# longest time axis the kernel takes (k*128 lanes).  The VPU work per
+# centroid scales linearly with T, so long windows run at the same
+# efficiency as the 128-lane case (vs the XLA fallback's ~60x-off-roofline
+# gather/slice formulation); the cap bounds the shift-bucket scratch
+# (D*3*T*4 bytes) and the blend transients against scoped VMEM.
+T_MAX = 2048
+
+
 def usable(cfg):
-    """Window-kernel applicability: <=128 time lanes and a standard GF
-    component count.  Window size is unconstrained -- windows beyond
-    VMEM_RESIDENT_BYTES take the HBM + per-group-DMA kernel variant."""
+    """Window-kernel applicability: time axis within T_MAX lanes and a
+    standard GF component count.  Window size is unconstrained -- windows
+    beyond VMEM_RESIDENT_BYTES take the HBM + per-group-DMA kernel
+    variant.  Long shift ranges must leave the bucket scratch + blend
+    transients inside the scoped-VMEM budget."""
     nt_ext = cfg.nt_out + cfg.s_len
-    return nt_ext <= 128 and cfg.ng in (8, 10)
+    t = -(-nt_ext // 128) * 128
+    scratch = (cfg.s_len * 3 + 8 + 3 * cfg.ng) * t * 4
+    return (nt_ext <= T_MAX and cfg.ng in (8, 10)
+            and scratch <= VMEM_BUDGET_BYTES // 2)
 
 
 def pack_ext(ext, cfg):
-    """materialize_window output [nxw, nzw, ng, nt_ext] -> flat [N*ng, 128]."""
+    """materialize_window output [nxw, nzw, ng, nt_ext] -> flat [N*ng, T]
+    with the time axis zero-padded to a multiple of 128 lanes."""
     n_rows = cfg.nxw * cfg.nzw * cfg.ng
     nt_ext = ext.shape[-1]
+    t = -(-nt_ext // 128) * 128
     flat = ext.reshape(n_rows, nt_ext)
-    if nt_ext < 128:
-        flat = jnp.pad(flat, ((0, 0), (0, 128 - nt_ext)))
+    if nt_ext < t:
+        flat = jnp.pad(flat, ((0, 0), (0, t - nt_ext)))
     return flat
 
 

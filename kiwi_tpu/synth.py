@@ -1017,3 +1017,109 @@ def window_arrays(store: GFStore, cfg: SynthConfig):
     """Device arrays of the GF window selected by cfg."""
     sl = np.s_[cfg.ix0 : cfg.ix0 + cfg.nxw, cfg.iz0 : cfg.iz0 + cfg.nzw]
     return jnp.asarray(store.data[sl]), jnp.asarray(store.itmin[sl])
+
+
+# ---------------------------------------------------------------------------
+# synthesis-formulation selection (shared by the engine and the sharded
+# forward so both pick the same path for the same plan shape)
+# ---------------------------------------------------------------------------
+
+
+def on_tpu():
+    """True when the default device is real TPU hardware.  The backend
+    PLATFORM name is not reliably "tpu" (the axon tunnel registers as
+    "axon"); the device kind is."""
+    try:
+        return "tpu" in jax.devices()[0].device_kind.lower()
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@dataclasses.dataclass(frozen=True)
+class Formulation:
+    """Chosen synthesis formulation for one plan shape."""
+
+    path: str  # "conv" | "direct"
+    group_size: int
+    use_window: bool  # shift-bucket Pallas kernel rides the direct layout
+    per_source_bytes: int  # transient estimate, PER RECEIVER
+    max_chunk: int | None  # SMEM-bound batch cap (window kernel only)
+
+
+def choose_formulation(cfg: SynthConfig, ncent: int, gsize: int, nrec: int,
+                       force=None):
+    """Pick the synthesis formulation by per-source transient bytes: the
+    dense scatter+conv kernel materializes W[3, window, ng, taps]; the
+    direct path materializes per-centroid slices [C, 4, ng, nt_out+1]; the
+    grouped-direct path shares the 4-trace gather across the gsize
+    centroids of each spatial cell.  Estimates use the TPU-padded sizes --
+    the minor two axes of every transient tile to (8 sublanes, 128 lanes).
+
+    The window kernel (ops/synth_window) beats both XLA formulations
+    whenever it applies (its transients are the lane-broadcast weight
+    arrays, not gather/slice buffers) and rides the direct layout, so a
+    kernel-eligible plan always picks direct regardless of the
+    conv-vs-direct byte comparison.
+    """
+    import os
+
+    from .ops import synth_window
+
+    def _pad(n, m):
+        return -(-int(n) // m) * m
+
+    nt_ext = cfg.nt_out + cfg.s_len
+    ng_p = _pad(cfg.ng, 8)
+    conv_bytes = 3 * cfg.nxw * cfg.nzw * ng_p * _pad(cfg.s_len + 1, 128) * 4
+    direct_bytes = ncent * 4 * ng_p * _pad(cfg.nt_out + 1, 128) * 4
+    if gsize > 1 and ncent % gsize == 0:
+        # x2 for multi-group sources: measured HBM high-water on v5e runs
+        # ~2x this structural bound (gather/slice buffers double-buffered
+        # by the scheduler); single-group (point-like) sources have tiny
+        # transients and the x2 would needlessly split large grid-search
+        # batches into chunks
+        mult = 2 if ncent // gsize >= 2 else 1
+        grouped_bytes = mult * (
+            (ncent // gsize) * 4 * ng_p * _pad(nt_ext, 128)
+            + ncent * ng_p * _pad(cfg.nt_out + 1, 128)
+        ) * 4
+    else:
+        grouped_bytes = 1 << 62
+    # grouped strictly reduces gather work vs ungrouped direct, so it wins
+    # whenever the layout admits it; bytes only decide conv-vs-direct and
+    # the chunk size
+    if grouped_bytes < (1 << 62):
+        dpath_bytes, dpath_group = grouped_bytes, gsize
+    else:
+        dpath_bytes, dpath_group = direct_bytes, 1
+    kernel_ok = (
+        os.environ.get("KIWI_WINDOW", "1") != "0"
+        and synth_window.usable(cfg)
+        and ncent % max(dpath_group, 1) == 0
+        and (on_tpu() or os.environ.get("KIWI_WINDOW_INTERPRET") == "1")
+    )
+    if force is not None:  # benchmarking/debug override (engine.force_path)
+        path, group_size = force
+        psb = {
+            ("conv", 1): conv_bytes,
+            ("direct", 1): direct_bytes,
+        }.get((path, group_size), grouped_bytes)
+        return Formulation(path, group_size, False, psb, None)
+    if kernel_ok or dpath_bytes <= conv_bytes:
+        path, group_size, psb = "direct", dpath_group, dpath_bytes
+    else:
+        path, group_size, psb = "conv", 1, conv_bytes
+    use_window = kernel_ok and path == "direct"
+    if use_window:
+        gw = max(group_size, 1)
+        p_ = max(ncent // gw, 1)
+        # the kernel's transients are the lane-broadcast weight arrays +
+        # kinematics, not the XLA path's gather/slice buffers
+        psb = p_ * (gw * synth_window.NW + 4) * 128 * 4 + ncent * 3 * cfg.ng * 4
+        # node/shift indices ride in SMEM via scalar prefetch (~1 MB/core
+        # on v5e/v5p): cap the batch so (node_rows + kks) i32 words fit
+        smem_words = nrec * (p_ + ncent)
+        max_chunk = max(1, (800 * 1024 // 4) // max(smem_words, 1))
+    else:
+        max_chunk = None
+    return Formulation(path, group_size, use_window, psb, max_chunk)

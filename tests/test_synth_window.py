@@ -134,9 +134,17 @@ def test_usable_gates():
                 nt=100, ix0=0, iz0=0, out_it0=0, s_base=-8)
     ok = SynthConfig(**base, nxw=64, nzw=24, nt_out=80, s_len=24)
     assert sw.usable(ok)
-    # time axis too long for one lane tile
+    # time axes beyond 128 lanes are multi-tile wide vectors, still usable
     long_t = SynthConfig(**base, nxw=64, nzw=24, nt_out=140, s_len=24)
-    assert not sw.usable(long_t)
+    assert sw.usable(long_t)
+    tele = SynthConfig(**base, nxw=64, nzw=24, nt_out=1900, s_len=64)
+    assert sw.usable(tele)
+    # beyond T_MAX: falls back to the XLA paths
+    huge_t = SynthConfig(**base, nxw=64, nzw=24, nt_out=2100, s_len=64)
+    assert not sw.usable(huge_t)
+    # a shift range whose bucket scratch would blow scoped VMEM
+    huge_s = SynthConfig(**base, nxw=64, nzw=24, nt_out=960, s_len=960)
+    assert not sw.usable(huge_s)
     # window too big for VMEM residency: still usable -- it takes the
     # HBM + per-group row-DMA kernel variant
     big = SynthConfig(**base, nxw=512, nzw=64, nt_out=80, s_len=24)
@@ -197,6 +205,126 @@ def test_g_loop_block_unroll_matches_numpy_oracle():
                         ref[b, r, ch] += np.roll(row, -kk)
     scale = np.abs(ref).max()
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=scale * 1e-5)
+
+
+def test_long_window_matches_numpy_oracle():
+    """T > 128 (multi-lane-tile time axis): the wide-vector kernel against
+    a numpy emulation on synthetic operands (nt_ext = 300 -> T = 384)."""
+    rng = np.random.default_rng(11)
+    B, R, P, G, ng = 2, 2, 4, 3, 10
+    nxw, nzw = 6, 5
+    nt_out, s_len = 260, 40
+    nt_ext = nt_out + s_len
+    T = -(-nt_ext // 128) * 128
+    N = nxw * nzw
+    ext = rng.normal(size=(N * ng, nt_ext)).astype(np.float32)
+    extp = np.pad(ext, ((0, 0), (0, T - nt_ext)))
+    ext_flat = jnp.asarray(extp)
+    node = (rng.integers(0, N - nzw - 2, size=(B, R, P)) * ng).astype(np.int32)
+    strides3 = jnp.asarray(np.array([ng, nzw * ng, (nzw + 1) * ng], np.int32))
+    kks = rng.integers(0, s_len, size=(B, R, P, G)).astype(np.int32)
+    wsp = rng.random((B, R, P, 4)).astype(np.float32)
+    wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
+    wsp_b = jnp.broadcast_to(jnp.asarray(wsp)[..., None], wsp.shape + (128,))
+    wm_b = jnp.broadcast_to(jnp.asarray(wm)[..., None], wm.shape + (128,))
+
+    out = np.asarray(sw.window_forward(
+        ext_flat, jnp.asarray(node), strides3, jnp.asarray(kks), wsp_b, wm_b,
+        G=G, ng=ng, nshift=s_len, interpret=True))
+    assert out.shape == (B, R, 3, T)
+
+    s3 = np.array([ng, nzw * ng, (nzw + 1) * ng])
+    ref = np.zeros((B, R, 3, T), np.float32)
+    for b in range(B):
+        for r in range(R):
+            for p in range(P):
+                base = node[b, r, p]
+                rows = (extp[base:base + ng] * wsp[b, r, p, 0]
+                        + extp[base + s3[0]:base + s3[0] + ng] * wsp[b, r, p, 1]
+                        + extp[base + s3[1]:base + s3[1] + ng] * wsp[b, r, p, 2]
+                        + extp[base + s3[2]:base + s3[2] + ng] * wsp[b, r, p, 3])
+                sb = np.roll(rows, -1, axis=1)
+                for g in range(G):
+                    w = wm[b, r, p, g]
+                    kk = kks[b, r, p, g]
+                    c = w[8] * sb + w[9] * rows
+                    p1 = w[0] * c[0] + w[1] * c[1] + w[2] * c[2] + w[5] * c[8]
+                    p2 = w[3] * c[3] + w[4] * c[4]
+                    dd = w[0] * c[5] + w[1] * c[6] + w[2] * c[7] + w[5] * c[9]
+                    av = w[6] * p1 - w[7] * p2
+                    rv = w[7] * p1 + w[6] * p2
+                    for ch, row in ((0, av), (1, rv), (2, dd)):
+                        ref[b, r, ch] += np.roll(row, -kk)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=scale * 1e-5)
+
+
+@pytest.fixture(scope="module")
+def setup_long():
+    """A store with long traces: plans get nt_ext > 256 (multi-tile T)."""
+    stf = np.concatenate([
+        np.zeros(4), np.linspace(0.0, 1.0, 80), np.ones(40)])
+    store = elseis.build_ahfull_store(
+        nx=40, nz=8, dt=0.1, dx=100.0, dz=100.0, firstx=100.0, firstz=0.0,
+        material=(2300.0, 3200.0, 1600.0), stf=stf,
+    )
+    eng = Engine(store)
+    olat, olon = 30.0, 70.0
+    recs = []
+    for i in range(3):
+        d = 1200.0 + 500.0 * i
+        la, lo = geo.ne_to_latlon(np.radians(olat), np.radians(olon), d, 0.3 * i)
+        recs.append(Receiver(np.degrees(float(la)), np.degrees(float(lo)), "ned"))
+    eng.set_receivers(recs)
+    eng.set_source_location(olat, olon, 0.0)
+    eng.set_effective_dt(0.1)
+    eng.set_local_interpolation(True)
+    p = np.array(
+        [0, 0, 0, 400.0, 1e12, 91.0, 87.0, 164.0, 0.0, 300.0, 200.0, 250.0,
+         2500.0, 0.2],
+        dtype=np.float32,
+    )
+    eng.set_source_params("bilateral", p)
+    return eng, p, store
+
+
+def test_long_window_engine_matches_grouped(setup_long):
+    """Engine plans whose nt_ext exceeds 128 lanes keep the window kernel
+    (the round-2 fallback regime) and match the XLA grouped path."""
+    eng, p, store = setup_long
+    batch = np.tile(p, (2, 1))
+    batch[:, 5] = np.array([30.0, 200.0], np.float32)
+    cbatch, moments, risetimes, shape, gsize = eng._discretize_batch(batch)
+    plan = eng._ensure_plan(cbatch, float(np.max(risetimes)), shape, gsize=gsize)
+    cfg = plan["cfg"]
+    assert cfg.nt_out + cfg.s_len > 128, "store too short for this test"
+    assert sw.usable(cfg)
+
+    gfd = jnp.asarray(store.data)
+    gfi = jnp.asarray(store.itmin)
+    zsl = np.s_[cfg.iz0:cfg.iz0 + cfg.nzw]
+    xsl = np.s_[cfg.ix0:cfg.ix0 + cfg.nxw]
+    ext = synth.materialize_window(gfd[xsl, zsl], gfi[xsl, zsl], cfg)
+    ext_flat = sw.pack_ext(ext, cfg)
+    assert ext_flat.shape[1] % 128 == 0 and ext_flat.shape[1] > 128
+    geom = eng._geometry().device()
+
+    def ref_one(cent, rec):
+        kin = synth._centroid_kinematics(cfg, rec, cent)
+        return synth._grouped_accumulate(ext, cfg, kin, gsize)
+
+    ref = np.asarray(
+        jax.vmap(lambda c: jax.vmap(lambda r: ref_one(c, r))(geom))(cbatch)
+    )
+
+    def kin_one(cent):
+        return jax.vmap(lambda rec: synth._centroid_kinematics(cfg, rec, cent))(geom)
+
+    kin = jax.vmap(kin_one)(cbatch)
+    ard = np.asarray(sw.synthesize_ard_batch(ext_flat, cfg, kin, gsize,
+                                             interpret=True))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(ard, ref, rtol=1e-5, atol=scale * 1e-5)
 
 
 def test_p_axis_grid_split_matches_unsplit():
