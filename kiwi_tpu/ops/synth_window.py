@@ -83,8 +83,8 @@ def _contract(w, c):
     return jnp.concatenate([av, rv, dd], axis=0)
 
 
-def _bucket_combine(acc, D, T, out_ref):
-    """acc [D*3, T] shift buckets -> output rows via D static rolls.
+def _bucket_combine(acc, D, BP, T, out_ref):
+    """acc [D*BP, T] shift buckets -> output rows via D static rolls.
     out[t] = sum_d acc[d][(t + d) mod T]; used lanes never wrap (the
     plan bounds kk by nt_ext - nt_out - 1 and pack_ext zero-pads)."""
     a_acc = jnp.zeros((1, T), F32)
@@ -92,9 +92,9 @@ def _bucket_combine(acc, D, T, out_ref):
     d_acc = jnp.zeros((1, T), F32)
     for d in range(D):
         amt = (T - d) % T
-        a_acc = a_acc + pltpu.roll(acc[d * 3:d * 3 + 1, :], amt, 1)
-        r_acc = r_acc + pltpu.roll(acc[d * 3 + 1:d * 3 + 2, :], amt, 1)
-        d_acc = d_acc + pltpu.roll(acc[d * 3 + 2:d * 3 + 3, :], amt, 1)
+        a_acc = a_acc + pltpu.roll(acc[d * BP:d * BP + 1, :], amt, 1)
+        r_acc = r_acc + pltpu.roll(acc[d * BP + 1:d * BP + 2, :], amt, 1)
+        d_acc = d_acc + pltpu.roll(acc[d * BP + 2:d * BP + 3, :], amt, 1)
     out_ref[0, 0, 0:1, :] = a_acc
     out_ref[0, 0, 1:2, :] = r_acc
     out_ref[0, 0, 2:3, :] = d_acc
@@ -106,6 +106,25 @@ def _rep(w, NT):
     are lane-constant (broadcast from [.., 1]), so tile-vs-element repeat
     semantics are irrelevant; Mosaic lowers this to vreg copies."""
     return w if NT == 1 else pltpu.repeat(w, NT, w.ndim - 1)
+
+
+def bucket_pitch(T):
+    """Sublane rows per shift bucket in the acc scratch: 3 channel rows,
+    padded to 8 on multi-tile-wide arrays so the dynamic-sublane RMW
+    offset kk*pitch is provably 8-aligned (same Mosaic constraint as
+    row_pitch)."""
+    return 3 if T <= 128 else 8
+
+
+def row_pitch(ng, T):
+    """Rows per GF node in the packed ext layout.  Multi-tile-wide arrays
+    (T > 128) only admit dynamic sublane loads at provably 8-aligned
+    offsets (Mosaic: 'cannot statically prove that index in dimension 0 is
+    a multiple of 8'), so nodes are padded to an 8-multiple row pitch and
+    the kernel computes row offsets as node * pitch -- an affine expression
+    Mosaic CAN prove aligned.  Single-tile arrays keep the compact pitch
+    (unaligned dynamic sublane loads are natively supported there)."""
+    return ng if T <= 128 else -(-ng // 8) * 8
 
 
 def _g_loop(G, p, centroid):
@@ -128,11 +147,12 @@ def _g_loop(G, p, centroid):
         centroid(p, jnp.int32(full * 4 + j))
 
 
-def _kernel(G, ng, Pb, Ptot, rr, NP, D, T,
+def _kernel(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
             node_ref, kk_ref,  # scalar prefetch (SMEM)
             ext_ref, wsp_ref, w_ref,  # VMEM
             out_ref, acc):
     NT = T // 128
+    BP = bucket_pitch(T)
     b = pl.program_id(0)
     r = pl.program_id(1)
     ip = pl.program_id(2)  # P-axis block (bounds the double-buffered VMEM
@@ -146,16 +166,18 @@ def _kernel(G, ng, Pb, Ptot, rr, NP, D, T,
 
     @pl.when(ip == 0)
     def _zero():
-        acc[...] = jnp.zeros((D * 3, T), F32)
+        acc[...] = jnp.zeros((D * BP, T), F32)
 
     def group(p):
-        base = node_ref[brp + p]  # row index (node * ng), pre-clamped
+        nd = node_ref[brp + p]  # node index, pre-clamped
         ws = _rep(wsp_ref[0, 0, p], NT)  # [4, T] lane-broadcast weights
+        # row offsets as (node + stride) * pitch: with ngp % 8 == 0 (the
+        # T > 128 layout) Mosaic can prove the sublane alignment
         blend = (
-            ws[0:1] * ext_ref[pl.ds(base, ng), :]
-            + ws[1:2] * ext_ref[pl.ds(base + s1, ng), :]
-            + ws[2:3] * ext_ref[pl.ds(base + s2, ng), :]
-            + ws[3:4] * ext_ref[pl.ds(base + s3, ng), :]
+            ws[0:1] * ext_ref[pl.ds(nd * jnp.int32(ngp), ng), :]
+            + ws[1:2] * ext_ref[pl.ds((nd + s1) * jnp.int32(ngp), ng), :]
+            + ws[2:3] * ext_ref[pl.ds((nd + s2) * jnp.int32(ngp), ng), :]
+            + ws[3:4] * ext_ref[pl.ds((nd + s3) * jnp.int32(ngp), ng), :]
         )  # [ng, T]
         sb = pltpu.roll(blend, T - 1, 1)  # static: sb[t] = blend[t+1]
 
@@ -168,7 +190,7 @@ def _kernel(G, ng, Pb, Ptot, rr, NP, D, T,
             # lane rolls measured ~6.3 ms of the 11.3 ms kernel; the bucket
             # RMW at a dynamic SUBLANE offset is near-free)
             c = w[_FR0:_FR0 + 1] * sb + w[_FR1:_FR1 + 1] * blend
-            acc[pl.ds(kk * 3, 3), :] += _contract(w, c)
+            acc[pl.ds(kk * jnp.int32(BP), 3), :] += _contract(w, c)
 
         _g_loop(G, p, centroid)
 
@@ -190,10 +212,10 @@ def _kernel(G, ng, Pb, Ptot, rr, NP, D, T,
 
     @pl.when(ip == jnp.int32(NP - 1))
     def _emit():
-        _bucket_combine(acc, D, T, out_ref)
+        _bucket_combine(acc, D, BP, T, out_ref)
 
 
-def _kernel_dma(G, ng, Pb, Ptot, rr, NP, D, T,
+def _kernel_dma(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
                 node_ref, kk_ref,  # scalar prefetch (SMEM)
                 ext_ref, wsp_ref, w_ref,  # ext in HBM/ANY; rest VMEM
                 out_ref, acc, rows, sems):
@@ -202,6 +224,7 @@ def _kernel_dma(G, ng, Pb, Ptot, rr, NP, D, T,
     group ahead (the per-group traffic is 4*ng*T*4 bytes, so the
     pipeline hides it behind the group's VPU math)."""
     NT = T // 128
+    BP = bucket_pitch(T)
     b = pl.program_id(0)
     r = pl.program_id(1)
     ip = pl.program_id(2)
@@ -213,12 +236,12 @@ def _kernel_dma(G, ng, Pb, Ptot, rr, NP, D, T,
 
     @pl.when(ip == 0)
     def _zero():
-        acc[...] = jnp.zeros((D * 3, T), F32)
+        acc[...] = jnp.zeros((D * BP, T), F32)
 
     def dma(p, slot, a):
-        base = node_ref[brp + p]
+        base = (node_ref[brp + p] + offs[a]) * jnp.int32(ngp)
         return pltpu.make_async_copy(
-            ext_ref.at[pl.ds(base + offs[a], ng), :],
+            ext_ref.at[pl.ds(base, ng), :],
             rows.at[slot, a],
             sems.at[slot, a],
         )
@@ -253,7 +276,7 @@ def _kernel_dma(G, ng, Pb, Ptot, rr, NP, D, T,
             kk = kk_ref[(brp + p) * jnp.int32(G) + g]
             w = _rep(w_ref[0, 0, p, g], NT)
             c = w[_FR0:_FR0 + 1] * sb + w[_FR1:_FR1 + 1] * blend
-            acc[pl.ds(kk * 3, 3), :] += _contract(w, c)
+            acc[pl.ds(kk * jnp.int32(BP), 3), :] += _contract(w, c)
 
         _g_loop(G, p, centroid)
         return 0
@@ -262,7 +285,7 @@ def _kernel_dma(G, ng, Pb, Ptot, rr, NP, D, T,
 
     @pl.when(ip == jnp.int32(NP - 1))
     def _emit():
-        _bucket_combine(acc, D, T, out_ref)
+        _bucket_combine(acc, D, BP, T, out_ref)
 
 
 # windows at or below this live whole in VMEM; larger ones stay in HBM with
@@ -281,12 +304,13 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     """ard f32[B, R, 3, 128] from a GF window (VMEM-resident when it fits,
     HBM + double-buffered row DMA otherwise).
 
-    ext_flat: f32[N*ng, T] edge-extended rows, time zero-padded to a
-    multiple of 128 lanes (T <= T_MAX);
-    node_rows: i32[B, R, P] bilinear-origin row (node * ng), pre-clamped so
-    all four neighbor slices stay in range; strides3: i32[3] neighbor row
-    strides (zu*ng, xu*nzw*ng, (xu*nzw + zu)*ng); kks: i32[B, R, P, G] lane
-    slice starts (in [0, nt_ext - nt_out - 1]); wsp: f32[B, R, P, 4, 128]
+    ext_flat: f32[N*row_pitch(ng, T), T] edge-extended rows, time
+    zero-padded to a multiple of 128 lanes (T <= T_MAX), node rows padded
+    to row_pitch;
+    node_rows: i32[B, R, P] bilinear-origin NODE index, pre-clamped so all
+    four neighbor slices stay in range; strides3: i32[3] neighbor node
+    strides (zu, xu*nzw, xu*nzw + zu); kks: i32[B, R, P, G] lane slice
+    starts (in [0, nt_ext - nt_out - 1]); wsp: f32[B, R, P, 4, 128]
     lane-broadcast bilinear weights; wmeta: f32[B, R, P, G, NW, 128]
     lane-broadcast per-centroid weight rows (f1..f6, cos_l, sin_l, 1-frac,
     frac; invalid centroids carry zero f's).
@@ -294,6 +318,8 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     bb, rr, P = node_rows.shape
     D = int(nshift)
     T = int(ext_flat.shape[1])  # lane width: nt_ext padded to k*128
+    ngp = row_pitch(ng, T)
+    bp = bucket_pitch(T)
     ext_bytes = int(ext_flat.shape[0]) * T * 4
     resident = ext_bytes <= VMEM_RESIDENT_BYTES
 
@@ -304,7 +330,7 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     # (b, r); the output is emitted on the last step.
     per_p = (G * NW + 4) * 128 * 4
     fixed = (ext_bytes if resident else 2 * 4 * ng * T * 4) \
-        + (D * 3 + 8 + 3 * ng) * T * 4
+        + (D * bp + 8 + 3 * ng) * T * 4
     budget = max(VMEM_BUDGET_BYTES - fixed, 2 * per_p)
     Pb = int(max(1, min(P, budget // (2 * per_p))))
     NP = -(-P // Pb)
@@ -322,15 +348,16 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
             [node_rows.reshape(-1).astype(I32), strides3.astype(I32)]
         )
         if resident:
-            kernel = functools.partial(_kernel, G, ng, Pb, Ptot, rr, NP, D, T)
+            kernel = functools.partial(
+                _kernel, G, ng, ngp, Pb, Ptot, rr, NP, D, T)
             ext_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-            scratch = [pltpu.VMEM((D * 3, T), F32)]
+            scratch = [pltpu.VMEM((D * bp, T), F32)]
         else:
             kernel = functools.partial(
-                _kernel_dma, G, ng, Pb, Ptot, rr, NP, D, T)
+                _kernel_dma, G, ng, ngp, Pb, Ptot, rr, NP, D, T)
             ext_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch = [
-                pltpu.VMEM((D * 3, T), F32),
+                pltpu.VMEM((D * bp, T), F32),
                 pltpu.VMEM((2, 4, ng, T), F32),
                 pltpu.SemaphoreType.DMA((2, 4)),
             ]
@@ -378,21 +405,24 @@ def usable(cfg):
     transients inside the scoped-VMEM budget."""
     nt_ext = cfg.nt_out + cfg.s_len
     t = -(-nt_ext // 128) * 128
-    scratch = (cfg.s_len * 3 + 8 + 3 * cfg.ng) * t * 4
+    scratch = (cfg.s_len * bucket_pitch(t) + 8 + 3 * cfg.ng) * t * 4
     return (nt_ext <= T_MAX and cfg.ng in (8, 10)
             and scratch <= VMEM_BUDGET_BYTES // 2)
 
 
 def pack_ext(ext, cfg):
-    """materialize_window output [nxw, nzw, ng, nt_ext] -> flat [N*ng, T]
-    with the time axis zero-padded to a multiple of 128 lanes."""
-    n_rows = cfg.nxw * cfg.nzw * cfg.ng
+    """materialize_window output [nxw, nzw, ng, nt_ext] -> flat
+    [N*row_pitch, T]: time zero-padded to a multiple of 128 lanes, node
+    rows padded to row_pitch (8-aligned when T > 128, see row_pitch)."""
+    n = cfg.nxw * cfg.nzw
     nt_ext = ext.shape[-1]
     t = -(-nt_ext // 128) * 128
-    flat = ext.reshape(n_rows, nt_ext)
-    if nt_ext < t:
-        flat = jnp.pad(flat, ((0, 0), (0, t - nt_ext)))
-    return flat
+    ngp = row_pitch(cfg.ng, t)
+    e3 = ext.reshape(n, cfg.ng, nt_ext)
+    pad_rows = ngp - cfg.ng
+    if pad_rows or nt_ext < t:
+        e3 = jnp.pad(e3, ((0, 0), (0, pad_rows), (0, t - nt_ext)))
+    return e3.reshape(n * ngp, t)
 
 
 def pack_kinematics(cfg, kin, G):
@@ -409,12 +439,13 @@ def pack_kinematics(cfg, kin, G):
     zu = cfg.zunder if cfg.interpolate else 1
     xu = cfg.xunder if cfg.interpolate else 1
     node = ixs[..., 0] * cfg.nzw + izs[..., 0]
-    # clamp so node + max stride + ng stays in range (invalid centroids have
-    # zero weights; their rows just need to be in bounds)
+    # clamp so node + max stride stays in range (invalid centroids have
+    # zero weights; their rows just need to be in bounds); the kernel
+    # multiplies by the row pitch itself (alignment provability, row_pitch)
     max_stride = xu * cfg.nzw + zu
     node = jnp.clip(node, 0, cfg.nxw * cfg.nzw - 1 - max_stride)
-    node_rows = (node * ng).astype(I32)
-    strides3 = jnp.array([zu * ng, xu * cfg.nzw * ng, (xu * cfg.nzw + zu) * ng], I32)
+    node_rows = node.astype(I32)
+    strides3 = jnp.array([zu, xu * cfg.nzw, xu * cfg.nzw + zu], I32)
 
     start_base = cfg.s_base + cfg.s_len - 1  # == out_it0 - e0 - 1
     kk = start_base - kin["ish"].reshape(bb, rr, P, G)

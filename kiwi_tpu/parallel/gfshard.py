@@ -56,7 +56,16 @@ def _edge_extend_host(data, itmin, e0, nt_ext):
 
 @dataclasses.dataclass
 class GFShardedPlan:
-    """Compiled distance-sharded forward.  Build with `build_plan`."""
+    """Compiled distance-sharded forward.  Build with `build_plan`.
+
+    Forwards are built lazily per (ncent, group_size, shared) batch shape
+    by `fwd_builder` and cached, so each shard runs the SAME fast
+    formulation the unsharded engine would pick for that batch
+    (synth.choose_formulation): grouped span-table synthesis, the window
+    Pallas kernel when eligible, and the shared-kinematics contraction for
+    moment-only batches -- the reference's design point that every worker
+    runs its fastest loop on its shard (seismosizer.py:89-124).
+    """
 
     engine: object
     mesh: object
@@ -68,10 +77,12 @@ class GFShardedPlan:
     rc_of: list  # global rc row indices per shard (unpadded)
     rc_max: int
     r_max: int
-    forward: object  # jitted shard_map forward
-    sharded_args: tuple  # (ext, gfi, gfn, ix0, recs, ctx, rctx) device arrays
+    fwd_builder: object  # (ncent, gsize, shared) -> jitted shard_map forward
+    sharded_args: tuple  # (ext, gfi, gfn, ix0, tab, recs, ctx, rctx, aux)
     built_stats: tuple = None  # (extent, depth_range, time_range) the windows cover
     origins: list = None  # per-shard distance-window origins (store ix)
+    _fwds: dict = dataclasses.field(default_factory=dict)
+    last_formulation: object = None  # synth.Formulation of the last batch
 
     def _batch_exceeds_built_stats(self, pb):
         """Cheap tier: conservative param_stats of the batch vs the stats the
@@ -143,18 +154,60 @@ class GFShardedPlan:
     def misfits(self, params_batch):
         """(misfit [B, RC], norm [B, RC], shift [B, R]) in the engine's
         global rc/receiver order, computed SPMD across the mesh."""
+        import jax
+
+        from .. import synth as _synth
+        from ..sources import get_source_model as _gsm
+
         eng = self.engine
         pb = np.atleast_2d(np.asarray(params_batch, dtype=np.float32))
         b = pb.shape[0]
         ns = int(self.mesh.shape[self.source_axis]) if self.source_axis else 1
         if b % ns:  # pad the batch to the source-shard count
             pb = np.concatenate([pb, np.tile(pb[-1:], (ns - b % ns, 1))])
-        cbatch, moments, risetimes, _shape, _g = eng._discretize_batch(pb)
+        cbatch, moments, risetimes, _shape, gsize = eng._discretize_batch(pb)
         if self._batch_exceeds_built_stats(pb):
             self._check_coverage_precise(cbatch)
-        m, n, fs = self.forward(
-            *self.sharded_args, cbatch, jnp.asarray(moments), jnp.asarray(risetimes)
+        model = _gsm(eng.source_type)
+        shared = (
+            pb.shape[0] >= 2
+            and model.shared_kin_check is not None
+            and model.shared_kin_check(pb)
         )
+        ncent = int(cbatch["north"].shape[1])
+        form = _synth.choose_formulation(self.cfg, ncent, gsize, self.r_max)
+        self.last_formulation = form
+        key = (ncent, form.group_size, bool(shared), bool(form.use_window))
+        fwd = self._fwds.get(key)
+        if fwd is None:
+            fwd = self.fwd_builder(form, shared)
+            self._fwds[key] = fwd
+
+        def run(cb, mts, rts):
+            return fwd(*self.sharded_args, cb, jnp.asarray(mts),
+                       jnp.asarray(rts))
+
+        bp = pb.shape[0]  # padded batch size
+        # the window kernel's SMEM cap applies per device: chunk the global
+        # batch in multiples of the source-shard count
+        cap = bp if form.max_chunk is None else min(
+            bp, max(ns, form.max_chunk * ns))
+        if cap < bp:
+            nchunks = -(-bp // cap)
+            cap = -(-(bp // ns) // nchunks) * ns  # balance
+            outs = []
+            for i in range(0, bp, cap):
+                idx = np.arange(i, min(i + cap, bp))
+                if idx.shape[0] < cap:
+                    idx = np.concatenate(
+                        [idx, np.full(cap - idx.shape[0], bp - 1)])
+                cb = {k: v[jnp.asarray(idx)] for k, v in cbatch.items()}
+                out = run(cb, moments[idx], risetimes[idx])
+                keep = min(i + cap, bp) - i
+                outs.append([np.asarray(o)[:keep] for o in out])
+            m, n, fs = (np.concatenate(parts) for parts in zip(*outs))
+        else:
+            m, n, fs = run(cbatch, moments, risetimes)
         m = np.asarray(m)[:b]  # [B, n_shards * rc_max]
         n = np.asarray(n)[:b]
         fs = np.asarray(fs)[:b]  # [B, n_shards * r_max]
@@ -358,30 +411,48 @@ def build_plan(engine, mesh, axis="r", source_axis="auto"):
     shiftrange = (s1, s2)
     nrec_local = r_max + 1  # + padding slot
 
-    def shard_fn(ext_s, gfi_s, gfn_s, ix0_s, recs_s, ctx_s, rctx_s, aux_s,
-                 cbatch, moments, risetimes):
-        ext_l, gfi_l, gfn_l = ext_s[0], gfi_s[0], gfn_s[0]
-        ix0_l = ix0_s[0]
-        recs_l = {k: v[0] for k, v in recs_s.items()}
-        recs_l["window_ix0"] = jnp.full((r_max,), ix0_l, jnp.int32)
-        ctx_l = {k: v[0] for k, v in ctx_s.items()}
-        rctx_l = {k: v[0] for k, v in rctx_s.items()} | rctx_static
-        aux_l = {k: v[0] for k, v in aux_s.items()}
+    # per-shard span-union tables (synth.span_tables): one [4]-row gather
+    # per centroid instead of [C, 2, 2, ng] element gathers -- the same
+    # 10x saving the unsharded engine took in round 2
+    tabs = [
+        np.asarray(jax.jit(synth.span_tables, static_argnums=2)(
+            jnp.asarray(t_gfi.astype(np.int32)), jnp.asarray(t_gfn.astype(np.int32)), cfg))
+        for t_gfi, t_gfn in zip(gfis, gfns)
+    ]
+    tab = jax.device_put(np.stack(tabs), shard)
 
-        def forward_one(cent, moment, risetime):
-            def per_rec(rec):
-                ard, lo_, hi_ = synth.synthesize_with_spans(
-                    ext_l, gfi_l, gfn_l, cfg, rec, cent, path="direct"
-                )
-                canon = synth.ard_to_components(ard, rec["bazi"], (1, 2, 3, 4, 5))
-                return canon, lo_, hi_
+    sa = source_axis
+    from ..ops import synth_window
 
-            canon, los, his = jax.vmap(per_rec)(recs_l)
+    def fwd_builder(form, shared):
+        """jitted shard_map forward for one (Formulation, shared?) combo.
+
+        Each shard runs the identical fast formulation the unsharded
+        engine picks (synth.choose_formulation): grouped span-table
+        synthesis, the window Pallas kernel when eligible, or the
+        shared-kinematics weight contraction for moment-only batches."""
+        gw = max(form.group_size, 1)
+        interp = not synth.on_tpu()
+
+        def locals_of(ext_s, gfi_s, gfn_s, ix0_s, tab_s, recs_s, ctx_s,
+                      rctx_s, aux_s):
+            recs_l = {k: v[0] for k, v in recs_s.items()}
+            recs_l["window_ix0"] = jnp.full((r_max,), ix0_s[0], jnp.int32)
+            ctx_l = {k: v[0] for k, v in ctx_s.items()}
+            rctx_l = {k: v[0] for k, v in rctx_s.items()} | rctx_static
+            aux_l = {k: v[0] for k, v in aux_s.items()}
+            return (ext_s[0], gfi_s[0], gfn_s[0], tab_s[0], recs_l, ctx_l,
+                    rctx_l, aux_l)
+
+        def rc_gather(ctx_l, aux_l, canon, los, his):
             rl = ctx_l["receiver_ids"]
             rl_c = jnp.clip(rl, 0, r_max - 1)  # padding rows read any row
             syn_rc = canon[rl_c, aux_l["chan"]] * aux_l["sign"][:, None]
             lo_rc = los[rl_c, aux_l["span_idx"]]
             hi_rc = his[rl_c, aux_l["span_idx"]]
+            return syn_rc, lo_rc, hi_rc
+
+        def eval_rows(ctx_l, rctx_l, syn_rc, lo_rc, hi_rc, moment, risetime):
             return mf.evaluate_misfits(
                 ctx_l, syn_rc, cfg.out_it0, lo_rc, hi_rc, method, st,
                 nrec_local, moment=moment, risetime=risetime,
@@ -389,35 +460,121 @@ def build_plan(engine, mesh, axis="r", source_axis="auto"):
                 any_taper=any_taper, any_filter=any_filter,
             )
 
-        m, nn, fs = jax.vmap(forward_one)(cbatch, moments, risetimes)
-        return m, nn, fs[:, :r_max]  # [B_local, rc_max/r_max]
+        def shard_fn(ext_s, gfi_s, gfn_s, ix0_s, tab_s, recs_s, ctx_s,
+                     rctx_s, aux_s, cbatch, moments, risetimes):
+            (ext_l, gfi_l, gfn_l, tab_l, recs_l, ctx_l, rctx_l,
+             aux_l) = locals_of(ext_s, gfi_s, gfn_s, ix0_s, tab_s, recs_s,
+                                ctx_s, rctx_s, aux_s)
 
-    sa = source_axis
-    fwd = jax.jit(
-        jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(
-                P(axis), P(axis), P(axis), P(axis),
-                P(axis), P(axis), P(axis), P(axis),
-                P(sa), P(sa), P(sa),
-            ),
-            out_specs=(P(sa, axis), P(sa, axis), P(sa, axis)),
+            if shared:
+                # moment-only batch: GF values blended/shifted ONCE per
+                # receiver; each source is a weight contraction (the
+                # batched only_moment_changed shortcut, like the engine's
+                # forward_shared_raw)
+                cent0 = {k: v[0] for k, v in cbatch.items()}
+                mb = cbatch["m"]  # [B_local, C, 6]
+
+                def per_rec(rec):
+                    kin = synth._centroid_kinematics(cfg, rec, cent0)
+                    v = synth.values_matrix(ext_l, cfg, kin, group_size=gw)
+                    lo_, hi_ = synth.physical_spans_from_tables(tab_l, cfg, kin)
+                    wv = jax.vmap(
+                        lambda m6: synth.weights_from_angles(kin, m6, cfg.ng)
+                    )(mb)  # [B, C, 3, ng]
+                    wv = jnp.where(kin["valid"][None, :, None, None], wv, 0.0)
+                    ard_b = jnp.einsum("bcog,cgt->bot", wv, v)
+                    canon = jax.vmap(
+                        lambda a: synth.ard_to_components(
+                            a, rec["bazi"], (1, 2, 3, 4, 5))
+                    )(ard_b)  # [B, 5, nt_out]
+                    return canon, lo_, hi_
+
+                canon, los, his = jax.vmap(per_rec)(recs_l)  # [R, B, 5, nt]
+                rl = ctx_l["receiver_ids"]
+                rl_c = jnp.clip(rl, 0, r_max - 1)
+                syn_rc = (
+                    canon[rl_c, :, aux_l["chan"]] * aux_l["sign"][:, None, None]
+                ).transpose(1, 0, 2)  # [B, RC, nt]
+                lo_rc = los[rl_c, aux_l["span_idx"]]  # [RC], batch-shared
+                hi_rc = his[rl_c, aux_l["span_idx"]]
+
+                def eval_one(syn, moment, risetime):
+                    return eval_rows(ctx_l, rctx_l, syn, lo_rc, hi_rc,
+                                     moment, risetime)
+
+                m, nn, fs = jax.vmap(eval_one)(syn_rc, moments, risetimes)
+            elif form.use_window:
+                ext_flat = synth_window.pack_ext(ext_l, cfg)
+
+                def kin_one(cent):
+                    return jax.vmap(
+                        lambda rec: synth._centroid_kinematics(cfg, rec, cent)
+                    )(recs_l)
+
+                kin = jax.vmap(kin_one)(cbatch)  # leaves [B, R, C, ...]
+                ard = synth_window.synthesize_ard_batch(
+                    ext_flat, cfg, kin, gw, interpret=interp)
+                lo, hi = jax.vmap(jax.vmap(
+                    lambda k: synth.physical_spans_from_tables(tab_l, cfg, k)
+                ))(kin)  # [B, R, 3]
+                canon = jax.vmap(
+                    lambda ab: jax.vmap(
+                        lambda a, bz: synth.ard_to_components(
+                            a, bz, (1, 2, 3, 4, 5))
+                    )(ab, recs_l["bazi"])
+                )(ard)  # [B, R, 5, nt_out]
+
+                def eval_one(cn, lo1, hi1, moment, risetime):
+                    syn_rc, lo_rc, hi_rc = rc_gather(ctx_l, aux_l, cn, lo1, hi1)
+                    return eval_rows(ctx_l, rctx_l, syn_rc, lo_rc, hi_rc,
+                                     moment, risetime)
+
+                m, nn, fs = jax.vmap(eval_one)(canon, lo, hi, moments,
+                                               risetimes)
+            else:
+                def forward_one(cent, moment, risetime):
+                    def per_rec(rec):
+                        ard, lo_, hi_ = synth.synthesize_with_spans(
+                            ext_l, gfi_l, gfn_l, cfg, rec, cent,
+                            path=form.path, group_size=form.group_size,
+                            span_tab=tab_l,
+                        )
+                        canon = synth.ard_to_components(
+                            ard, rec["bazi"], (1, 2, 3, 4, 5))
+                        return canon, lo_, hi_
+
+                    canon, los, his = jax.vmap(per_rec)(recs_l)
+                    syn_rc, lo_rc, hi_rc = rc_gather(ctx_l, aux_l, canon,
+                                                     los, his)
+                    return eval_rows(ctx_l, rctx_l, syn_rc, lo_rc, hi_rc,
+                                     moment, risetime)
+
+                m, nn, fs = jax.vmap(forward_one)(cbatch, moments, risetimes)
+            return m, nn, fs[:, :r_max]  # [B_local, rc_max/r_max]
+
+        return jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(
+                    P(axis), P(axis), P(axis), P(axis), P(axis),
+                    P(axis), P(axis), P(axis), P(axis),
+                    P(sa), P(sa), P(sa),
+                ),
+                out_specs=(P(sa, axis), P(sa, axis), P(sa, axis)),
+                # pallas_call out_shapes carry no vma annotations; the
+                # forward is purely per-shard (no collectives), so the
+                # varying-mesh-axes check adds nothing here
+                check_vma=False,
+            )
         )
-    )
-
-    def forward(ext_a, gfi_a, gfn_a, ix0_a, recs_a, ctx_a, rctx_a, aux_a,
-                cbatch, moments, risetimes):
-        # outputs come back [B, n_shards * rc_max] already
-        return fwd(ext_a, gfi_a, gfn_a, ix0_a, recs_a, ctx_a, rctx_a,
-                   aux_a, cbatch, moments, risetimes)
 
     plan = GFShardedPlan(
         engine=eng, mesh=mesh, axis=axis, source_axis=source_axis,
         cfg=cfg, st=st, groups=groups,
         rc_of=rc_of, rc_max=rc_max, r_max=r_max,
-        forward=forward,
-        sharded_args=(ext, gfi, gfn, ix0, recs, ctxd, rctxd, aux),
+        fwd_builder=fwd_builder,
+        sharded_args=(ext, gfi, gfn, ix0, tab, recs, ctxd, rctxd, aux),
         built_stats=(extent, depth_range, time_range),
         origins=origins,
     )

@@ -167,8 +167,8 @@ def test_g_loop_block_unroll_matches_numpy_oracle():
     N = nxw * nzw
     ext = rng.normal(size=(N * ng, nt_ext)).astype(np.float32)
     ext_flat = jnp.asarray(np.pad(ext, ((0, 0), (0, 128 - nt_ext))))
-    node = (rng.integers(0, N - nzw - 2, size=(B, R, P)) * ng).astype(np.int32)
-    strides3 = jnp.asarray(np.array([ng, nzw * ng, (nzw + 1) * ng], np.int32))
+    node = rng.integers(0, N - nzw - 2, size=(B, R, P)).astype(np.int32)
+    strides3 = jnp.asarray(np.array([1, nzw, nzw + 1], np.int32))
     kks = rng.integers(0, s_len, size=(B, R, P, G)).astype(np.int32)
     wsp = rng.random((B, R, P, 4)).astype(np.float32)
     wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
@@ -186,7 +186,7 @@ def test_g_loop_block_unroll_matches_numpy_oracle():
     for b in range(B):
         for r in range(R):
             for p in range(P):
-                base = node[b, r, p]
+                base = node[b, r, p] * ng
                 rows = (extp[base:base + ng] * wsp[b, r, p, 0]
                         + extp[base + s3[0]:base + s3[0] + ng] * wsp[b, r, p, 1]
                         + extp[base + s3[1]:base + s3[1] + ng] * wsp[b, r, p, 2]
@@ -216,12 +216,14 @@ def test_long_window_matches_numpy_oracle():
     nt_out, s_len = 260, 40
     nt_ext = nt_out + s_len
     T = -(-nt_ext // 128) * 128
+    ngp = sw.row_pitch(ng, T)
+    assert ngp == 16  # multi-tile layout pads node rows to an 8-multiple
     N = nxw * nzw
-    ext = rng.normal(size=(N * ng, nt_ext)).astype(np.float32)
-    extp = np.pad(ext, ((0, 0), (0, T - nt_ext)))
-    ext_flat = jnp.asarray(extp)
-    node = (rng.integers(0, N - nzw - 2, size=(B, R, P)) * ng).astype(np.int32)
-    strides3 = jnp.asarray(np.array([ng, nzw * ng, (nzw + 1) * ng], np.int32))
+    ext3 = rng.normal(size=(N, ng, nt_ext)).astype(np.float32)
+    extp = np.pad(ext3, ((0, 0), (0, ngp - ng), (0, T - nt_ext)))
+    ext_flat = jnp.asarray(extp.reshape(N * ngp, T))
+    node = rng.integers(0, N - nzw - 2, size=(B, R, P)).astype(np.int32)
+    strides3 = jnp.asarray(np.array([1, nzw, nzw + 1], np.int32))
     kks = rng.integers(0, s_len, size=(B, R, P, G)).astype(np.int32)
     wsp = rng.random((B, R, P, 4)).astype(np.float32)
     wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
@@ -233,16 +235,17 @@ def test_long_window_matches_numpy_oracle():
         G=G, ng=ng, nshift=s_len, interpret=True))
     assert out.shape == (B, R, 3, T)
 
-    s3 = np.array([ng, nzw * ng, (nzw + 1) * ng])
+    s3 = np.array([1, nzw, nzw + 1])
     ref = np.zeros((B, R, 3, T), np.float32)
     for b in range(B):
         for r in range(R):
             for p in range(P):
-                base = node[b, r, p]
-                rows = (extp[base:base + ng] * wsp[b, r, p, 0]
-                        + extp[base + s3[0]:base + s3[0] + ng] * wsp[b, r, p, 1]
-                        + extp[base + s3[1]:base + s3[1] + ng] * wsp[b, r, p, 2]
-                        + extp[base + s3[2]:base + s3[2] + ng] * wsp[b, r, p, 3])
+                nd = node[b, r, p]
+                ep = extp[:, :ng]
+                rows = (ep[nd] * wsp[b, r, p, 0]
+                        + ep[nd + s3[0]] * wsp[b, r, p, 1]
+                        + ep[nd + s3[1]] * wsp[b, r, p, 2]
+                        + ep[nd + s3[2]] * wsp[b, r, p, 3])
                 sb = np.roll(rows, -1, axis=1)
                 for g in range(G):
                     w = wm[b, r, p, g]
@@ -341,9 +344,9 @@ def test_p_axis_grid_split_matches_unsplit():
     N = nxw * nzw
     ext = rng.normal(size=(N * ng, nt_ext)).astype(np.float32)
     ext_flat = jnp.asarray(np.pad(ext, ((0, 0), (0, 128 - nt_ext))))
-    node = jnp.asarray((rng.integers(0, N - nzw - 2, size=(B, R, P)) * ng)
+    node = jnp.asarray(rng.integers(0, N - nzw - 2, size=(B, R, P))
                        .astype(np.int32))
-    strides3 = jnp.asarray(np.array([ng, nzw * ng, (nzw + 1) * ng], np.int32))
+    strides3 = jnp.asarray(np.array([1, nzw, nzw + 1], np.int32))
     kks = jnp.asarray(rng.integers(0, s_len, size=(B, R, P, G)).astype(np.int32))
     wsp = rng.random((B, R, P, 4)).astype(np.float32)
     wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
@@ -412,9 +415,9 @@ def test_dma_variant_with_p_split(monkeypatch):
     N = nxw * nzw
     ext = rng.normal(size=(N * ng, nt_ext)).astype(np.float32)
     ext_flat = jnp.asarray(np.pad(ext, ((0, 0), (0, 128 - nt_ext))))
-    node = jnp.asarray((rng.integers(0, N - nzw - 2, size=(B, R, P)) * ng)
+    node = jnp.asarray(rng.integers(0, N - nzw - 2, size=(B, R, P))
                        .astype(np.int32))
-    strides3 = jnp.asarray(np.array([ng, nzw * ng, (nzw + 1) * ng], np.int32))
+    strides3 = jnp.asarray(np.array([1, nzw, nzw + 1], np.int32))
     kks = jnp.asarray(rng.integers(0, s_len, size=(B, R, P, G)).astype(np.int32))
     wsp = rng.random((B, R, P, 4)).astype(np.float32)
     wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
