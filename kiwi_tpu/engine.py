@@ -87,11 +87,12 @@ class Engine:
         self.force_path = None  # ("conv"|"direct", group_size) debug override
         # batched eikonal discretization on device (anti-diagonal fast
         # sweeping) instead of serial host FMM -- ~70x faster for finite
-        # eikonal grid searches.  First device use per session cross-checks
-        # one source against the host FMM pipeline (the CLI oracle) and
-        # falls back with a warning if they disagree beyond f32 roundoff.
+        # eikonal grid searches.  The first batch of each new plan shape
+        # cross-checks several randomly chosen members against the host FMM
+        # pipeline (the CLI oracle) and falls back with a warning if any
+        # disagrees beyond f32 roundoff.
         self.eikonal_device = True
-        self._eikonal_checked = False
+        self._eikonal_checked_keys = set()
         # (per_source_bytes estimates are TPU-pad-aware; a v5e chip has
         # ~16 GB HBM, leaving headroom for the GF window + misfit probes)
 
@@ -602,15 +603,30 @@ class Engine:
             cbatch = eiksrc.discretize_device_batch(
                 static, arrays, self.effective_dt, ctx, ntmax
             )
-            if not self._eikonal_checked:
-                self._eikonal_checked = True
-                if not self._eikonal_crosscheck_ok(model, pb[0], cbatch, ctx):
+            # validate K >= 3 randomly chosen batch members (not just
+            # source 0) once per (model, table shape, dt): a discretizer
+            # regression affecting only members != 0 (e.g. a batch-indexing
+            # bug) must not pass silently
+            key = (model.name, int(cbatch["north"].shape[1]),
+                   float(self.effective_dt))
+            if key not in self._eikonal_checked_keys:
+                self._eikonal_checked_keys.add(key)
+                rng = np.random.default_rng(len(self._eikonal_checked_keys))
+                k = min(3, len(pb))
+                idxs = {0} | set(
+                    int(i) for i in rng.choice(len(pb), size=k, replace=False)
+                )
+                bad = [i for i in sorted(idxs)
+                       if not self._eikonal_crosscheck_ok(
+                           model, pb[i], cbatch, ctx, member=i)]
+                if bad:
                     import logging
 
                     logging.getLogger(__name__).warning(
                         "device eikonal discretization disagrees with the "
-                        "host FMM oracle beyond tolerance; falling back to "
-                        "the host pipeline (engine.eikonal_device = False)"
+                        "host FMM oracle beyond tolerance for batch "
+                        "member(s) %s; falling back to the host pipeline "
+                        "(engine.eikonal_device = False)", bad
                     )
                     self.eikonal_device = False
                     return self._discretize_batch_host(model, pb)
@@ -640,13 +656,14 @@ class Engine:
         # host FMM tables have ragged per-cell time runs: no uniform groups
         return out, pf[:, 0], pf[:, 1], (cmax,), 1
 
-    def _eikonal_crosscheck_ok(self, model, p0, cbatch, ctx, rtol=2e-3):
+    def _eikonal_crosscheck_ok(self, model, p0, cbatch, ctx, rtol=2e-3,
+                               member=0):
         """First-use validation of the device fast-sweeping discretizer
         against the host FMM oracle: the moment-weighted summary statistics
-        of source 0's centroid table must agree (the full tables can't be
-        compared cell-by-cell -- the pipelines discretize time differently
-        -- but their misfit-relevant moments must match; the misfit-level
-        tolerance is pinned in tests/test_invert.py::
+        of batch member `member`'s centroid table must agree (the full
+        tables can't be compared cell-by-cell -- the pipelines discretize
+        time differently -- but their misfit-relevant moments must match;
+        the misfit-level tolerance is pinned in tests/test_invert.py::
         test_eikonal_device_batch_matches_host)."""
 
         def stats(north, east, depth, time, m, active):
@@ -666,10 +683,11 @@ class Engine:
         host = model.discretize(p0, self.effective_dt, ctx)
         s_host = stats(host["north"], host["east"], host["depth"], host["time"],
                        host["m"], host["active"])
+        i = member
         s_dev = stats(
-            np.asarray(cbatch["north"])[0], np.asarray(cbatch["east"])[0],
-            np.asarray(cbatch["depth"])[0], np.asarray(cbatch["time"])[0],
-            np.asarray(cbatch["m"])[0], np.asarray(cbatch["active"])[0],
+            np.asarray(cbatch["north"])[i], np.asarray(cbatch["east"])[i],
+            np.asarray(cbatch["depth"])[i], np.asarray(cbatch["time"])[i],
+            np.asarray(cbatch["m"])[i], np.asarray(cbatch["active"])[i],
         )
         scale = np.array([
             max(abs(s_host[0]), 100.0), max(abs(s_host[1]), 100.0),

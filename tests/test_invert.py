@@ -181,3 +181,84 @@ def test_eikonal_device_batch_matches_host(engine):
     # the diagonal Gauss-Seidel sweep is exact vs the FMM on rupture
     # speed fields, so the two pipelines agree to f32 roundoff
     np.testing.assert_allclose(g_dev, g_host, atol=1e-5)
+
+
+def test_mt_eikonal_device_batch_matches_host(engine):
+    """VERDICT round-2 weak #4: engine-level misfit parity for mt_eikonal
+    device-vs-host (only 'eikonal' was pinned before)."""
+    p = np.zeros(20, dtype=np.float32)
+    p[:13] = [0.0, 0.0, 0.0, 400.0, 1.0, 30.0, 80.0, 0.0, 0.0, 250.0,
+              50.0, -50.0, 0.9]
+    p[13:19] = [1e12, -5e11, 2e11, 3e11, -1e11, 5e11]
+    p[19] = 0.2
+    engine.set_misfit_method("l2norm")
+    engine.set_source_constraints(
+        [[0, 0, 50.0], [0, 0, 700.0]], [[0, 0, -1.0], [0, 0, 1.0]]
+    )
+    engine.set_source_params("mt_eikonal", p)
+    engine.set_synthetic_reference()
+
+    radii = np.array([200.0, 250.0, 300.0, 350.0], dtype=np.float32)
+    batch = np.tile(p, (len(radii), 1))
+    batch[:, 9] = radii
+
+    engine.eikonal_device = False
+    g_host = np.asarray(engine.global_misfits_for_source_batch(batch))
+    engine.eikonal_device = True
+    engine._eikonal_checked_keys.clear()
+    engine._invalidate()
+    g_dev = np.asarray(engine.global_misfits_for_source_batch(batch))
+    engine.eikonal_device = False
+    engine._invalidate()
+
+    assert np.argmin(g_host) == 1
+    assert np.argmin(g_dev) == 1
+    np.testing.assert_allclose(g_dev, g_host, atol=1e-5)
+
+
+def test_eikonal_crosscheck_catches_corrupt_member(engine, monkeypatch,
+                                                   caplog):
+    """A seeded corruption of the device discretizer on a batch member
+    i > 0 must be caught by the session cross-check (which samples K >= 3
+    members, not just source 0) and trigger the host fallback."""
+    import logging
+
+    from kiwi_tpu.sources import eikonal as eiksrc
+
+    p = np.array(
+        [0.0, 0.0, 0.0, 400.0, 1e12, 30.0, 80.0, 164.0,
+         0.0, 0.0, 250.0, 50.0, -50.0, 0.9, 0.3],
+        dtype=np.float32,
+    )
+    engine.set_misfit_method("l2norm")
+    engine.set_source_constraints(
+        [[0, 0, 50.0], [0, 0, 700.0]], [[0, 0, -1.0], [0, 0, 1.0]]
+    )
+    engine.set_source_params("eikonal", p)
+    engine.set_synthetic_reference()
+
+    real = eiksrc.discretize_device_batch
+
+    def corrupt(static, arrays, edt, ctx, ntmax):
+        out = dict(real(static, arrays, edt, ctx, ntmax))
+        import jax.numpy as jnp
+
+        # shift every member EXCEPT source 0 by 3 km: a batch-indexing-bug
+        # stand-in that the old source-0-only check could never see
+        north = np.asarray(out["north"]).copy()
+        north[1:] += 3000.0
+        out["north"] = jnp.asarray(north)
+        return out
+
+    monkeypatch.setattr(eiksrc, "discretize_device_batch", corrupt)
+    engine.eikonal_device = True
+    engine._eikonal_checked_keys.clear()
+    engine._invalidate()
+    batch = np.tile(p, (4, 1))
+    batch[:, 10] = [200.0, 250.0, 300.0, 350.0]
+    with caplog.at_level(logging.WARNING):
+        engine.global_misfits_for_source_batch(batch)
+    assert engine.eikonal_device is False, "corruption not caught"
+    assert any("disagrees" in r.message for r in caplog.records)
+    engine.eikonal_device = False
+    engine._invalidate()
