@@ -238,6 +238,96 @@ def bench_finite(eng, log):
     }
 
 
+LONG_CACHE = os.environ.get("KIWI_BENCHDB_LONG", "/tmp/kiwi_tpu_benchdb_long.npz")
+
+
+def bench_finite_long(log):
+    """Long-trace regime (teleseismic-length windows): nt_ext > 128 lanes.
+
+    Round 2 silently dropped these plans to the XLA formulations measured
+    ~60x off roofline; the multi-tile window kernel now covers them.  The
+    XLA fallback is timed on the same batch for the speedup column."""
+    import jax
+    import jax.numpy as jnp
+
+    from kiwi_tpu import geo
+    from kiwi_tpu.engine import Engine, Receiver
+    from kiwi_tpu.gf.store import GFStore
+
+    if os.path.exists(LONG_CACHE):
+        store = GFStore.load(LONG_CACHE)
+    else:
+        from kiwi_tpu.gf import elseis
+
+        log("building long-trace benchdb (100x40, ~560-sample traces)...")
+        stf = np.concatenate([
+            np.zeros(4), np.linspace(0.0, 1.0, 400), np.ones(80)])
+        t0 = time.time()
+        store = elseis.build_ahfull_store(
+            nx=100, nz=40, dt=0.1, dx=100.0, dz=100.0, firstx=100.0,
+            firstz=0.0, material=(2300.0, 3200.0, 1600.0), stf=stf,
+        )
+        log(f"  built in {time.time() - t0:.1f}s")
+        try:
+            store.save(LONG_CACHE)
+        except OSError:
+            pass
+
+    olat, olon = 30.0, 70.0
+    eng = Engine(store)
+    recs = []
+    for d in np.linspace(3000.0, 4000.0, 10):
+        la, lo = geo.ne_to_latlon(np.radians(olat), np.radians(olon), float(d), 0.0)
+        recs.append(Receiver(np.degrees(float(la)), np.degrees(float(lo)), "ned"))
+    eng.set_receivers(recs)
+    eng.set_source_location(olat, olon, 0.0)
+    eng.set_effective_dt(0.1)
+    eng.set_local_interpolation(True)
+    base = np.array(
+        [0, 0, 0, 2000.0, 1e12, 91.0, 87.0, 164.0, 0.0, 900.0, 700.0, 1000.0,
+         2500.0, 0.2],
+        dtype=np.float32,
+    )
+    eng.set_source_params("bilateral", base)
+    eng.set_synthetic_reference()
+    eng.set_floating_shiftrange(-1.0, 1.0)
+    eng.set_misfit_method("floating_l1norm")
+
+    B = 32
+    nbatches = 4
+
+    def dispatch(sl):
+        batch = np.tile(base, (B, 1))
+        batch[:, 5] = sl
+        m, n, fs = eng.misfits_for_source_batch(batch)
+        return jnp.sqrt((m.astype(jnp.float32) ** 2).sum(axis=1))
+
+    rng = np.random.default_rng(1)
+    batches = [
+        np.linspace(0.0, 359.0, B).astype(np.float32)
+        + rng.normal(0, 0.01, B).astype(np.float32)
+        for _ in range(nbatches)
+    ]
+    mps, _ = steady_state_mps(dispatch, batches, log, "finite_long")
+    cfg = eng._plan["cfg"]
+    nt_ext = cfg.nt_out + cfg.s_len
+    on_kernel = eng._plan.get("max_chunk") is not None
+    log(f"  finite long-window (nt_ext={nt_ext}, kernel={on_kernel}): "
+        f"MPS {mps:.0f}")
+
+    # same batch through the XLA fallback for the speedup column
+    os.environ["KIWI_WINDOW"] = "0"
+    try:
+        eng._invalidate()
+        mps_x, _ = steady_state_mps(dispatch, batches, log, "finite_long_xla")
+    finally:
+        os.environ.pop("KIWI_WINDOW", None)
+        eng._invalidate()
+    log(f"  finite long-window XLA fallback: MPS {mps_x:.0f} "
+        f"(kernel speedup {mps / max(mps_x, 1e-9):.1f}x)")
+    return mps, mps_x, nt_ext
+
+
 def bench_eikonal(eng, log):
     """Finite eikonal rupture: radius sweep on the device fast-sweeping
     discretizer."""
@@ -294,6 +384,11 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"  eikonal bench failed: {e}")
         eik_mps = 0.0
+    try:
+        long_mps, long_mps_xla, long_nt = bench_finite_long(log)
+    except Exception as e:  # noqa: BLE001
+        log(f"  finite-long bench failed: {e}")
+        long_mps = long_mps_xla = long_nt = 0
 
     print(json.dumps({
         "metric": "kiwibench_syntheseis_mps",
@@ -304,6 +399,9 @@ def main():
         "vs_fortran_pool4": round(point_mps / (4 * MEASURED_FORTRAN_CORE_MPS), 2),
         "finite_mps": round(finite_mps, 1),
         "eikonal_mps": round(eik_mps, 1),
+        "finite_long_mps": round(float(long_mps), 1),
+        "finite_long_xla_mps": round(float(long_mps_xla), 1),
+        "finite_long_nt_ext": int(long_nt),
         **roofline,
     }))
 

@@ -66,10 +66,11 @@ _F1, _F2, _F3, _F4, _F5, _F6, _CL, _SL, _FR0, _FR1 = range(10)
 NW = 10  # weight rows per centroid
 
 
-def _contract(w, c):
+def _contract(w, c, ng):
     """Channel contraction + backazimuth rotation of pre-tap rows c
-    [ng, 128] -> stacked [3, 128] (away, right, down)."""
-    ng = c.shape[0]
+    [>=ng, 128] -> stacked [3, 128] (away, right, down).  ng is passed
+    explicitly: the DMA variant's c carries pad rows up to the 8-aligned
+    row pitch, so c.shape[0] is NOT the component count."""
     p1 = (w[_F1:_F1 + 1] * c[0:1] + w[_F2:_F2 + 1] * c[1:2]
           + w[_F3:_F3 + 1] * c[2:3])
     p2 = w[_F4:_F4 + 1] * c[3:4] + w[_F5:_F5 + 1] * c[4:5]
@@ -116,15 +117,25 @@ def bucket_pitch(T):
     return 3 if T <= 128 else 8
 
 
-def row_pitch(ng, T):
-    """Rows per GF node in the packed ext layout.  Multi-tile-wide arrays
-    (T > 128) only admit dynamic sublane loads at provably 8-aligned
-    offsets (Mosaic: 'cannot statically prove that index in dimension 0 is
-    a multiple of 8'), so nodes are padded to an 8-multiple row pitch and
-    the kernel computes row offsets as node * pitch -- an affine expression
-    Mosaic CAN prove aligned.  Single-tile arrays keep the compact pitch
-    (unaligned dynamic sublane loads are natively supported there)."""
-    return ng if T <= 128 else -(-ng // 8) * 8
+def ext_layout(cfg):
+    """(T, row_pitch) of the packed ext for a plan config.
+
+    Multi-tile-wide arrays (T > 128) only admit dynamic sublane loads at
+    provably 8-aligned offsets, and the DMA variant's memref slices need
+    8-aligned slice SHAPES regardless of T (Mosaic: 'cannot statically
+    prove that index in dimension 0 is a multiple of 8' / 'Slice shape
+    along dimension 0 must be aligned to tiling (8)').  So nodes keep the
+    compact ng pitch only when the window is single-tile AND VMEM-resident
+    (unaligned dynamic loads are natively supported there); everything
+    else pads nodes to an 8-multiple pitch and the kernel computes row
+    offsets as node * pitch -- an affine expression Mosaic CAN prove
+    aligned."""
+    nt_ext = cfg.nt_out + cfg.s_len
+    t = -(-nt_ext // 128) * 128
+    n = cfg.nxw * cfg.nzw
+    if t <= 128 and n * cfg.ng * t * 4 <= VMEM_RESIDENT_BYTES:
+        return t, cfg.ng
+    return t, -(-cfg.ng // 8) * 8
 
 
 def _g_loop(G, p, centroid):
@@ -190,7 +201,7 @@ def _kernel(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
             # lane rolls measured ~6.3 ms of the 11.3 ms kernel; the bucket
             # RMW at a dynamic SUBLANE offset is near-free)
             c = w[_FR0:_FR0 + 1] * sb + w[_FR1:_FR1 + 1] * blend
-            acc[pl.ds(kk * jnp.int32(BP), 3), :] += _contract(w, c)
+            acc[pl.ds(kk * jnp.int32(BP), 3), :] += _contract(w, c, ng)
 
         _g_loop(G, p, centroid)
 
@@ -240,8 +251,10 @@ def _kernel_dma(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
 
     def dma(p, slot, a):
         base = (node_ref[brp + p] + offs[a]) * jnp.int32(ngp)
+        # copy the full row pitch: memref slice SHAPES must be 8-aligned
+        # too; the pad rows are zeros and drop out of the contraction
         return pltpu.make_async_copy(
-            ext_ref.at[pl.ds(base, ng), :],
+            ext_ref.at[pl.ds(base, ngp), :],
             rows.at[slot, a],
             sems.at[slot, a],
         )
@@ -276,7 +289,7 @@ def _kernel_dma(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
             kk = kk_ref[(brp + p) * jnp.int32(G) + g]
             w = _rep(w_ref[0, 0, p, g], NT)
             c = w[_FR0:_FR0 + 1] * sb + w[_FR1:_FR1 + 1] * blend
-            acc[pl.ds(kk * jnp.int32(BP), 3), :] += _contract(w, c)
+            acc[pl.ds(kk * jnp.int32(BP), 3), :] += _contract(w, c, ng)
 
         _g_loop(G, p, centroid)
         return 0
@@ -298,9 +311,10 @@ VMEM_RESIDENT_BYTES = 10 * 1024 * 1024
 VMEM_BUDGET_BYTES = 11 * 1024 * 1024
 
 
-@functools.partial(jax.jit, static_argnames=("G", "ng", "nshift", "interpret"))
+@functools.partial(jax.jit, static_argnames=("G", "ng", "ngp", "nshift",
+                                             "interpret"))
 def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
-                   G, ng, nshift, interpret=False):
+                   G, ng, nshift, ngp=None, interpret=False):
     """ard f32[B, R, 3, 128] from a GF window (VMEM-resident when it fits,
     HBM + double-buffered row DMA otherwise).
 
@@ -318,7 +332,8 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     bb, rr, P = node_rows.shape
     D = int(nshift)
     T = int(ext_flat.shape[1])  # lane width: nt_ext padded to k*128
-    ngp = row_pitch(ng, T)
+    if ngp is None:  # standalone callers: infer the compact-vs-padded rule
+        ngp = ng if T <= 128 else -(-ng // 8) * 8
     bp = bucket_pitch(T)
     ext_bytes = int(ext_flat.shape[0]) * T * 4
     resident = ext_bytes <= VMEM_RESIDENT_BYTES
@@ -329,8 +344,8 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     # against the 16 MB limit.  acc persists across the ip steps of one
     # (b, r); the output is emitted on the last step.
     per_p = (G * NW + 4) * 128 * 4
-    fixed = (ext_bytes if resident else 2 * 4 * ng * T * 4) \
-        + (D * bp + 8 + 3 * ng) * T * 4
+    fixed = (ext_bytes if resident else 2 * 4 * ngp * T * 4) \
+        + (D * bp + 8 + 3 * ngp) * T * 4
     budget = max(VMEM_BUDGET_BYTES - fixed, 2 * per_p)
     Pb = int(max(1, min(P, budget // (2 * per_p))))
     NP = -(-P // Pb)
@@ -358,7 +373,7 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
             ext_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch = [
                 pltpu.VMEM((D * bp, T), F32),
-                pltpu.VMEM((2, 4, ng, T), F32),
+                pltpu.VMEM((2, 4, ngp, T), F32),
                 pltpu.SemaphoreType.DMA((2, 4)),
             ]
         out = pl.pallas_call(
@@ -413,11 +428,10 @@ def usable(cfg):
 def pack_ext(ext, cfg):
     """materialize_window output [nxw, nzw, ng, nt_ext] -> flat
     [N*row_pitch, T]: time zero-padded to a multiple of 128 lanes, node
-    rows padded to row_pitch (8-aligned when T > 128, see row_pitch)."""
+    rows padded to the layout's row pitch (see ext_layout)."""
     n = cfg.nxw * cfg.nzw
     nt_ext = ext.shape[-1]
-    t = -(-nt_ext // 128) * 128
-    ngp = row_pitch(cfg.ng, t)
+    t, ngp = ext_layout(cfg)
     e3 = ext.reshape(n, cfg.ng, nt_ext)
     pad_rows = ngp - cfg.ng
     if pad_rows or nt_ext < t:
@@ -474,6 +488,8 @@ def synthesize_ard_batch(ext_flat, cfg, kin, G, interpret=False):
     """ard f32[B, R, 3, nt_out] for a (source, receiver) batch."""
     node_rows, strides3, kk, wsp, wmeta = pack_kinematics(cfg, kin, G)
     # kk is clipped to [0, nt_ext - nt_out - 1] => s_len shift buckets
+    _t, ngp = ext_layout(cfg)
     out = window_forward(ext_flat, node_rows, strides3, kk, wsp, wmeta,
-                         G=G, ng=cfg.ng, nshift=cfg.s_len, interpret=interpret)
+                         G=G, ng=cfg.ng, ngp=ngp, nshift=cfg.s_len,
+                         interpret=interpret)
     return out[..., : cfg.nt_out]

@@ -104,7 +104,11 @@ def test_window_dma_variant_matches_resident(setup, monkeypatch):
                                              interpret=True))
     monkeypatch.setattr(sw, "VMEM_RESIDENT_BYTES", 0)
     sw.window_forward.clear_cache()
-    dma = np.asarray(sw.synthesize_ard_batch(ext_flat, cfg, kin, gsize,
+    # the layout rule depends on residency: re-pack under the forced budget
+    # (the DMA variant uses the 8-aligned row pitch)
+    ext_flat_dma = sw.pack_ext(ext, cfg)
+    assert ext_flat_dma.shape[0] > ext_flat.shape[0]
+    dma = np.asarray(sw.synthesize_ard_batch(ext_flat_dma, cfg, kin, gsize,
                                              interpret=True))
     sw.window_forward.clear_cache()
     scale = max(np.abs(res).max(), 1e-30)
@@ -216,8 +220,7 @@ def test_long_window_matches_numpy_oracle():
     nt_out, s_len = 260, 40
     nt_ext = nt_out + s_len
     T = -(-nt_ext // 128) * 128
-    ngp = sw.row_pitch(ng, T)
-    assert ngp == 16  # multi-tile layout pads node rows to an 8-multiple
+    ngp = 16  # multi-tile layout pads node rows to an 8-multiple pitch
     N = nxw * nzw
     ext3 = rng.normal(size=(N, ng, nt_ext)).astype(np.float32)
     extp = np.pad(ext3, ((0, 0), (0, ngp - ng), (0, T - nt_ext)))
@@ -427,15 +430,21 @@ def test_dma_variant_with_p_split(monkeypatch):
 
     ref = np.asarray(sw.window_forward(*args, G=G, ng=ng, nshift=s_len,
                                        interpret=True))
+    # the DMA variant uses the production 8-aligned row pitch
+    ngp = 16
+    extp = np.pad(ext.reshape(N, ng, nt_ext),
+                  ((0, 0), (0, ngp - ng), (0, 128 - nt_ext)))
+    args_dma = (jnp.asarray(extp.reshape(N * ngp, 128)),) + args[1:]
     per_p = (G * sw.NW + 4) * 128 * 4
     monkeypatch.setattr(sw, "VMEM_RESIDENT_BYTES", 0)
     monkeypatch.setattr(
         sw, "VMEM_BUDGET_BYTES",
-        2 * 4 * ng * 128 * 4 + (s_len * 3 + 8) * 128 * 4 + 6 * per_p)
+        2 * 4 * ngp * 128 * 4 + (s_len * 3 + 8 + 3 * ngp) * 128 * 4
+        + 6 * per_p)
     sw.window_forward.clear_cache()
     try:
-        got = np.asarray(sw.window_forward(*args, G=G, ng=ng, nshift=s_len,
-                                           interpret=True))
+        got = np.asarray(sw.window_forward(*args_dma, G=G, ng=ng, ngp=ngp,
+                                           nshift=s_len, interpret=True))
     finally:
         sw.window_forward.clear_cache()
     scale = max(np.abs(ref).max(), 1e-30)
