@@ -175,7 +175,7 @@ def main():
             f"per {len(ix0)}-chunk")
         _t, ngp = sw.ext_layout(cfg)
         t_kern = pipelined(lambda: sw.window_forward(
-            ext_flat, *ops, G=gsize, ng=cfg.ng, ngp=ngp, nshift=cfg.s_len))
+            ext_flat, *ops, G=sw.packed_g(gsize), ng=cfg.ng, ngp=ngp, nshift=cfg.s_len))
         log(f"   5b. window kernel alone:       {t_kern*1e3:8.1f} ms "
             f"per {len(ix0)}-chunk "
             f"(x{len(idxs)} chunks => {len(idxs)*(t_kin+t_kern)*1e3:.1f} ms)")

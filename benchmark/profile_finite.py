@@ -119,7 +119,7 @@ def main():
     ext_flat = jax.jit(sw.pack_ext, static_argnums=1)(ext, cfg)
     _t, ngp = sw.ext_layout(cfg)
     t_kern = pipelined(lambda: sw.window_forward(
-        ext_flat, *ops, G=gsize, ng=cfg.ng, ngp=ngp, nshift=cfg.s_len))
+        ext_flat, *ops, G=sw.packed_g(gsize), ng=cfg.ng, ngp=ngp, nshift=cfg.s_len))
     log(f"4. window kernel alone:           {t_kern*1e3:8.2f} ms")
 
     # 6. full forward chunk

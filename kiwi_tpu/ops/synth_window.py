@@ -47,6 +47,16 @@ Layout (v5e/v5p):
     rows (compact [NW, 1] operands with in-kernel broadcast measured 28%
     slower; scalar vmem->sreg reads stall the VPU); integer shift/node
     indices ride in SMEM via scalar prefetch.
+  * the moment contraction runs STACKED over a group's G centroids on the
+    sublane axis: weight rows are packed [NW, G, 128] so each channel
+    partial is a [G, T] FMA against a sublane-broadcast blend row, and the
+    2-tap fractional shift is applied AFTER the contraction (both linear
+    and time-invariant, so the order swap is exact up to f32
+    reassociation).  This replaces ~G*14 single-sublane row FMAs per group
+    (each burning a full vreg issue slot for 1/8 of its lanes) with ~16
+    [G, T] FMAs shared by the whole group.  Groups with G > 8 are split
+    into ceil(G/8) sub-groups at pack time (sub-groups re-fetch the same
+    node rows; sublane stacks cap at the 8-row vreg height).
 """
 
 from __future__ import annotations
@@ -66,22 +76,46 @@ _F1, _F2, _F3, _F4, _F5, _F6, _CL, _SL, _FR0, _FR1 = range(10)
 NW = 10  # weight rows per centroid
 
 
-def _contract(w, c, ng):
-    """Channel contraction + backazimuth rotation of pre-tap rows c
-    [>=ng, 128] -> stacked [3, 128] (away, right, down).  ng is passed
-    explicitly: the DMA variant's c carries pad rows up to the 8-aligned
-    row pitch, so c.shape[0] is NOT the component count."""
-    p1 = (w[_F1:_F1 + 1] * c[0:1] + w[_F2:_F2 + 1] * c[1:2]
-          + w[_F3:_F3 + 1] * c[2:3])
-    p2 = w[_F4:_F4 + 1] * c[3:4] + w[_F5:_F5 + 1] * c[4:5]
-    dd = (w[_F1:_F1 + 1] * c[5:6] + w[_F2:_F2 + 1] * c[6:7]
-          + w[_F3:_F3 + 1] * c[7:8])
+def _group_math(w, blend, ng, T):
+    """Group-stacked synthesis math.
+
+    w: [NW, G, T] lane-tiled weight rows for the group's G centroids;
+    blend: [>=ng, T] bilinear-blended GF rows shared by the group (pad
+    rows beyond ng are never touched -- rows are sliced explicitly).
+    Returns (ca, cr, cd) [G, T]: per-centroid away/right/down rows,
+    channel-contracted, backazimuth-rotated and 2-tap fractionally
+    shifted.  The tap blend commutes with the (linear, time-pointwise)
+    contraction, so applying it on the 3 channel rows instead of the ng
+    GF rows is exact up to f32 reassociation and saves ~2x the FMAs.
+    Implements seismogram.f90:171-251's weight mapping (see
+    synth._group_weights) stacked over the sublane axis."""
+    def b(r):
+        return blend[r:r + 1]
+
+    p1 = w[_F1] * b(0) + w[_F2] * b(1) + w[_F3] * b(2)
+    p2 = w[_F4] * b(3) + w[_F5] * b(4)
+    dd = w[_F1] * b(5) + w[_F2] * b(6) + w[_F3] * b(7)
     if ng == 10:
-        p1 = p1 + w[_F6:_F6 + 1] * c[8:9]
-        dd = dd + w[_F6:_F6 + 1] * c[9:10]
-    av = w[_CL:_CL + 1] * p1 - w[_SL:_SL + 1] * p2
-    rv = w[_SL:_SL + 1] * p1 + w[_CL:_CL + 1] * p2
-    return jnp.concatenate([av, rv, dd], axis=0)
+        p1 = p1 + w[_F6] * b(8)
+        dd = dd + w[_F6] * b(9)
+    av = w[_CL] * p1 - w[_SL] * p2
+    rv = w[_SL] * p1 + w[_CL] * p2
+    # c[t] = (1-frac)*x[t+1] + frac*x[t]  (sparse_trace.f90's 2-tap shift)
+    ca = w[_FR0] * pltpu.roll(av, T - 1, 1) + w[_FR1] * av
+    cr = w[_FR0] * pltpu.roll(rv, T - 1, 1) + w[_FR1] * rv
+    cd = w[_FR0] * pltpu.roll(dd, T - 1, 1) + w[_FR1] * dd
+    return ca, cr, cd
+
+
+def _scatter_group(G, BP, acc, kk_ref, kbase, ca, cr, cd):
+    """Accumulate each centroid's [3, T] channel rows into its kk shift
+    bucket (dynamic-sublane-offset RMW; see module docstring).  Probed on
+    v5e: forcing kk static changes nothing (7.2 vs 7.1 ms on the 64x10x195
+    batch), so the dynamic-offset RMW chain is NOT a bottleneck."""
+    for g in range(G):
+        kk = kk_ref[kbase + g]
+        val = jnp.concatenate([ca[g:g + 1], cr[g:g + 1], cd[g:g + 1]], axis=0)
+        acc[pl.ds(kk * jnp.int32(BP), 3), :] += val
 
 
 def _bucket_combine(acc, D, BP, T, out_ref):
@@ -138,24 +172,13 @@ def ext_layout(cfg):
     return t, -(-cfg.ng // 8) * 8
 
 
-def _g_loop(G, p, centroid):
-    """Per-centroid loop: fully unrolled up to 4 (fastest; measured 9.6 ms
-    vs fori's 11.7 ms at G=4), block-unrolled by 4 inside a fori beyond
-    that to bound kernel code size / register pressure."""
-    if G <= 4:
-        for g in range(G):
-            centroid(p, jnp.int32(g))
-        return
-    full, rem = divmod(G, 4)
-
-    def body(i, _):
-        for j in range(4):
-            centroid(p, i * 4 + jnp.int32(j))
-        return 0
-
-    jax.lax.fori_loop(0, full, body, 0)
-    for j in range(rem):
-        centroid(p, jnp.int32(full * 4 + j))
+def _k_blocking(G, NT):
+    """Groups unrolled per fori body: enough independent groups to let
+    Mosaic interleave them (hiding the acc RMW dependency chain; measured
+    8.5 -> 5.3 ms for the 64x10x195 batch going from 1 to 8 bodies at
+    G=3), scaled down for wide time axes so the live [G, NT*128] vreg set
+    stays clear of register-spill territory."""
+    return max(1, min(8, 24 // max(G, 1)) // max(NT, 1))
 
 
 def _kernel(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
@@ -190,27 +213,12 @@ def _kernel(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
             + ws[2:3] * ext_ref[pl.ds((nd + s2) * jnp.int32(ngp), ng), :]
             + ws[3:4] * ext_ref[pl.ds((nd + s3) * jnp.int32(ngp), ng), :]
         )  # [ng, T]
-        sb = pltpu.roll(blend, T - 1, 1)  # static: sb[t] = blend[t+1]
+        w = _rep(w_ref[0, 0, p], NT)  # [NW, G, T] weight rows
+        ca, cr, cd = _group_math(w, blend, ng, T)
+        _scatter_group(G, BP, acc, kk_ref, (brp + p) * jnp.int32(G),
+                       ca, cr, cd)
 
-        def centroid(p, g):
-            kk = kk_ref[(brp + p) * jnp.int32(G) + g]
-            w = _rep(w_ref[0, 0, p, g], NT)  # [NW, T] weight rows
-            # pre-shift taps: c[t] = (1-fr)*blend[t+1] + fr*blend[t], so the
-            # per-centroid contribution is c[t + kk] -- accumulated into the
-            # kk shift bucket instead of dynamically rolled (scalar-amount
-            # lane rolls measured ~6.3 ms of the 11.3 ms kernel; the bucket
-            # RMW at a dynamic SUBLANE offset is near-free)
-            c = w[_FR0:_FR0 + 1] * sb + w[_FR1:_FR1 + 1] * blend
-            acc[pl.ds(kk * jnp.int32(BP), 3), :] += _contract(w, c, ng)
-
-        _g_loop(G, p, centroid)
-
-    # block the group loop so each fori body carries several independent
-    # groups: Mosaic interleaves them, hiding dependency stalls (measured
-    # 8.5 -> 5.3 ms for the 64x10x195 batch going from 1 to 8 groups per
-    # body at G=3); ~24 unrolled centroid blocks per body stays clear of
-    # register-spill territory
-    K = max(1, min(8, 24 // max(G, 1)))
+    K = _k_blocking(G, NT)
 
     def block(i, _):
         for j in range(K):
@@ -282,16 +290,11 @@ def _kernel_dma(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
             + ws[1:2] * rows[slot, 1]
             + ws[2:3] * rows[slot, 2]
             + ws[3:4] * rows[slot, 3]
-        )  # [ng, T]
-        sb = pltpu.roll(blend, T - 1, 1)
-
-        def centroid(p, g):
-            kk = kk_ref[(brp + p) * jnp.int32(G) + g]
-            w = _rep(w_ref[0, 0, p, g], NT)
-            c = w[_FR0:_FR0 + 1] * sb + w[_FR1:_FR1 + 1] * blend
-            acc[pl.ds(kk * jnp.int32(BP), 3), :] += _contract(w, c, ng)
-
-        _g_loop(G, p, centroid)
+        )  # [ngp, T]; pad rows beyond ng are never sliced by _group_math
+        w = _rep(w_ref[0, 0, p], NT)  # [NW, G, T]
+        ca, cr, cd = _group_math(w, blend, ng, T)
+        _scatter_group(G, BP, acc, kk_ref, (brp + p) * jnp.int32(G),
+                       ca, cr, cd)
         return 0
 
     jax.lax.fori_loop(0, Pb, group, 0)
@@ -325,11 +328,17 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     four neighbor slices stay in range; strides3: i32[3] neighbor node
     strides (zu, xu*nzw, xu*nzw + zu); kks: i32[B, R, P, G] lane slice
     starts (in [0, nt_ext - nt_out - 1]); wsp: f32[B, R, P, 4, 128]
-    lane-broadcast bilinear weights; wmeta: f32[B, R, P, G, NW, 128]
+    lane-broadcast bilinear weights; wmeta: f32[B, R, P, NW, G, 128]
     lane-broadcast per-centroid weight rows (f1..f6, cos_l, sin_l, 1-frac,
-    frac; invalid centroids carry zero f's).
+    frac; invalid centroids carry zero f's), group-major so each weight
+    row slices to a [G, 128] sublane stack.  G must be <= 8 (the sublane
+    stack height); pack_kinematics splits larger groups.
     """
     bb, rr, P = node_rows.shape
+    if G > 8:
+        raise ValueError(
+            f"window_forward: G={G} exceeds the 8-sublane stack; split "
+            "groups at pack time (pack_kinematics / packed_g)")
     D = int(nshift)
     T = int(ext_flat.shape[1])  # lane width: nt_ext padded to k*128
     if ngp is None:  # standalone callers: infer the compact-vs-padded rule
@@ -385,7 +394,7 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
                     ext_spec,
                     pl.BlockSpec((1, 1, Pb, 4, 128),
                                  lambda b, r, ip, *_: (b, r, ip, 0, 0)),
-                    pl.BlockSpec((1, 1, Pb, G, NW, 128),
+                    pl.BlockSpec((1, 1, Pb, NW, G, 128),
                                  lambda b, r, ip, *_: (b, r, ip, 0, 0, 0)),
                 ],
                 out_specs=pl.BlockSpec((1, 1, 8, T),
@@ -439,11 +448,20 @@ def pack_ext(ext, cfg):
     return e3.reshape(n * ngp, t)
 
 
+def packed_g(G):
+    """Effective per-group centroid count after the pack-time split:
+    groups taller than the 8-row sublane stack are split into ceil(G/8)
+    sub-groups of 8 (zero-weight padded)."""
+    return 8 if G > 8 else G
+
+
 def pack_kinematics(cfg, kin, G):
     """Batched kinematics dict ([B, R, C, ...] arrays) -> kernel operands.
 
     kin must carry f [.., C, 6], cos_l, sin_l (from _centroid_kinematics),
-    wsp, ixs, izs, ish, frac, valid.
+    wsp, ixs, izs, ish, frac, valid.  Groups with G > 8 are split into
+    ceil(G/8) sub-groups (the kernel stacks a group's centroids on the
+    8-row sublane axis); pass packed_g(G) as window_forward's G.
     """
     ng = cfg.ng
     bb, rr, C = kin["ish"].shape
@@ -470,16 +488,30 @@ def pack_kinematics(cfg, kin, G):
     cl = kin["cos_l"].reshape(bb, rr, P, G)
     sl = kin["sin_l"].reshape(bb, rr, P, G)
     fr = kin["frac"].reshape(bb, rr, P, G)
-    # lane-broadcast weight rows [B, R, P, G, NW, 128]: the kernel's inner
-    # loop is then pure vector FMAs (scalar vmem->sreg reads stall the VPU
-    # pipeline; measured 38 ms -> target ~6 ms for the 64x10x195 batch)
+    # lane-broadcast weight rows: the kernel's inner loop is then pure
+    # vector FMAs (scalar vmem->sreg reads stall the VPU pipeline;
+    # measured 38 ms -> target ~6 ms for the 64x10x195 batch)
     wrows = jnp.stack(
         [f[..., 0], f[..., 1], f[..., 2], f[..., 3], f[..., 4], f[..., 5],
          cl, sl, 1.0 - fr, fr],
         axis=-1,
     ).astype(F32)  # [B, R, P, G, NW]
-    wmeta = jnp.broadcast_to(wrows[..., None], wrows.shape + (128,))
     wsp4 = kin["wsp"][:, :, ::G].astype(F32)  # [B, R, P, 4]
+
+    if G > 8:
+        # split tall groups into ceil(G/8) sub-groups of 8: sub-groups
+        # re-fetch the same node rows; zero-weight pad rows are no-ops
+        s = -(-G // 8)
+        pad = ((0, 0), (0, 0), (0, 0), (0, s * 8 - G))
+        kk = jnp.pad(kk, pad).reshape(bb, rr, P * s, 8)
+        wrows = jnp.pad(wrows, pad + ((0, 0),)).reshape(bb, rr, P * s, 8, NW)
+        node_rows = jnp.repeat(node_rows, s, axis=2)
+        wsp4 = jnp.repeat(wsp4, s, axis=2)
+
+    # group-major weight rows [B, R, P, NW, Gp, 128]: each weight row
+    # slices to a [Gp, T] sublane stack in the kernel
+    wrows = jnp.swapaxes(wrows, -1, -2)  # [B, R, P, NW, Gp]
+    wmeta = jnp.broadcast_to(wrows[..., None], wrows.shape + (128,))
     wsp = jnp.broadcast_to(wsp4[..., None], wsp4.shape + (128,))
     return node_rows, strides3, kk, wsp, wmeta
 
@@ -490,6 +522,6 @@ def synthesize_ard_batch(ext_flat, cfg, kin, G, interpret=False):
     # kk is clipped to [0, nt_ext - nt_out - 1] => s_len shift buckets
     _t, ngp = ext_layout(cfg)
     out = window_forward(ext_flat, node_rows, strides3, kk, wsp, wmeta,
-                         G=G, ng=cfg.ng, ngp=ngp, nshift=cfg.s_len,
-                         interpret=interpret)
+                         G=packed_g(G), ng=cfg.ng, ngp=ngp,
+                         nshift=cfg.s_len, interpret=interpret)
     return out[..., : cfg.nt_out]

@@ -157,10 +157,10 @@ def test_usable_gates():
     assert n_rows * 128 * 4 > sw.VMEM_RESIDENT_BYTES
 
 
-def test_g_loop_block_unroll_matches_numpy_oracle():
-    """G > 4 takes the block-unrolled fori path in _g_loop (one fori block
-    of 4 + unrolled remainder at G=6); pin it against a numpy emulation of
-    the kernel math on synthetic operands."""
+def test_tall_group_matches_numpy_oracle():
+    """G = 6 (a taller-than-typical sublane stack, still <= 8): pin the
+    group-stacked kernel math against a numpy emulation on synthetic
+    operands."""
     from kiwi_tpu.synth import SynthConfig
 
     rng = np.random.default_rng(3)
@@ -177,7 +177,8 @@ def test_g_loop_block_unroll_matches_numpy_oracle():
     wsp = rng.random((B, R, P, 4)).astype(np.float32)
     wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
     wsp_b = jnp.broadcast_to(jnp.asarray(wsp)[..., None], wsp.shape + (128,))
-    wm_b = jnp.broadcast_to(jnp.asarray(wm)[..., None], wm.shape + (128,))
+    wm_t = np.swapaxes(wm, -1, -2)  # group-major [B, R, P, NW, G]
+    wm_b = jnp.broadcast_to(jnp.asarray(wm_t)[..., None], wm_t.shape + (128,))
 
     out = np.asarray(sw.window_forward(
         ext_flat, jnp.asarray(node), strides3, jnp.asarray(kks), wsp_b, wm_b,
@@ -231,7 +232,8 @@ def test_long_window_matches_numpy_oracle():
     wsp = rng.random((B, R, P, 4)).astype(np.float32)
     wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
     wsp_b = jnp.broadcast_to(jnp.asarray(wsp)[..., None], wsp.shape + (128,))
-    wm_b = jnp.broadcast_to(jnp.asarray(wm)[..., None], wm.shape + (128,))
+    wm_t = np.swapaxes(wm, -1, -2)  # group-major [B, R, P, NW, G]
+    wm_b = jnp.broadcast_to(jnp.asarray(wm_t)[..., None], wm_t.shape + (128,))
 
     out = np.asarray(sw.window_forward(
         ext_flat, jnp.asarray(node), strides3, jnp.asarray(kks), wsp_b, wm_b,
@@ -354,7 +356,8 @@ def test_p_axis_grid_split_matches_unsplit():
     wsp = rng.random((B, R, P, 4)).astype(np.float32)
     wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
     wsp_b = jnp.broadcast_to(jnp.asarray(wsp)[..., None], wsp.shape + (128,))
-    wm_b = jnp.broadcast_to(jnp.asarray(wm)[..., None], wm.shape + (128,))
+    wm_t = np.swapaxes(wm, -1, -2)  # group-major [B, R, P, NW, G]
+    wm_b = jnp.broadcast_to(jnp.asarray(wm_t)[..., None], wm_t.shape + (128,))
 
     args = (ext_flat, node, strides3, kks, wsp_b, wm_b)
     ref = np.asarray(sw.window_forward(*args, G=G, ng=ng, nshift=s_len,
@@ -425,7 +428,8 @@ def test_dma_variant_with_p_split(monkeypatch):
     wsp = rng.random((B, R, P, 4)).astype(np.float32)
     wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
     wsp_b = jnp.broadcast_to(jnp.asarray(wsp)[..., None], wsp.shape + (128,))
-    wm_b = jnp.broadcast_to(jnp.asarray(wm)[..., None], wm.shape + (128,))
+    wm_t = np.swapaxes(wm, -1, -2)  # group-major [B, R, P, NW, G]
+    wm_b = jnp.broadcast_to(jnp.asarray(wm_t)[..., None], wm_t.shape + (128,))
     args = (ext_flat, node, strides3, kks, wsp_b, wm_b)
 
     ref = np.asarray(sw.window_forward(*args, G=G, ng=ng, nshift=s_len,
@@ -449,3 +453,59 @@ def test_dma_variant_with_p_split(monkeypatch):
         sw.window_forward.clear_cache()
     scale = max(np.abs(ref).max(), 1e-30)
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=scale * 1e-6)
+
+
+def test_g_split_matches_grouped_xla():
+    """gsize > 8 (e.g. device-eikonal plans with many time cells per node):
+    pack_kinematics splits groups into ceil(G/8) zero-padded sub-groups of
+    8; the result must match the XLA grouped path at the original G."""
+    from kiwi_tpu.synth import SynthConfig
+
+    rng = np.random.default_rng(17)
+    B, R, G = 2, 2, 10
+    P, ng = 4, 10
+    C = P * G
+    nxw, nzw = 7, 6
+    nt_out, s_len = 40, 24
+    s_base = -8
+    nt_ext = nt_out + s_len
+    cfg = SynthConfig(
+        dt=0.1, dx=100.0, dz=100.0, firstx=100.0, firstz=0.0, ng=ng,
+        nt=nt_ext, ix0=0, iz0=0, nxw=nxw, nzw=nzw, out_it0=0,
+        nt_out=nt_out, s_base=s_base, s_len=s_len,
+    )
+    ext = jnp.asarray(
+        rng.normal(size=(nxw, nzw, ng, nt_ext)).astype(np.float32))
+
+    def per_group(a):
+        return np.repeat(a, G, axis=-1)
+
+    ix0 = per_group(rng.integers(0, nxw - 1, size=(B, R, P)))
+    iz0 = per_group(rng.integers(0, nzw - 1, size=(B, R, P)))
+    ixs = np.stack([ix0, ix0 + 1], axis=-1).astype(np.int32)
+    izs = np.stack([iz0, iz0 + 1], axis=-1).astype(np.int32)
+    wsp = np.repeat(rng.random((B, R, P, 4)).astype(np.float32), G, axis=2)
+    kin = {
+        "ixs": jnp.asarray(ixs),
+        "izs": jnp.asarray(izs),
+        "wsp": jnp.asarray(wsp),
+        "ish": jnp.asarray(rng.integers(
+            s_base, s_base + s_len, size=(B, R, C)).astype(np.int32)),
+        "frac": jnp.asarray(rng.random((B, R, C)).astype(np.float32)),
+        "valid": jnp.asarray(rng.random((B, R, C)) > 0.2),
+        "f": jnp.asarray(rng.normal(size=(B, R, C, 6)).astype(np.float32)),
+        "cos_l": jnp.asarray(rng.random((B, R, C)).astype(np.float32)),
+        "sin_l": jnp.asarray(rng.random((B, R, C)).astype(np.float32)),
+    }
+    ext_flat = sw.pack_ext(ext, cfg)
+    got = np.asarray(
+        sw.synthesize_ard_batch(ext_flat, cfg, kin, G, interpret=True))
+
+    def oracle_one(k):
+        k = dict(k)
+        k["wg"] = synth._group_weights(k["f"], k["cos_l"], k["sin_l"], ng)
+        return synth._grouped_accumulate(ext, cfg, k, G)
+
+    ref = np.asarray(jax.vmap(jax.vmap(oracle_one))(kin))
+    scale = max(np.abs(ref).max(), 1e-30)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=scale * 1e-5)
