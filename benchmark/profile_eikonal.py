@@ -180,7 +180,28 @@ def main():
             f"per {len(ix0)}-chunk "
             f"(x{len(idxs)} chunks => {len(idxs)*(t_kin+t_kern)*1e3:.1f} ms)")
 
-    # 6. end-to-end
+    # 6. end-to-end, split into the engine's own stages
+    def disc_full():
+        out = eng._discretize_batch(batch)
+        jax.block_until_ready(out[0])
+        return out
+
+    t_dfull = timeit(disc_full, n=3)
+    log(f"6a. _discretize_batch (blocking): {t_dfull*1e3:8.1f} ms "
+        f"(host prep + device dispatch + sync)")
+
+    t0 = time.time()
+    pf = np.array([model.post_factors(q) for q in batch], dtype=np.float32)
+    t_post = time.time() - t0
+    log(f"6b. post_factors host loop:       {t_post*1e3:8.1f} ms")
+
+    def mfs():
+        m, n, fs = eng.misfits_for_source_batch(batch)
+        return m
+
+    t_mfs = timeit(mfs, n=3)
+    log(f"6c. misfits_for_source_batch:     {t_mfs*1e3:8.1f} ms (blocking)")
+
     def e2e():
         return jnp.asarray(eng.global_misfits_for_source_batch(batch))
 

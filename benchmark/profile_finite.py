@@ -101,9 +101,11 @@ def main():
     log(f"2. kinematics (XLA):              {t_kin*1e3:8.2f} ms")
 
     # 3. pack alone (from materialized kinematics)
+    S = sw.choose_s(cfg, int(geom_recs["bazi"].shape[0]))
+
     @jax.jit
     def pack_fn(k):
-        return sw.pack_kinematics(cfg, k, gsize)
+        return sw.pack_kinematics(cfg, k, gsize, S=S)
 
     t_pack = pipelined(lambda: pack_fn(kin))
     log(f"3. pack_kinematics (XLA):         {t_pack*1e3:8.2f} ms")
@@ -119,8 +121,9 @@ def main():
     ext_flat = jax.jit(sw.pack_ext, static_argnums=1)(ext, cfg)
     _t, ngp = sw.ext_layout(cfg)
     t_kern = pipelined(lambda: sw.window_forward(
-        ext_flat, *ops, G=sw.packed_g(gsize), ng=cfg.ng, ngp=ngp, nshift=cfg.s_len))
-    log(f"4. window kernel alone:           {t_kern*1e3:8.2f} ms")
+        ext_flat, *ops, G=sw.packed_g(gsize), ng=cfg.ng, ngp=ngp,
+        nshift=cfg.s_len, S=S))
+    log(f"4. window kernel alone:           {t_kern*1e3:8.2f} ms (S={S})")
 
     # 6. full forward chunk
     def fwd():

@@ -62,6 +62,7 @@ Layout (v5e/v5p):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -76,19 +77,26 @@ _F1, _F2, _F3, _F4, _F5, _F6, _CL, _SL, _FR0, _FR1 = range(10)
 NW = 10  # weight rows per centroid
 
 
-def _group_math(w, blend, ng, T):
+def _group_math(w, blend, ng, L):
     """Group-stacked synthesis math.
 
-    w: [NW, G, T] lane-tiled weight rows for the group's G centroids;
-    blend: [>=ng, T] bilinear-blended GF rows shared by the group (pad
+    w: [NW, G, L] lane-tiled weight rows for the group's G centroids;
+    blend: [>=ng, L] bilinear-blended GF rows shared by the group (pad
     rows beyond ng are never touched -- rows are sliced explicitly).
-    Returns (ca, cr, cd) [G, T]: per-centroid away/right/down rows,
+    Returns (ca, cr, cd) [G, L]: per-centroid away/right/down rows,
     channel-contracted, backazimuth-rotated and 2-tap fractionally
     shifted.  The tap blend commutes with the (linear, time-pointwise)
     contraction, so applying it on the 3 channel rows instead of the ng
     GF rows is exact up to f32 reassociation and saves ~2x the FMAs.
     Implements seismogram.f90:171-251's weight mapping (see
-    synth._group_weights) stacked over the sublane axis."""
+    synth._group_weights) stacked over the sublane axis.
+
+    When L packs S receiver windows of T lanes each (S > 1), the tap roll
+    wraps window s+1's first lane into window s's last lane: lane T-1 of
+    each window is therefore unspecified.  That lane is never part of the
+    valid output (T >= nt_out + s_len and the plan bounds kk by s_len-1,
+    so valid lanes stop at nt_out - 1 + kk < T - 1); callers slice
+    [..., :nt_out]."""
     def b(r):
         return blend[r:r + 1]
 
@@ -101,9 +109,9 @@ def _group_math(w, blend, ng, T):
     av = w[_CL] * p1 - w[_SL] * p2
     rv = w[_SL] * p1 + w[_CL] * p2
     # c[t] = (1-frac)*x[t+1] + frac*x[t]  (sparse_trace.f90's 2-tap shift)
-    ca = w[_FR0] * pltpu.roll(av, T - 1, 1) + w[_FR1] * av
-    cr = w[_FR0] * pltpu.roll(rv, T - 1, 1) + w[_FR1] * rv
-    cd = w[_FR0] * pltpu.roll(dd, T - 1, 1) + w[_FR1] * dd
+    ca = w[_FR0] * pltpu.roll(av, L - 1, 1) + w[_FR1] * av
+    cr = w[_FR0] * pltpu.roll(rv, L - 1, 1) + w[_FR1] * rv
+    cd = w[_FR0] * pltpu.roll(dd, L - 1, 1) + w[_FR1] * dd
     return ca, cr, cd
 
 
@@ -118,22 +126,25 @@ def _scatter_group(G, BP, acc, kk_ref, kbase, ca, cr, cd):
         acc[pl.ds(kk * jnp.int32(BP), 3), :] += val
 
 
-def _bucket_combine(acc, D, BP, T, out_ref):
-    """acc [D*BP, T] shift buckets -> output rows via D static rolls.
-    out[t] = sum_d acc[d][(t + d) mod T]; used lanes never wrap (the
-    plan bounds kk by nt_ext - nt_out - 1 and pack_ext zero-pads)."""
-    a_acc = jnp.zeros((1, T), F32)
-    r_acc = jnp.zeros((1, T), F32)
-    d_acc = jnp.zeros((1, T), F32)
+def _bucket_combine(acc, D, BP, L, out_ref):
+    """acc [D*BP, L] shift buckets -> output rows via D static rolls.
+    out[t] = sum_d acc[d][(t + d) mod L]; used lanes never wrap (the
+    plan bounds kk by nt_ext - nt_out - 1 and pack_ext zero-pads).  When
+    L packs S receiver windows, the roll drags window s+1's head into
+    window s's last d lanes -- all beyond nt_out (see _group_math), so
+    per-window rolls are unnecessary."""
+    a_acc = jnp.zeros((1, L), F32)
+    r_acc = jnp.zeros((1, L), F32)
+    d_acc = jnp.zeros((1, L), F32)
     for d in range(D):
-        amt = (T - d) % T
+        amt = (L - d) % L
         a_acc = a_acc + pltpu.roll(acc[d * BP:d * BP + 1, :], amt, 1)
         r_acc = r_acc + pltpu.roll(acc[d * BP + 1:d * BP + 2, :], amt, 1)
         d_acc = d_acc + pltpu.roll(acc[d * BP + 2:d * BP + 3, :], amt, 1)
     out_ref[0, 0, 0:1, :] = a_acc
     out_ref[0, 0, 1:2, :] = r_acc
     out_ref[0, 0, 2:3, :] = d_acc
-    out_ref[0, 0, 3:8, :] = jnp.zeros((5, T), F32)
+    out_ref[0, 0, 3:8, :] = jnp.zeros((5, L), F32)
 
 
 def _rep(w, NT):
@@ -141,6 +152,18 @@ def _rep(w, NT):
     are lane-constant (broadcast from [.., 1]), so tile-vs-element repeat
     semantics are irrelevant; Mosaic lowers this to vreg copies."""
     return w if NT == 1 else pltpu.repeat(w, NT, w.ndim - 1)
+
+
+def _widen(w, S, NT):
+    """Widen a per-receiver-tile weight operand [.., S*128] to the full
+    lane width [.., S*NT*128]: receiver window s's values live in source
+    tile s and must tile that window's NT lane-tiles."""
+    if NT == 1:
+        return w
+    if S == 1:
+        return _rep(w, NT)
+    parts = [_rep(w[..., s * 128:(s + 1) * 128], NT) for s in range(S)]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def bucket_pitch(T):
@@ -181,44 +204,75 @@ def _k_blocking(G, NT):
     return max(1, min(8, 24 // max(G, 1)) // max(NT, 1))
 
 
-def _kernel(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
+def _kernel(G, ng, ngp, Pb, Ptot, rr, NP, D, T, S, contig,
             node_ref, kk_ref,  # scalar prefetch (SMEM)
             ext_ref, wsp_ref, w_ref,  # VMEM
             out_ref, acc):
+    """rr is the receiver-BLOCK count (padded receivers / S); each program
+    synthesizes S receivers side by side in the lane axis (their shift
+    buckets are shared: kk derives from the centroid time only,
+    receiver-independent), so the group math, taps and scatter RMWs
+    amortize S-fold; only the 4-neighbor gathers stay per-receiver."""
     NT = T // 128
-    BP = bucket_pitch(T)
+    L = S * T
+    BP = bucket_pitch(L)
     b = pl.program_id(0)
-    r = pl.program_id(1)
+    r = pl.program_id(1)  # receiver block
     ip = pl.program_id(2)  # P-axis block (bounds the double-buffered VMEM
     # weight blocks; acc persists across ip steps of one (b, r))
     nb = pl.num_programs(0)
     brp = (b * jnp.int32(rr) + r) * jnp.int32(Ptot) + ip * jnp.int32(Pb)
-    sbase = jnp.int32(nb) * jnp.int32(rr) * jnp.int32(Ptot)  # strides here
+    # node_rows is laid out per RECEIVER [B, rr*S, Ptot]; strides follow
+    sbase = jnp.int32(nb) * jnp.int32(rr * S) * jnp.int32(Ptot)
     s1 = node_ref[sbase + 0]
     s2 = node_ref[sbase + 1]
     s3 = node_ref[sbase + 2]
+    nbase = [
+        ((b * jnp.int32(rr) + r) * jnp.int32(S) + s) * jnp.int32(Ptot)
+        + ip * jnp.int32(Pb)
+        for s in range(S)
+    ]
 
     @pl.when(ip == 0)
     def _zero():
-        acc[...] = jnp.zeros((D * BP, T), F32)
+        acc[...] = jnp.zeros((D * BP, L), F32)
 
     def group(p):
-        nd = node_ref[brp + p]  # node index, pre-clamped
-        ws = _rep(wsp_ref[0, 0, p], NT)  # [4, T] lane-broadcast weights
-        # row offsets as (node + stride) * pitch: with ngp % 8 == 0 (the
-        # T > 128 layout) Mosaic can prove the sublane alignment
-        blend = (
-            ws[0:1] * ext_ref[pl.ds(nd * jnp.int32(ngp), ng), :]
-            + ws[1:2] * ext_ref[pl.ds((nd + s1) * jnp.int32(ngp), ng), :]
-            + ws[2:3] * ext_ref[pl.ds((nd + s2) * jnp.int32(ngp), ng), :]
-            + ws[3:4] * ext_ref[pl.ds((nd + s3) * jnp.int32(ngp), ng), :]
-        )  # [ng, T]
-        w = _rep(w_ref[0, 0, p], NT)  # [NW, G, T] weight rows
-        ca, cr, cd = _group_math(w, blend, ng, T)
+        wsp_all = wsp_ref[0, 0, p]  # [4, S*128]
+        blends = []
+        for s in range(S):
+            nd = node_ref[nbase[s] + p]  # node index, pre-clamped
+            ws = _rep(wsp_all[:, s * 128:(s + 1) * 128], NT)  # [4, T]
+            # row offsets as (node + stride) * pitch: with ngp % 8 == 0
+            # (the T > 128 layout) Mosaic can prove the sublane alignment
+            if contig:
+                # zu == 1: neighbor pairs (nd, nd+1) and (nd+s2, nd+s2+1)
+                # are adjacent node rows -- fetch each pair in ONE dynamic
+                # slice (halves the address->load dependency chains) and
+                # split with static sub-slices
+                m1 = ext_ref[pl.ds(nd * jnp.int32(ngp), 2 * ngp), :]
+                m2 = ext_ref[pl.ds((nd + s2) * jnp.int32(ngp), 2 * ngp), :]
+                blends.append(
+                    ws[0:1] * m1[0:ng] + ws[1:2] * m1[ngp:ngp + ng]
+                    + ws[2:3] * m2[0:ng] + ws[3:4] * m2[ngp:ngp + ng]
+                )  # [ng, T]
+            else:
+                blends.append(
+                    ws[0:1] * ext_ref[pl.ds(nd * jnp.int32(ngp), ng), :]
+                    + ws[1:2]
+                    * ext_ref[pl.ds((nd + s1) * jnp.int32(ngp), ng), :]
+                    + ws[2:3]
+                    * ext_ref[pl.ds((nd + s2) * jnp.int32(ngp), ng), :]
+                    + ws[3:4]
+                    * ext_ref[pl.ds((nd + s3) * jnp.int32(ngp), ng), :]
+                )  # [ng, T]
+        blend = blends[0] if S == 1 else jnp.concatenate(blends, axis=1)
+        w = _widen(w_ref[0, 0, p], S, NT)  # [NW, G, L] weight rows
+        ca, cr, cd = _group_math(w, blend, ng, L)
         _scatter_group(G, BP, acc, kk_ref, (brp + p) * jnp.int32(G),
                        ca, cr, cd)
 
-    K = _k_blocking(G, NT)
+    K = _k_blocking(G, NT * S)
 
     def block(i, _):
         for j in range(K):
@@ -231,7 +285,7 @@ def _kernel(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
 
     @pl.when(ip == jnp.int32(NP - 1))
     def _emit():
-        _bucket_combine(acc, D, BP, T, out_ref)
+        _bucket_combine(acc, D, BP, L, out_ref)
 
 
 def _kernel_dma(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
@@ -315,46 +369,62 @@ VMEM_BUDGET_BYTES = 11 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("G", "ng", "ngp", "nshift",
-                                             "interpret"))
+                                             "S", "contig", "interpret"))
 def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
-                   G, ng, nshift, ngp=None, interpret=False):
-    """ard f32[B, R, 3, 128] from a GF window (VMEM-resident when it fits,
+                   G, ng, nshift, ngp=None, S=1, contig=False,
+                   interpret=False):
+    """ard f32[B, Rp, 3, T] from a GF window (VMEM-resident when it fits,
     HBM + double-buffered row DMA otherwise).
 
     ext_flat: f32[N*row_pitch(ng, T), T] edge-extended rows, time
     zero-padded to a multiple of 128 lanes (T <= T_MAX), node rows padded
     to row_pitch;
-    node_rows: i32[B, R, P] bilinear-origin NODE index, pre-clamped so all
-    four neighbor slices stay in range; strides3: i32[3] neighbor node
-    strides (zu, xu*nzw, xu*nzw + zu); kks: i32[B, R, P, G] lane slice
-    starts (in [0, nt_ext - nt_out - 1]); wsp: f32[B, R, P, 4, 128]
-    lane-broadcast bilinear weights; wmeta: f32[B, R, P, NW, G, 128]
-    lane-broadcast per-centroid weight rows (f1..f6, cos_l, sin_l, 1-frac,
-    frac; invalid centroids carry zero f's), group-major so each weight
-    row slices to a [G, 128] sublane stack.  G must be <= 8 (the sublane
-    stack height); pack_kinematics splits larger groups.
+    node_rows: i32[B, Rp, P] bilinear-origin NODE index, pre-clamped so
+    all four neighbor slices stay in range (Rp = RS*S padded receivers);
+    strides3: i32[3] neighbor node strides (zu, xu*nzw, xu*nzw + zu);
+    kks: i32[B, RS, P, G] lane slice starts (in [0, nt_ext - nt_out - 1]),
+    shared by the S receivers of each block (the integer shift derives
+    from the centroid time only); wsp: f32[B, RS, P, 4, S*128]
+    lane-broadcast bilinear weights (tile s = receiver rs*S + s); wmeta:
+    f32[B, RS, P, NW, G, S*128] lane-broadcast per-centroid weight rows
+    (f1..f6, cos_l, sin_l, 1-frac, frac; invalid centroids carry zero
+    f's), group-major so each weight row slices to a [G, S*128] sublane
+    stack.  G must be <= 8 (the sublane stack height); pack_kinematics
+    splits larger groups.  S > 1 packs S receivers into the lane axis of
+    one program (resident variant only): math, taps and scatter RMWs
+    amortize S-fold and the per-program fixed cost (measured ~30% at
+    S=1, T=128) drops S-fold; lanes >= nt_out of each window are
+    unspecified (see _group_math).
     """
-    bb, rr, P = node_rows.shape
+    bb, rp, P = node_rows.shape
     if G > 8:
         raise ValueError(
             f"window_forward: G={G} exceeds the 8-sublane stack; split "
             "groups at pack time (pack_kinematics / packed_g)")
+    if rp % S:
+        raise ValueError(f"window_forward: padded receivers {rp} not a "
+                         f"multiple of S={S}")
+    rr = rp // S  # receiver blocks
     D = int(nshift)
     T = int(ext_flat.shape[1])  # lane width: nt_ext padded to k*128
+    L = S * T
     if ngp is None:  # standalone callers: infer the compact-vs-padded rule
         ngp = ng if T <= 128 else -(-ng // 8) * 8
-    bp = bucket_pitch(T)
+    bp = bucket_pitch(L)
     ext_bytes = int(ext_flat.shape[0]) * T * 4
     resident = ext_bytes <= VMEM_RESIDENT_BYTES
+    if S > 1 and not resident:
+        raise ValueError("window_forward: S > 1 requires a VMEM-resident "
+                         "window (choose_s gates this)")
 
     # split the P axis over a third grid dimension when the per-(b, r)
     # weight blocks would blow scoped VMEM: Mosaic double-buffers blocked
     # operands, so a P=380, G=4 plan would otherwise request ~28 MB
     # against the 16 MB limit.  acc persists across the ip steps of one
     # (b, r); the output is emitted on the last step.
-    per_p = (G * NW + 4) * 128 * 4
+    per_p = (G * NW + 4) * S * 128 * 4
     fixed = (ext_bytes if resident else 2 * 4 * ngp * T * 4) \
-        + (D * bp + 8 + 3 * ngp) * T * 4
+        + (D * bp + 8 + 3 * ngp) * L * 4
     budget = max(VMEM_BUDGET_BYTES - fixed, 2 * per_p)
     Pb = int(max(1, min(P, budget // (2 * per_p))))
     NP = -(-P // Pb)
@@ -373,9 +443,9 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
         )
         if resident:
             kernel = functools.partial(
-                _kernel, G, ng, ngp, Pb, Ptot, rr, NP, D, T)
+                _kernel, G, ng, ngp, Pb, Ptot, rr, NP, D, T, S, contig)
             ext_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-            scratch = [pltpu.VMEM((D * bp, T), F32)]
+            scratch = [pltpu.VMEM((D * bp, L), F32)]
         else:
             kernel = functools.partial(
                 _kernel_dma, G, ng, ngp, Pb, Ptot, rr, NP, D, T)
@@ -392,20 +462,24 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
                 grid=(bb, rr, NP),
                 in_specs=[
                     ext_spec,
-                    pl.BlockSpec((1, 1, Pb, 4, 128),
+                    pl.BlockSpec((1, 1, Pb, 4, S * 128),
                                  lambda b, r, ip, *_: (b, r, ip, 0, 0)),
-                    pl.BlockSpec((1, 1, Pb, NW, G, 128),
+                    pl.BlockSpec((1, 1, Pb, NW, G, S * 128),
                                  lambda b, r, ip, *_: (b, r, ip, 0, 0, 0)),
                 ],
-                out_specs=pl.BlockSpec((1, 1, 8, T),
+                out_specs=pl.BlockSpec((1, 1, 8, L),
                                        lambda b, r, ip, *_: (b, r, 0, 0)),
                 scratch_shapes=scratch,
             ),
-            out_shape=jax.ShapeDtypeStruct((bb, rr, 8, T), F32),
+            out_shape=jax.ShapeDtypeStruct((bb, rr, 8, L), F32),
             interpret=interpret,
         )(nodes_flat, kks.reshape(-1).astype(I32), ext_flat,
           wsp.astype(F32), wmeta.astype(F32))
-    return out[:, :, :3, :]
+    if S == 1:
+        return out[:, :, :3, :]
+    # unpack the S receiver windows from the lane axis
+    out = out.reshape(bb, rr, 8, S, T)
+    return jnp.swapaxes(out, 2, 3).reshape(bb, rp, 8, T)[:, :, :3, :]
 
 
 # ---------------------------------------------------------------------------
@@ -455,13 +529,41 @@ def packed_g(G):
     return 8 if G > 8 else G
 
 
-def pack_kinematics(cfg, kin, G):
+def choose_s(cfg, nrec):
+    """Receivers packed per kernel program (the S lane windows).
+
+    Larger S amortizes the per-program fixed cost and the group math /
+    scatter RMWs (the integer shift is receiver-independent), at the cost
+    of zero-weight pad receivers when S does not divide nrec.  Gated to
+    the VMEM-resident kernel variant; score = effective receiver lanes
+    per unit of kernel work."""
+    t, ngp = ext_layout(cfg)
+    n = cfg.nxw * cfg.nzw
+    if n * ngp * t * 4 > VMEM_RESIDENT_BYTES:
+        return 1  # HBM + row-DMA variant runs one receiver per program
+    env = os.environ.get("KIWI_WINDOW_S")
+    if env:
+        return max(1, min(8, int(env)))
+    # MEASURED AND REJECTED as a default (v5e, 64x10x195 bilateral,
+    # 8.1 MB resident window): kernel 5.4 / 8.0 / 9.3 / 12.5 ms at
+    # S = 1 / 2 / 4 / 8.  The hoped-for amortization of the group math
+    # and shared-kk scatter across receiver lane windows is outweighed by
+    # the per-receiver blend concats and the S-fold wider VMEM transient
+    # traffic.  The mechanism stays for ablation via KIWI_WINDOW_S.
+    return 1
+
+
+def pack_kinematics(cfg, kin, G, S=1):
     """Batched kinematics dict ([B, R, C, ...] arrays) -> kernel operands.
 
     kin must carry f [.., C, 6], cos_l, sin_l (from _centroid_kinematics),
     wsp, ixs, izs, ish, frac, valid.  Groups with G > 8 are split into
     ceil(G/8) sub-groups (the kernel stacks a group's centroids on the
-    8-row sublane axis); pass packed_g(G) as window_forward's G.
+    8-row sublane axis); pass packed_g(G) as window_forward's G.  With
+    S > 1, receivers are padded to a multiple of S and packed S per lane
+    axis (choose_s picks S); kk is taken from each block's first receiver
+    (it derives from the centroid time only -- receiver-independent by
+    construction of _centroid_kinematics).
     """
     ng = cfg.ng
     bb, rr, C = kin["ish"].shape
@@ -507,21 +609,51 @@ def pack_kinematics(cfg, kin, G):
         wrows = jnp.pad(wrows, pad + ((0, 0),)).reshape(bb, rr, P * s, 8, NW)
         node_rows = jnp.repeat(node_rows, s, axis=2)
         wsp4 = jnp.repeat(wsp4, s, axis=2)
+        P = P * s
 
-    # group-major weight rows [B, R, P, NW, Gp, 128]: each weight row
-    # slices to a [Gp, T] sublane stack in the kernel
+    # group-major weight rows: each weight row slices to a [Gp, lanes]
+    # sublane stack in the kernel
     wrows = jnp.swapaxes(wrows, -1, -2)  # [B, R, P, NW, Gp]
-    wmeta = jnp.broadcast_to(wrows[..., None], wrows.shape + (128,))
-    wsp = jnp.broadcast_to(wsp4[..., None], wsp4.shape + (128,))
+    if S == 1:
+        wmeta = jnp.broadcast_to(wrows[..., None], wrows.shape + (128,))
+        wsp = jnp.broadcast_to(wsp4[..., None], wsp4.shape + (128,))
+        return node_rows, strides3, kk, wsp, wmeta
+
+    # S receivers per lane axis: pad receivers to a multiple of S (zero
+    # weights -> no-op lanes), then pack each block's weights into S
+    # 128-lane tiles
+    rp = -(-rr // S) * S
+    if rp > rr:
+        padr = ((0, 0), (0, rp - rr), (0, 0))
+        node_rows = jnp.pad(node_rows, padr)
+        kk = jnp.pad(kk, padr + ((0, 0),))
+        wrows = jnp.pad(wrows, padr + ((0, 0), (0, 0)))
+        wsp4 = jnp.pad(wsp4, padr + ((0, 0),))
+    rs = rp // S
+    kk = kk[:, ::S]  # [B, RS, P, G]: receiver-independent by construction
+    gp = wrows.shape[-1]
+    # [B, RS, S, P, NW, Gp] -> [B, RS, P, NW, Gp, S, 128] -> [.., S*128]
+    wb = wrows.reshape(bb, rs, S, P, NW, gp).transpose(0, 1, 3, 4, 5, 2)
+    wmeta = jnp.broadcast_to(
+        wb[..., None], wb.shape + (128,)
+    ).reshape(bb, rs, P, NW, gp, S * 128)
+    sb = wsp4.reshape(bb, rs, S, P, 4).transpose(0, 1, 3, 4, 2)
+    wsp = jnp.broadcast_to(
+        sb[..., None], sb.shape + (128,)
+    ).reshape(bb, rs, P, 4, S * 128)
     return node_rows, strides3, kk, wsp, wmeta
 
 
 def synthesize_ard_batch(ext_flat, cfg, kin, G, interpret=False):
     """ard f32[B, R, 3, nt_out] for a (source, receiver) batch."""
-    node_rows, strides3, kk, wsp, wmeta = pack_kinematics(cfg, kin, G)
+    nrec = kin["ish"].shape[1]
+    S = choose_s(cfg, nrec)
+    node_rows, strides3, kk, wsp, wmeta = pack_kinematics(cfg, kin, G, S=S)
     # kk is clipped to [0, nt_ext - nt_out - 1] => s_len shift buckets
     _t, ngp = ext_layout(cfg)
+    contig = (cfg.zunder if cfg.interpolate else 1) == 1
     out = window_forward(ext_flat, node_rows, strides3, kk, wsp, wmeta,
                          G=packed_g(G), ng=cfg.ng, ngp=ngp,
-                         nshift=cfg.s_len, interpret=interpret)
-    return out[..., : cfg.nt_out]
+                         nshift=cfg.s_len, S=S, contig=contig,
+                         interpret=interpret)
+    return out[:, :nrec, :, : cfg.nt_out]

@@ -489,8 +489,11 @@ def test_g_split_matches_grouped_xla():
         "ixs": jnp.asarray(ixs),
         "izs": jnp.asarray(izs),
         "wsp": jnp.asarray(wsp),
-        "ish": jnp.asarray(rng.integers(
-            s_base, s_base + s_len, size=(B, R, C)).astype(np.int32)),
+        # receiver-invariant (ish = floor(centroid time / dt) in
+        # production; the S-packed kernel relies on it)
+        "ish": jnp.asarray(np.broadcast_to(rng.integers(
+            s_base, s_base + s_len, size=(B, 1, C)).astype(np.int32),
+            (B, R, C))),
         "frac": jnp.asarray(rng.random((B, R, C)).astype(np.float32)),
         "valid": jnp.asarray(rng.random((B, R, C)) > 0.2),
         "f": jnp.asarray(rng.normal(size=(B, R, C, 6)).astype(np.float32)),
@@ -507,5 +510,65 @@ def test_g_split_matches_grouped_xla():
         return synth._grouped_accumulate(ext, cfg, k, G)
 
     ref = np.asarray(jax.vmap(jax.vmap(oracle_one))(kin))
+    scale = max(np.abs(ref).max(), 1e-30)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=scale * 1e-5)
+
+
+def test_receiver_lane_packing_matches_grouped_xla(monkeypatch):
+    """S > 1 (receivers packed into the lane axis, R not a multiple of S):
+    parity against the XLA grouped path, including the zero-weight pad
+    receiver and the shared-kk invariant.  S > 1 is off by default
+    (measured slower on v5e; see choose_s) -- forced via KIWI_WINDOW_S
+    here to keep the packed path correct for ablations."""
+    from kiwi_tpu.synth import SynthConfig
+
+    monkeypatch.setenv("KIWI_WINDOW_S", "2")
+    rng = np.random.default_rng(23)
+    B, R, G = 2, 3, 3
+    P, ng = 5, 10
+    C = P * G
+    nxw, nzw = 7, 6
+    nt_out, s_len = 40, 24
+    s_base = -8
+    nt_ext = nt_out + s_len
+    cfg = SynthConfig(
+        dt=0.1, dx=100.0, dz=100.0, firstx=100.0, firstz=0.0, ng=ng,
+        nt=nt_ext, ix0=0, iz0=0, nxw=nxw, nzw=nzw, out_it0=0,
+        nt_out=nt_out, s_base=s_base, s_len=s_len,
+    )
+    assert sw.choose_s(cfg, R) == 2
+    ext = jnp.asarray(
+        rng.normal(size=(nxw, nzw, ng, nt_ext)).astype(np.float32))
+
+    def per_group(a):
+        return np.repeat(a, G, axis=-1)
+
+    ix0 = per_group(rng.integers(0, nxw - 1, size=(B, R, P)))
+    iz0 = per_group(rng.integers(0, nzw - 1, size=(B, R, P)))
+    kin = {
+        "ixs": jnp.asarray(np.stack([ix0, ix0 + 1], axis=-1).astype(np.int32)),
+        "izs": jnp.asarray(np.stack([iz0, iz0 + 1], axis=-1).astype(np.int32)),
+        "wsp": jnp.asarray(np.repeat(
+            rng.random((B, R, P, 4)).astype(np.float32), G, axis=2)),
+        "ish": jnp.asarray(np.broadcast_to(rng.integers(
+            s_base, s_base + s_len, size=(B, 1, C)).astype(np.int32),
+            (B, R, C))),
+        "frac": jnp.asarray(rng.random((B, R, C)).astype(np.float32)),
+        "valid": jnp.asarray(rng.random((B, R, C)) > 0.2),
+        "f": jnp.asarray(rng.normal(size=(B, R, C, 6)).astype(np.float32)),
+        "cos_l": jnp.asarray(rng.random((B, R, C)).astype(np.float32)),
+        "sin_l": jnp.asarray(rng.random((B, R, C)).astype(np.float32)),
+    }
+    ext_flat = sw.pack_ext(ext, cfg)
+    got = np.asarray(
+        sw.synthesize_ard_batch(ext_flat, cfg, kin, G, interpret=True))
+    assert got.shape == (B, R, 3, nt_out)
+
+    def oracle_one(k):
+        k = dict(k)
+        k["wg"] = synth._group_weights(k["f"], k["cos_l"], k["sin_l"], ng)
+        return synth._grouped_accumulate(ext, cfg, k, G)
+
+    ref = np.asarray(jax.vmap(jax.vmap(oracle_one))(kin))[..., :nt_out]
     scale = max(np.abs(ref).max(), 1e-30)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=scale * 1e-5)
