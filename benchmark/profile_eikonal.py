@@ -180,6 +180,39 @@ def main():
             f"per {len(ix0)}-chunk "
             f"(x{len(idxs)} chunks => {len(idxs)*(t_kin+t_kern)*1e3:.1f} ms)")
 
+        # 5c. spans alone (per-centroid span-union table gathers)
+        sl = np.s_[cfg.ix0:cfg.ix0 + cfg.nxw, cfg.iz0:cfg.iz0 + cfg.nzw]
+        gfi = jnp.asarray(eng.store.itmin[sl])
+        gfn = jnp.asarray(eng.store.nsamples[sl])
+        span_tab = jax.jit(ksynth.span_tables, static_argnums=2)(gfi, gfn, cfg)
+
+        @jax.jit
+        def spans_fn(cb):
+            def kin_one(cent):
+                return jax.vmap(
+                    lambda rec: ksynth._centroid_kinematics(cfg, rec, cent)
+                )(geom_recs)
+            kin = jax.vmap(kin_one)(cb)
+            return jax.vmap(jax.vmap(
+                lambda k: ksynth.physical_spans_from_tables(span_tab, cfg, k)
+            ))(kin)
+
+        t_spans = pipelined(lambda: spans_fn(cb0))
+        log(f"   5c. kin+spans (XLA):           {t_spans*1e3:8.1f} ms "
+            f"per {len(ix0)}-chunk")
+
+        # 5d. one full forward chunk, pipelined
+        mts_j, rts_j = jnp.asarray(moments), jnp.asarray(risetimes)
+        ixj = jnp.asarray(ix0)
+
+        def fwd():
+            return plan["forward_batch"](cb0, mts_j[ixj], rts_j[ixj])
+
+        t_fwd = pipelined(fwd)
+        log(f"   5d. full forward chunk:        {t_fwd*1e3:8.1f} ms "
+            f"(x{len(idxs)} => {len(idxs)*t_fwd*1e3:.1f} ms; "
+            f"eval/rc rest = {(t_fwd-t_kin-t_kern)*1e3:.1f} ms)")
+
     # 6. end-to-end, split into the engine's own stages
     def disc_full():
         out = eng._discretize_batch(batch)
