@@ -729,11 +729,7 @@ class Engine:
             raise RuntimeError("no reference seismograms set")
         model = get_source_model(self.source_type)
         pb = np.atleast_2d(np.asarray(params_batch, dtype=np.float32))
-        stats = (
-            model.param_stats(pb, self.effective_dt)
-            if model.param_stats is not None
-            else None
-        )
+        stats = self._param_stats(model, pb)
         if not model.host_discretize and stats is not None:
             # fused path: discretization + forward under ONE jit (one device
             # dispatch per chunk instead of two)
@@ -966,14 +962,21 @@ class Engine:
         arr = setup.ref.copy()
         return st, setup, arr, setup.ref_lo.copy(), setup.ref_hi.copy()
 
+    def _param_stats(self, model, pb):
+        """Host-side conservative centroid bounds from raw params (None if
+        the model has no param_stats -- the engine then falls back to
+        _centroid_stats, which syncs discretized arrays off the device)."""
+        if model.param_stats is None:
+            return None
+        if model.param_stats_ctx:
+            return model.param_stats(pb, self.effective_dt,
+                                     self.eikonal_context())
+        return model.param_stats(pb, self.effective_dt)
+
     def _current_plan(self):
         model = get_source_model(self.source_type)
         pb = self.source_params[None, :]
-        stats = (
-            model.param_stats(pb, self.effective_dt)
-            if model.param_stats is not None
-            else None
-        )
+        stats = self._param_stats(model, pb)
         cbatch, moments, risetimes, shape, gsize = self._discretize_batch(pb)
         return self._ensure_plan(
             cbatch, float(risetimes.max(initial=0.0)), shape, stats=stats, gsize=gsize

@@ -222,6 +222,9 @@ def _kernel(G, ng, ngp, Pb, Ptot, rr, NP, D, T, S, contig,
     # weight blocks; acc persists across ip steps of one (b, r))
     nb = pl.num_programs(0)
     brp = (b * jnp.int32(rr) + r) * jnp.int32(Ptot) + ip * jnp.int32(Pb)
+    # kks is stored ONCE per source [B, 1, Ptot, G]: the integer shift
+    # derives from the centroid time only (receiver-independent)
+    kkp = b * jnp.int32(Ptot) + ip * jnp.int32(Pb)
     # node_rows is laid out per RECEIVER [B, rr*S, Ptot]; strides follow
     sbase = jnp.int32(nb) * jnp.int32(rr * S) * jnp.int32(Ptot)
     s1 = node_ref[sbase + 0]
@@ -269,7 +272,7 @@ def _kernel(G, ng, ngp, Pb, Ptot, rr, NP, D, T, S, contig,
         blend = blends[0] if S == 1 else jnp.concatenate(blends, axis=1)
         w = _widen(w_ref[0, 0, p], S, NT)  # [NW, G, L] weight rows
         ca, cr, cd = _group_math(w, blend, ng, L)
-        _scatter_group(G, BP, acc, kk_ref, (brp + p) * jnp.int32(G),
+        _scatter_group(G, BP, acc, kk_ref, (kkp + p) * jnp.int32(G),
                        ca, cr, cd)
 
     K = _k_blocking(G, NT * S)
@@ -303,6 +306,7 @@ def _kernel_dma(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
     ip = pl.program_id(2)
     nb = pl.num_programs(0)
     brp = (b * jnp.int32(rr) + r) * jnp.int32(Ptot) + ip * jnp.int32(Pb)
+    kkp = b * jnp.int32(Ptot) + ip * jnp.int32(Pb)  # kks: [B, 1, Ptot, G]
     sbase = jnp.int32(nb) * jnp.int32(rr) * jnp.int32(Ptot)
     offs = (jnp.int32(0), node_ref[sbase + 0], node_ref[sbase + 1],
             node_ref[sbase + 2])
@@ -347,7 +351,7 @@ def _kernel_dma(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
         )  # [ngp, T]; pad rows beyond ng are never sliced by _group_math
         w = _rep(w_ref[0, 0, p], NT)  # [NW, G, T]
         ca, cr, cd = _group_math(w, blend, ng, T)
-        _scatter_group(G, BP, acc, kk_ref, (brp + p) * jnp.int32(G),
+        _scatter_group(G, BP, acc, kk_ref, (kkp + p) * jnp.int32(G),
                        ca, cr, cd)
         return 0
 
@@ -382,9 +386,11 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     node_rows: i32[B, Rp, P] bilinear-origin NODE index, pre-clamped so
     all four neighbor slices stay in range (Rp = RS*S padded receivers);
     strides3: i32[3] neighbor node strides (zu, xu*nzw, xu*nzw + zu);
-    kks: i32[B, RS, P, G] lane slice starts (in [0, nt_ext - nt_out - 1]),
-    shared by the S receivers of each block (the integer shift derives
-    from the centroid time only); wsp: f32[B, RS, P, 4, S*128]
+    kks: i32[B, 1, P, G] lane slice starts (in [0, nt_ext - nt_out - 1]),
+    stored once per source (the integer shift derives from the centroid
+    time only, receiver-independent -- this keeps the SMEM scalar-prefetch
+    footprint, and hence the max chunk, independent of the receiver
+    count); wsp: f32[B, RS, P, 4, S*128]
     lane-broadcast bilinear weights (tile s = receiver rs*S + s); wmeta:
     f32[B, RS, P, NW, G, S*128] lane-broadcast per-centroid weight rows
     (f1..f6, cos_l, sin_l, 1-frac, frac; invalid centroids carry zero
@@ -405,6 +411,9 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
         raise ValueError(f"window_forward: padded receivers {rp} not a "
                          f"multiple of S={S}")
     rr = rp // S  # receiver blocks
+    if kks.shape[1] != 1:
+        raise ValueError("window_forward: kks must be [B, 1, P, G] "
+                         "(one row per source; receiver-independent)")
     D = int(nshift)
     T = int(ext_flat.shape[1])  # lane width: nt_ext padded to k*128
     L = S * T
@@ -617,7 +626,8 @@ def pack_kinematics(cfg, kin, G, S=1):
     if S == 1:
         wmeta = jnp.broadcast_to(wrows[..., None], wrows.shape + (128,))
         wsp = jnp.broadcast_to(wsp4[..., None], wsp4.shape + (128,))
-        return node_rows, strides3, kk, wsp, wmeta
+        # kk once per source: receiver-independent by construction
+        return node_rows, strides3, kk[:, :1], wsp, wmeta
 
     # S receivers per lane axis: pad receivers to a multiple of S (zero
     # weights -> no-op lanes), then pack each block's weights into S
@@ -630,7 +640,7 @@ def pack_kinematics(cfg, kin, G, S=1):
         wrows = jnp.pad(wrows, padr + ((0, 0), (0, 0)))
         wsp4 = jnp.pad(wsp4, padr + ((0, 0),))
     rs = rp // S
-    kk = kk[:, ::S]  # [B, RS, P, G]: receiver-independent by construction
+    kk = kk[:, :1]  # [B, 1, P, G]: receiver-independent by construction
     gp = wrows.shape[-1]
     # [B, RS, S, P, NW, Gp] -> [B, RS, P, NW, Gp, S, 128] -> [.., S*128]
     wb = wrows.reshape(bb, rs, S, P, NW, gp).transpose(0, 1, 3, 4, 5, 2)

@@ -90,7 +90,7 @@ class GFShardedPlan:
         if self.built_stats is None:
             return False
         model = get_source_model(self.engine.source_type)
-        ext, (d0, d1), (t0, t1) = model.param_stats(pb, self.engine.effective_dt)
+        ext, (d0, d1), (t0, t1) = self.engine._param_stats(model, pb)
         bext, (bd0, bd1), (bt0, bt1) = self.built_stats
         eps = 1e-3
         return (ext > bext + eps or d0 < bd0 - eps or d1 > bd1 + eps
@@ -253,7 +253,7 @@ def build_plan(engine, mesh, axis="r", source_axis="auto"):
     groups = partition_receivers(geom, n)
 
     model = get_source_model(eng.source_type)
-    stats = model.param_stats(eng.source_params[None, :], eng.effective_dt)
+    stats = eng._param_stats(model, eng.source_params[None, :])
     extent, depth_range, time_range = stats
 
     # global config fixes everything but the window origin

@@ -50,6 +50,9 @@ class SourceModel:
     # from raw parameter vectors, host-side -- lets the engine plan static
     # windows without pulling discretized centroids off the device
     param_stats: typing.Callable = None
+    # True: param_stats takes (pb, effective_dt, eikonal_context) -- the
+    # time bound needs the layer shear speeds (host-discretize models)
+    param_stats_ctx: bool = False
     # indices of the params grid_shape depends on (lets the engine check
     # shape uniformity of a batch via np.unique over those columns instead
     # of a python loop over every row); None = all params

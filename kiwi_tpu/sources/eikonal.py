@@ -257,6 +257,51 @@ def _eik_host(params, effective_dt, ctx: EikonalContext):
     return discretize_eikonal_host(pd, effective_dt, ctx, m6, rotmat_rup)
 
 
+def _rupture_param_stats(pb, effective_dt, ctx, cols):
+    """Conservative host-side centroid bounds from raw eikonal params.
+
+    cols = (north, east, depth, bord_shift_x, bord_shift_y, bord_radius,
+    nukl_shift_x, nukl_shift_y, rel_vrup) column indices.  Replaces the
+    engine's `_centroid_stats` fallback, which pulls five discretized
+    arrays off the device (five blocking tunnel round trips) on EVERY
+    batch call.
+
+    Geometry: centroids lie on the rupture disc of radius `bord_radius`
+    around the shifted center, so positions are within
+    reach = |bord_shift| + radius of the source point (any rotation).
+    Times: the live region (disc minus constraint half-planes) is convex
+    and the fast-sweeping solver floors off-region speed at half the
+    minimum rupture speed, so the travel time from the nucleation point
+    (within |nukl_shift| of the center) is at most
+    2*(radius + |nukl_shift|) / vmin with vmin = min layer vs * rel_vrup;
+    per-cell boxcar durations add at most 4*celldiag/vmin/2 with
+    celldiag <= 2*sqrt(2)*radius/8 (coarse dims are padded to >= 8)."""
+    pb = np.atleast_2d(np.asarray(pb, np.float64))
+    n, e, d = (pb[:, cols[0]], pb[:, cols[1]], pb[:, cols[2]])
+    bs = np.hypot(pb[:, cols[3]], pb[:, cols[4]])
+    radius = np.abs(pb[:, cols[5]])
+    ns = np.hypot(pb[:, cols[6]], pb[:, cols[7]])
+    relv = np.maximum(np.abs(pb[:, cols[8]]), 0.1)
+    reach = bs + radius
+    ext = float((np.hypot(n, e) + reach).max())
+    depth_range = (
+        max(0.0, float((d - reach).min())),
+        float((d + reach).max()),
+    )
+    vmin = max(float(np.min(np.asarray(ctx.layer_vs, np.float64))), 1.0) * relv
+    tmax_rupture = 2.0 * (radius + ns) / vmin
+    half_dur = 2.0 * np.sqrt(2.0) * radius / 8.0 / vmin * 2.0
+    tspan = tmax_rupture + half_dur + effective_dt
+    t0 = pb[:, 0]
+    return ext, depth_range, (float((t0 - tspan).min()),
+                              float((t0 + tspan).max()))
+
+
+def _eik_param_stats(pb, effective_dt, ctx):
+    return _rupture_param_stats(pb, effective_dt, ctx,
+                                (1, 2, 3, 8, 9, 10, 11, 12, 13))
+
+
 MODEL_EIKONAL = register(
     SourceModel(
         name="eikonal",
@@ -272,6 +317,8 @@ MODEL_EIKONAL = register(
         discretize=_eik_host,
         post_factors=lambda params: (float(params[4]), float(params[14])),
         host_discretize=True,
+        param_stats=_eik_param_stats,
+        param_stats_ctx=True,
     )
 )
 
@@ -320,6 +367,11 @@ def _mte_host(params, effective_dt, ctx: EikonalContext):
     return discretize_eikonal_host(pd, effective_dt, ctx, m6, rotmat_rup)
 
 
+def _mte_param_stats(pb, effective_dt, ctx):
+    return _rupture_param_stats(pb, effective_dt, ctx,
+                                (1, 2, 3, 7, 8, 9, 10, 11, 12))
+
+
 MODEL_MT_EIKONAL = register(
     SourceModel(
         name="mt_eikonal",
@@ -335,6 +387,8 @@ MODEL_MT_EIKONAL = register(
         discretize=_mte_host,
         post_factors=lambda params: (float(params[4]), float(params[19])),
         host_discretize=True,
+        param_stats=_mte_param_stats,
+        param_stats_ctx=True,
     )
 )
 

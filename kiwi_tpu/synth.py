@@ -1113,12 +1113,20 @@ def choose_formulation(cfg: SynthConfig, ncent: int, gsize: int, nrec: int,
     if use_window:
         gw = max(group_size, 1)
         p_ = max(ncent // gw, 1)
+        # groups taller than 8 are split into sub-groups at pack time
+        # (synth_window.packed_g): operand shapes use the padded counts
+        nsub = -(-gw // 8)
+        gwp = min(gw, 8)
+        p_p = p_ * nsub
+        ncent_p = p_p * gwp
         # the kernel's transients are the lane-broadcast weight arrays +
         # kinematics, not the XLA path's gather/slice buffers
-        psb = p_ * (gw * synth_window.NW + 4) * 128 * 4 + ncent * 3 * cfg.ng * 4
+        psb = (p_p * (gwp * synth_window.NW + 4) * 128 * 4
+               + ncent * 3 * cfg.ng * 4)
         # node/shift indices ride in SMEM via scalar prefetch (~1 MB/core
-        # on v5e/v5p): cap the batch so (node_rows + kks) i32 words fit
-        smem_words = nrec * (p_ + ncent)
+        # on v5e/v5p): node_rows are per receiver, kks once per source
+        # (receiver-independent) -- cap the batch so the i32 words fit
+        smem_words = nrec * p_p + ncent_p
         max_chunk = max(1, (800 * 1024 // 4) // max(smem_words, 1))
     else:
         max_chunk = None

@@ -127,7 +127,7 @@ def test_smem_chunk_cap(setup):
     R = 4
     ncent = int(np.prod(shape))
     P = ncent // gsize
-    words = R * (P + ncent)
+    words = R * P + ncent
     assert plan["max_chunk"] * words * 4 <= 800 * 1024
 
 
@@ -173,7 +173,7 @@ def test_tall_group_matches_numpy_oracle():
     ext_flat = jnp.asarray(np.pad(ext, ((0, 0), (0, 128 - nt_ext))))
     node = rng.integers(0, N - nzw - 2, size=(B, R, P)).astype(np.int32)
     strides3 = jnp.asarray(np.array([1, nzw, nzw + 1], np.int32))
-    kks = rng.integers(0, s_len, size=(B, R, P, G)).astype(np.int32)
+    kks = rng.integers(0, s_len, size=(B, 1, P, G)).astype(np.int32)
     wsp = rng.random((B, R, P, 4)).astype(np.float32)
     wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
     wsp_b = jnp.broadcast_to(jnp.asarray(wsp)[..., None], wsp.shape + (128,))
@@ -199,7 +199,7 @@ def test_tall_group_matches_numpy_oracle():
                 sb = np.roll(rows, -1, axis=1)
                 for g in range(G):
                     w = wm[b, r, p, g]
-                    kk = kks[b, r, p, g]
+                    kk = kks[b, 0, p, g]
                     c = w[8] * sb + w[9] * rows
                     p1 = w[0] * c[0] + w[1] * c[1] + w[2] * c[2] + w[5] * c[8]
                     p2 = w[3] * c[3] + w[4] * c[4]
@@ -228,7 +228,7 @@ def test_long_window_matches_numpy_oracle():
     ext_flat = jnp.asarray(extp.reshape(N * ngp, T))
     node = rng.integers(0, N - nzw - 2, size=(B, R, P)).astype(np.int32)
     strides3 = jnp.asarray(np.array([1, nzw, nzw + 1], np.int32))
-    kks = rng.integers(0, s_len, size=(B, R, P, G)).astype(np.int32)
+    kks = rng.integers(0, s_len, size=(B, 1, P, G)).astype(np.int32)
     wsp = rng.random((B, R, P, 4)).astype(np.float32)
     wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
     wsp_b = jnp.broadcast_to(jnp.asarray(wsp)[..., None], wsp.shape + (128,))
@@ -254,7 +254,7 @@ def test_long_window_matches_numpy_oracle():
                 sb = np.roll(rows, -1, axis=1)
                 for g in range(G):
                     w = wm[b, r, p, g]
-                    kk = kks[b, r, p, g]
+                    kk = kks[b, 0, p, g]
                     c = w[8] * sb + w[9] * rows
                     p1 = w[0] * c[0] + w[1] * c[1] + w[2] * c[2] + w[5] * c[8]
                     p2 = w[3] * c[3] + w[4] * c[4]
@@ -352,7 +352,7 @@ def test_p_axis_grid_split_matches_unsplit():
     node = jnp.asarray(rng.integers(0, N - nzw - 2, size=(B, R, P))
                        .astype(np.int32))
     strides3 = jnp.asarray(np.array([1, nzw, nzw + 1], np.int32))
-    kks = jnp.asarray(rng.integers(0, s_len, size=(B, R, P, G)).astype(np.int32))
+    kks = jnp.asarray(rng.integers(0, s_len, size=(B, 1, P, G)).astype(np.int32))
     wsp = rng.random((B, R, P, 4)).astype(np.float32)
     wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
     wsp_b = jnp.broadcast_to(jnp.asarray(wsp)[..., None], wsp.shape + (128,))
@@ -424,7 +424,7 @@ def test_dma_variant_with_p_split(monkeypatch):
     node = jnp.asarray(rng.integers(0, N - nzw - 2, size=(B, R, P))
                        .astype(np.int32))
     strides3 = jnp.asarray(np.array([1, nzw, nzw + 1], np.int32))
-    kks = jnp.asarray(rng.integers(0, s_len, size=(B, R, P, G)).astype(np.int32))
+    kks = jnp.asarray(rng.integers(0, s_len, size=(B, 1, P, G)).astype(np.int32))
     wsp = rng.random((B, R, P, 4)).astype(np.float32)
     wm = rng.random((B, R, P, G, sw.NW)).astype(np.float32)
     wsp_b = jnp.broadcast_to(jnp.asarray(wsp)[..., None], wsp.shape + (128,))
