@@ -352,9 +352,10 @@ def bench_eikonal(eng, log):
     # grid searches sweep hundreds of ruptures per round; B=96 amortizes
     # the fast-sweeping solver's sequential diagonal steps over the batch
     # (B=32 measured 118 MPS, B=96 277 MPS -- the solve is latency-bound,
-    # not throughput-bound)
+    # not throughput-bound).  4 batches in flight so the ~40 ms host-side
+    # polygon prep of batch i+1 overlaps batch i's device work
     B = 96
-    nbatches = 2
+    nbatches = 4
 
     def dispatch(radii):
         batch = np.tile(p, (B, 1))

@@ -170,7 +170,9 @@ def main():
             return sw.pack_kinematics(cfg, kin, gsize)
 
         ops = kin_pack(cb0)
-        t_kin = pipelined(lambda: kin_pack(cb0))
+        jax.block_until_ready(ops)
+        # blocking per call: 8 async packed-operand sets can exceed HBM
+        t_kin = timeit(lambda: jax.block_until_ready(kin_pack(cb0)), n=3)
         log(f"   5b. kinematics+pack (XLA):     {t_kin*1e3:8.1f} ms "
             f"per {len(ix0)}-chunk")
         _t, ngp = sw.ext_layout(cfg)

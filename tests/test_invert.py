@@ -262,3 +262,44 @@ def test_eikonal_crosscheck_catches_corrupt_member(engine, monkeypatch,
     assert any("disagrees" in r.message for r in caplog.records)
     engine.eikonal_device = False
     engine._invalidate()
+
+
+def test_eikonal_batch_needs_no_device_stats_sync(engine, monkeypatch):
+    """Both eikonal models provide host-side param_stats, so the engine's
+    plan-key computation must never fall back to _centroid_stats (which
+    pulls five discretized arrays off the device -- five blocking tunnel
+    round trips PER BATCH on real hardware)."""
+    p = np.array(
+        [0.0, 0.0, 0.0, 400.0, 1e12, 30.0, 80.0, 164.0,
+         0.0, 0.0, 250.0, 50.0, -50.0, 0.9, 0.3],
+        dtype=np.float32,
+    )
+    engine.set_misfit_method("l2norm")
+    engine.set_source_constraints(
+        [[0, 0, 50.0], [0, 0, 700.0]], [[0, 0, -1.0], [0, 0, 1.0]]
+    )
+    engine.set_source_params("eikonal", p)
+    engine.set_synthetic_reference()
+
+    def boom(cbatch):
+        raise AssertionError(
+            "_centroid_stats called for a param_stats model (device sync)")
+
+    monkeypatch.setattr(engine, "_centroid_stats", boom)
+    batch = np.tile(p, (4, 1))
+    batch[:, 10] = np.linspace(220.0, 300.0, 4).astype(np.float32)
+    m, n, fs = engine.misfits_for_source_batch(batch)
+    assert np.isfinite(np.asarray(m)).all()
+
+    # the conservative host bounds must COVER the discretized centroids
+    # (a too-small window would silently clamp shifts)
+    from kiwi_tpu.sources import get_source_model
+
+    model = get_source_model("eikonal")
+    stats = engine._param_stats(model, batch)
+    cbatch, *_ = engine._discretize_batch(batch)
+    monkeypatch.undo()
+    ext, (d0, d1), (t0, t1) = engine._centroid_stats(cbatch)
+    assert stats[0] >= ext - 1e-6
+    assert stats[1][0] <= d0 + 1e-6 and stats[1][1] >= d1 - 1e-6
+    assert stats[2][0] <= t0 + 1e-6 and stats[2][1] >= t1 - 1e-6
