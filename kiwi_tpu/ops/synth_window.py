@@ -291,14 +291,17 @@ def _kernel(G, ng, ngp, Pb, Ptot, rr, NP, D, T, S, contig,
         _bucket_combine(acc, D, BP, L, out_ref)
 
 
-def _kernel_dma(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
+def _kernel_dma(G, ng, ngp, Pb, Ptot, rr, NP, D, T, contig,
                 node_ref, kk_ref,  # scalar prefetch (SMEM)
                 ext_ref, wsp_ref, w_ref,  # ext in HBM/ANY; rest VMEM
                 out_ref, acc, rows, sems):
-    """Variant for windows too large for VMEM residency: the 4 bilinear
+    """Variant for windows too large for VMEM residency: the bilinear
     neighbor rows of each group are DMA'd HBM->VMEM double-buffered one
     group ahead (the per-group traffic is 4*ng*T*4 bytes, so the
-    pipeline hides it behind the group's VPU math)."""
+    pipeline hides it behind the group's VPU math).  With contig
+    (zu == 1 plans), the two neighbor pairs are adjacent node rows and
+    ride in TWO [2*ngp, T] copies instead of four [ngp, T] ones (same
+    bytes, half the DMA issues)."""
     NT = T // 128
     BP = bucket_pitch(T)
     b = pl.program_id(0)
@@ -308,8 +311,13 @@ def _kernel_dma(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
     brp = (b * jnp.int32(rr) + r) * jnp.int32(Ptot) + ip * jnp.int32(Pb)
     kkp = b * jnp.int32(Ptot) + ip * jnp.int32(Pb)  # kks: [B, 1, Ptot, G]
     sbase = jnp.int32(nb) * jnp.int32(rr) * jnp.int32(Ptot)
-    offs = (jnp.int32(0), node_ref[sbase + 0], node_ref[sbase + 1],
-            node_ref[sbase + 2])
+    if contig:
+        offs = (jnp.int32(0), node_ref[sbase + 1])  # pair bases: nd, nd+s2
+        ncopy = 2
+    else:
+        offs = (jnp.int32(0), node_ref[sbase + 0], node_ref[sbase + 1],
+                node_ref[sbase + 2])
+        ncopy = 4
 
     @pl.when(ip == 0)
     def _zero():
@@ -320,13 +328,13 @@ def _kernel_dma(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
         # copy the full row pitch: memref slice SHAPES must be 8-aligned
         # too; the pad rows are zeros and drop out of the contraction
         return pltpu.make_async_copy(
-            ext_ref.at[pl.ds(base, ngp), :],
+            ext_ref.at[pl.ds(base, (2 * ngp) if contig else ngp), :],
             rows.at[slot, a],
             sems.at[slot, a],
         )
 
     def start(p, slot):
-        for a in range(4):
+        for a in range(ncopy):
             dma(p, slot, a).start()
 
     start(0, jnp.int32(0))
@@ -339,16 +347,23 @@ def _kernel_dma(G, ng, ngp, Pb, Ptot, rr, NP, D, T,
         def _lookahead():
             start(p + 1, nslot)
 
-        for a in range(4):
+        for a in range(ncopy):
             dma(p, slot, a).wait()
 
         ws = _rep(wsp_ref[0, 0, p], NT)
-        blend = (
-            ws[0:1] * rows[slot, 0]
-            + ws[1:2] * rows[slot, 1]
-            + ws[2:3] * rows[slot, 2]
-            + ws[3:4] * rows[slot, 3]
-        )  # [ngp, T]; pad rows beyond ng are never sliced by _group_math
+        if contig:
+            m1, m2 = rows[slot, 0], rows[slot, 1]
+            blend = (
+                ws[0:1] * m1[0:ng] + ws[1:2] * m1[ngp:ngp + ng]
+                + ws[2:3] * m2[0:ng] + ws[3:4] * m2[ngp:ngp + ng]
+            )  # [ng, T]
+        else:
+            blend = (
+                ws[0:1] * rows[slot, 0]
+                + ws[1:2] * rows[slot, 1]
+                + ws[2:3] * rows[slot, 2]
+                + ws[3:4] * rows[slot, 3]
+            )  # [ngp, T]; pad rows beyond ng are never sliced
         w = _rep(w_ref[0, 0, p], NT)  # [NW, G, T]
         ca, cr, cd = _group_math(w, blend, ng, T)
         _scatter_group(G, BP, acc, kk_ref, (kkp + p) * jnp.int32(G),
@@ -457,12 +472,13 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
             scratch = [pltpu.VMEM((D * bp, L), F32)]
         else:
             kernel = functools.partial(
-                _kernel_dma, G, ng, ngp, Pb, Ptot, rr, NP, D, T)
+                _kernel_dma, G, ng, ngp, Pb, Ptot, rr, NP, D, T, contig)
             ext_spec = pl.BlockSpec(memory_space=pl.ANY)
+            ncopy, crows = (2, 2 * ngp) if contig else (4, ngp)
             scratch = [
                 pltpu.VMEM((D * bp, T), F32),
-                pltpu.VMEM((2, 4, ngp, T), F32),
-                pltpu.SemaphoreType.DMA((2, 4)),
+                pltpu.VMEM((2, ncopy, crows, T), F32),
+                pltpu.SemaphoreType.DMA((2, ncopy)),
             ]
         out = pl.pallas_call(
             kernel,
