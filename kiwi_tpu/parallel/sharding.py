@@ -48,9 +48,17 @@ def sharded_forward(engine, params_batch, mesh):
     Returns (misfits [B, RC], norms [B, RC]) like
     Engine.misfits_for_source_batch, but computed SPMD across the mesh's
     "s" axis; the misfit context (reference traces) is replicated, and
-    XLA partitions the batched synthesis accordingly.
+    XLA partitions the batched synthesis accordingly.  Batches that do
+    not divide the "s" axis are padded with the last source (device_put
+    rejects uneven shards); the pad rows are sliced off the outputs.
     """
-    cbatch, moments, risetimes, shape, gsize = engine._discretize_batch(params_batch)
+    pb = np.atleast_2d(np.asarray(params_batch, dtype=np.float32))
+    b = pb.shape[0]
+    ns = int(mesh.shape["s"])
+    bpad = -(-b // ns) * ns
+    if bpad != b:
+        pb = np.concatenate([pb, np.repeat(pb[-1:], bpad - b, axis=0)])
+    cbatch, moments, risetimes, shape, gsize = engine._discretize_batch(pb)
     plan = engine._ensure_plan(
         cbatch, float(np.max(risetimes, initial=0.0)), shape, gsize=gsize
     )
@@ -59,4 +67,4 @@ def sharded_forward(engine, params_batch, mesh):
     m, n, fs = plan["forward_batch"](
         cbatch, jax.device_put(moments, msh), jax.device_put(risetimes, msh)
     )
-    return m, n, fs
+    return m[:b], n[:b], fs[:b]

@@ -56,6 +56,13 @@ def test_sharded_matches_unsharded(engine):
     m2, n2, _ = sharded_forward(eng, batch, mesh2)
     np.testing.assert_allclose(np.asarray(m2), m0, rtol=2e-5, atol=1e-8)
 
+    # uneven batch / mesh shape: 10 sources over 8 devices (padded with
+    # the last source inside sharded_forward, pad rows sliced off)
+    m3, n3, fs3 = sharded_forward(eng, batch[:10], mesh)
+    assert np.asarray(m3).shape[0] == 10
+    np.testing.assert_allclose(np.asarray(m3), m0[:10], rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(n3), n0[:10], rtol=2e-5, atol=1e-8)
+
 
 def test_gf_distance_sharding_matches_unsharded(engine):
     """Distance-sharded GF windows (each device holds only its receivers'
