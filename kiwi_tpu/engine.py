@@ -355,6 +355,22 @@ class Engine:
             setup.shift_hi[irc] = int(fnint(np.float32(tmax) / np.float32(store.dt)))
         ctx = setup.device()
 
+        # static union window for the time-domain misfit sums: every
+        # possible norm span (ref spans under all floating shifts, the
+        # synthesis window +- fold, GF-data-derived synthetic spans,
+        # taper spans) lies inside it, so evaluate_misfits can integrate
+        # over this slice instead of the full FFT-padded probe (~2x less
+        # eval traffic; masks are identical on the slice)
+        gfi_np = np.asarray(store.itmin[sl])
+        gfn_np = np.asarray(store.nsamples[sl])
+        w0 = min(lo, int(gfi_np.min()) + cfg.s_base - 1 - fold_max)
+        w1 = max(hi, int((gfi_np + gfn_np).max()) + cfg.s_base + cfg.s_len
+                 + 1 + fold_max)
+        if setup.has_taper.any():
+            w0 = min(w0, int(setup.taper_lo[setup.has_taper].min()))
+            w1 = max(w1, int(setup.taper_hi[setup.has_taper].max()))
+        eval_win = (max(w0, st.ps0), min(w1, st.ps0 + st.pl - 1))
+
         recs = self._geometry().device()
         nrec = len(self.receivers)
         method = self.misfit_method
@@ -395,6 +411,7 @@ class Engine:
                 moment=moment, risetime=risetime, fold_nshift_max=fold_max,
                 shiftrange=shiftrange, rctx=rctx,
                 any_taper=any_taper, any_filter=any_filter,
+                eval_win=eval_win,
             )
 
         forward_batch_raw = jax.vmap(forward_one)
@@ -444,6 +461,7 @@ class Engine:
                         moment=moment, risetime=risetime,
                         fold_nshift_max=fold_max, shiftrange=shiftrange,
                         rctx=rctx, any_taper=any_taper, any_filter=any_filter,
+                        eval_win=eval_win,
                     )
 
                 return jax.vmap(eval_one)(syn_rc, lo_rc, hi_rc, moments, risetimes)
@@ -492,6 +510,7 @@ class Engine:
                     moment=moment, risetime=risetime, fold_nshift_max=fold_max,
                     shiftrange=shiftrange, rctx=rctx,
                     any_taper=any_taper, any_filter=any_filter,
+                    eval_win=eval_win,
                 )
 
             return jax.vmap(eval_one)(syn_rc, moments, risetimes)

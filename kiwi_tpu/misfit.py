@@ -475,6 +475,7 @@ def evaluate_misfits(
     rctx=None,
     any_taper=True,
     any_filter=True,
+    eval_win=None,
 ):
     """Per-(receiver,component) misfits and norm factors for one source.
 
@@ -483,7 +484,12 @@ def evaluate_misfits(
     moment: scalar factor applied like probe_set_array's factor_
     (receiver.f90:894-896); risetime: optional post-synthesis STF fold;
     rctx: precomputed reference context (precompute_ref_context) -- built on
-    the fly if not supplied.
+    the fly if not supplied; eval_win: optional STATIC absolute sample
+    bounds (w0, w1) known to contain every possible norm span (data spans
+    under all shifts, tapers, fold margins) -- the time-domain sums then
+    run on the [w0, w1] slice instead of the full probe (the probe length
+    is FFT-padded to ~2x the data span, so this halves the eval's HBM
+    traffic; the masks are identical on the slice by construction).
 
     Returns (misfit[RC], norm[RC], floating_shift[R]).
     """
@@ -500,6 +506,13 @@ def evaluate_misfits(
     use_fft = any_filter or method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM)
     tap_s, filt_s, amp_s, ampf_s = processed_arrays(ctx, syn, st, use_fft=use_fft)
 
+    # static slice bounds within the probe for the time-domain sums
+    if eval_win is not None:
+        i0 = max(int(eval_win[0]) - st.ps0, 0)
+        i1 = min(int(eval_win[1]) - st.ps0 + 1, st.pl)
+    else:
+        i0, i1 = 0, st.pl
+
     if method in (FLOATING_L2NORM, FLOATING_L1NORM):
         base = L2NORM if method == FLOATING_L2NORM else L1NORM
         syn_proc = jnp.where(ctx["has_filter"][..., None], filt_s, tap_s)
@@ -515,10 +528,11 @@ def evaluate_misfits(
             ctx["taper_hi"][None, :],
             jnp.maximum(rctx["ref_hi_s"], syn_hi[None, :]),
         )
-        j = st.ps0 + jnp.arange(st.pl)
-        mask = ((j >= lo[..., None]) & (j <= hi[..., None])).astype(F32)  # [S, RC, PL]
+        j = st.ps0 + i0 + jnp.arange(i1 - i0)
+        mask = ((j >= lo[..., None]) & (j <= hi[..., None])).astype(F32)  # [S, RC, W]
         fb = ctx["syn_factor"][None, :, None]
-        diff = rctx["ref_proc"] - fb * syn_proc[None, :, :]
+        diff = (rctx["ref_proc"][..., i0:i1]
+                - fb * syn_proc[None, :, i0:i1])
         dt = ACCUM(st.dt)
         if base == L2NORM:
             ms = jnp.sqrt(dt * jnp.sum((diff * diff * mask).astype(ACCUM), axis=-1))
@@ -556,8 +570,10 @@ def evaluate_misfits(
 
     syn_proc = jnp.where(ctx["has_filter"][..., None], filt_s, tap_s)
     lo, hi = norm_spans(ctx, syn_lo, syn_hi, st)
-    mask = _span_mask(lo, hi, st)
-    m, _ = pair_norms(ctx, rctx["ref_proc"], syn_proc, mask, method, st)
+    j = st.ps0 + i0 + jnp.arange(i1 - i0)
+    mask = ((j >= lo[..., None]) & (j <= hi[..., None])).astype(F32)
+    m, _ = pair_norms(ctx, rctx["ref_proc"][..., i0:i1],
+                      syn_proc[..., i0:i1], mask, method, st)
     m = jnp.where(ctx["enabled"], m, 0.0)
     return m, rctx["norm"], zero_shift
 
