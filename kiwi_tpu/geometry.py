@@ -107,6 +107,50 @@ def trim_polygon_multi(points, constraints):
     return points
 
 
+def trim_polygon_batch(points, counts, hs_point, hs_normal):
+    """One Sutherland-Hodgman pass over a BATCH of polygons.
+
+    points: f64[B, N, 3] with per-row valid-prefix lengths counts[B];
+    per-row semantics identical to `trim_polygon` (same edge math in the
+    same f64 operation order, vertex order preserved), so the results are
+    bit-identical to looping trim_polygon over the batch.  Returns
+    (out f64[B, N+2, 3], counts' i64[B]); rows beyond a polygon's count
+    repeat its first vertex (harmless to bounding boxes); emptied
+    polygons (count 0) stay zero.
+    """
+    points = np.asarray(points, dtype=np.float64)
+    B, N, _ = points.shape
+    hs_point = np.asarray(hs_point, dtype=np.float64)
+    hs_normal = np.asarray(hs_normal, dtype=np.float64)
+    idx = np.arange(N)[None, :]
+    valid = idx < counts[:, None]
+    nxt = np.where(idx + 1 < counts[:, None], idx + 1, 0)
+    a = points
+    b = np.take_along_axis(points, nxt[..., None], axis=1)
+    ab = b - a
+    la = (hs_point[None, None, :] - a) @ hs_normal
+    lb = (hs_point[None, None, :] - b) @ hs_normal
+    lab = ab @ hs_normal
+    a_in = (la >= 0.0) & valid
+    pierce = ((la >= 0.0) != (lb >= 0.0)) & valid
+    parallel = lab * lab < (ab * ab).sum(axis=-1) / 2**24
+    pp = a + ab * (la / np.where(lab == 0.0, 1.0, lab))[..., None]
+    pp_par = np.where((np.abs(la) <= np.abs(lb))[..., None], a, b)
+    pp = np.where((parallel & pierce)[..., None], pp_par, pp)
+
+    cnt = a_in.astype(np.int64) + pierce.astype(np.int64)
+    off = np.cumsum(cnt, axis=1) - cnt
+    out = np.zeros((B, N + 2, 3))
+    bi, ei = np.nonzero(a_in)
+    out[bi, off[bi, ei]] = a[bi, ei]
+    bj, ej = np.nonzero(pierce)
+    out[bj, off[bj, ej] + a_in[bj, ej]] = pp[bj, ej]
+    new_counts = cnt.sum(axis=1)
+    pad = (np.arange(N + 2)[None, :] >= new_counts[:, None])[..., None]
+    out = np.where(pad & (new_counts[:, None, None] > 0), out[:, 0:1, :], out)
+    return out, new_counts
+
+
 def polygon_box(points):
     return points.min(axis=0), points.max(axis=0)
 

@@ -406,8 +406,125 @@ def prepare_batch(pb_named, effective_dt, ctx: EikonalContext):
     (polygon bboxes, grid dims, coarse dims) plus small per-source arrays;
     the heavy eikonal solve + downsample run batched on device.
 
+    Vectorized across the batch (the per-source loop cost ~31 ms at B=96,
+    dominated by 96 x 2 Sutherland-Hodgman passes; the batched pass is
+    bit-identical, see geometry.trim_polygon_batch).  Degenerate
+    zero-radius ruptures fall back to the per-source loop.
+
     Returns (static, arrays) or raises ValueError like the host path.
     """
+    if len(pb_named) and all(
+        p["bord_radius"] != 0.0 for p, _m, _r in pb_named
+    ):
+        return _prepare_batch_vec(pb_named, effective_dt, ctx)
+    return _prepare_batch_loop(pb_named, effective_dt, ctx)
+
+
+def _prepare_batch_vec(pb_named, effective_dt, ctx: EikonalContext):
+    """Batched prepare: same quantities as _prepare_batch_loop, computed
+    with batch-axis numpy.  Bit-compatible: every per-source float64
+    operation runs in the same order as the loop."""
+    b = len(pb_named)
+    keys = ("north", "east", "depth", "bord_shift_x", "bord_shift_y",
+            "bord_radius", "nukl_shift_x", "nukl_shift_y", "rel_vrup",
+            "time")
+    pv = {k: np.array([p[k] for p, _m, _r in pb_named]) for k in keys}
+    rotmats = np.array([r for _p, _m, r in pb_named])  # [B, 3, 3]
+    m6s = np.array([m for _p, m, _r in pb_named])
+    centers = np.stack([pv["north"], pv["east"], pv["depth"]], axis=-1)
+
+    # boundary polygons: transformed unit circles (circle_to_polygon),
+    # batched; then the constraint clips (Sutherland-Hodgman) in one
+    # batched pass per half-space
+    shift_rc = np.stack(
+        [pv["bord_shift_x"], pv["bord_shift_y"], np.zeros(b)], axis=-1)
+    # np.matmul with the scalar loop's per-item shapes: bit-identical to
+    # the loop (einsum picks different kernels and drifts by 1 ulp, which
+    # could flip a grid-dim ceil against discretize_eikonal_host)
+    ccenters = np.matmul(rotmats, shift_rc[..., None])[..., 0] + centers
+    transforms = -rotmats * pv["bord_radius"][:, None, None]
+    npoints = 180
+    i = np.arange(1, npoints + 1)
+    ang = i * 2.0 * np.pi / npoints
+    unit = np.stack([np.cos(ang), np.sin(ang), np.zeros(npoints)], axis=0)
+    polys = (np.matmul(transforms, unit).transpose(0, 2, 1)
+             + ccenters[:, None, :])
+    counts = np.full(b, npoints, dtype=np.int64)
+    for hp, hn in ctx.constraints:
+        polys, counts = geom.trim_polygon_batch(polys, counts, hp, hn)
+        if (counts == 0).any():
+            raise ValueError("Empty rupture area")
+
+    polys_rc = np.matmul(polys - centers[:, None, :], rotmats)
+    min_rc = polys_rc.min(axis=1)  # pad rows repeat vertex 0: box-safe
+    max_rc = polys_rc.max(axis=1)
+
+    # nucleation point must lie inside (psm_initial_point_intolerant_rc)
+    nukls3 = np.stack(
+        [pv["nukl_shift_x"], pv["nukl_shift_y"], np.zeros(b)], axis=-1)
+    nukl_ned = np.matmul(rotmats, nukls3[..., None])[..., 0] + centers
+    bad = np.hypot(nukls3[:, 0], nukls3[:, 1]) > pv["bord_radius"]
+    for hp, hn in ctx.constraints:
+        bad |= (np.asarray(hn) @ (np.asarray(hp)[None, :] - nukl_ned).T) < 0.0
+    if bad.any():
+        raise ValueError(
+            "position of nucleation point is outside of rupture region")
+
+    deltagrid = min(100.0 * effective_dt / 2.0, 4000.0)
+    dims = (max_rc - min_rc)[:, :2]
+    ndims = np.maximum(np.ceil(dims / deltagrid).astype(int), 1)
+    deltas = np.where(ndims > 0, dims / ndims, 1.0)
+    deltas = np.where(deltas == 0.0, 1.0, deltas)
+
+    # min rupture speed over each grid's depth range: vs is a step
+    # function of depth, so the min over [zlo, zhi] is the min of the
+    # layer intervals the range touches (same candidates the loop probes)
+    corners_x = np.stack([min_rc[:, 0], min_rc[:, 0],
+                          max_rc[:, 0], max_rc[:, 0]], axis=-1)
+    corners_y = np.stack([min_rc[:, 1], max_rc[:, 1],
+                          min_rc[:, 1], max_rc[:, 1]], axis=-1)
+    zs = (centers[:, 2:3] + rotmats[:, 2, 0:1] * corners_x
+          + rotmats[:, 2, 1:2] * corners_y)  # [B, 4]
+    zlo, zhi = zs.min(axis=1), zs.max(axis=1)
+    depths = np.asarray(ctx.layer_depths, np.float64)
+    vs = np.asarray(ctx.layer_vs, np.float64)
+    nv = vs.shape[0]
+    k0 = np.minimum(np.searchsorted(depths, zlo, side="left"), nv - 1)
+    k1 = np.minimum(np.searchsorted(depths, zhi, side="left"), nv - 1)
+    kk = np.arange(nv)[None, :]
+    sel = (kk >= k0[:, None]) & (kk <= k1[:, None])
+    vmins = np.where(sel, vs[None, :], np.inf).min(axis=1)
+    minspeeds = vmins * pv["rel_vrup"]
+
+    maxd = 0.5 * effective_dt * minspeeds
+    nxy = np.where(
+        dims != 0.0,
+        np.maximum(np.floor(dims / maxd[:, None]).astype(int) + 1, 2),
+        1,
+    )
+    cdims = nxy
+    cdeltas = np.where(nxy > 0, dims / nxy, 1.0)
+
+    def pad8(n):
+        return int(-(-max(n, 1) // 8) * 8)
+
+    static = {
+        "NF": (pad8(ndims[:, 0].max()), pad8(ndims[:, 1].max())),
+        "NC": (int(cdims[:, 0].max()), int(cdims[:, 1].max())),
+    }
+    arrays = dict(
+        first=min_rc[:, :2], delta=deltas, ndims=ndims,
+        nukl=nukls3[:, :2], center=centers, rotmat=rotmats, m6=m6s,
+        ccenter=ccenters, radius=pv["bord_radius"].copy(), cdims=cdims,
+        cdelta=cdeltas, minspeed=minspeeds, time0=pv["time"].copy(),
+        relv=pv["rel_vrup"].copy(),
+    )
+    return static, arrays
+
+
+def _prepare_batch_loop(pb_named, effective_dt, ctx: EikonalContext):
+    """Reference per-source implementation (kept as the zero-radius
+    fallback and the equivalence oracle for _prepare_batch_vec)."""
     b = len(pb_named)
     firsts = np.zeros((b, 2))
     deltas = np.zeros((b, 2))

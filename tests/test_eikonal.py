@@ -99,3 +99,54 @@ def test_sweep_exact_vs_fmm_in_one_round():
         finite = ref < 1e20
         rel = np.abs(t1[finite] - ref[finite]) / np.maximum(ref[finite], 1e-3)
         assert rel.max() < 1e-5, rel.max()
+
+
+def test_prepare_batch_vectorized_matches_loop():
+    """The batched prepare (one Sutherland-Hodgman pass per half-space
+    over the whole batch) must reproduce the per-source loop bit-exactly:
+    the device-vs-host discretization crosscheck depends on identical
+    grid dims and cell geometry."""
+    import numpy as np
+
+    from kiwi_tpu.sources import eikonal as eiksrc
+
+    ctx = eiksrc.EikonalContext(
+        constraints=[
+            (np.array([0.0, 0.0, 50.0]), np.array([0.0, 0.0, -1.0])),
+            (np.array([0.0, 0.0, 700.0]), np.array([0.0, 0.0, 1.0])),
+            (np.array([250.0, 0.0, 0.0]), np.array([1.0, 0.3, 0.0])),
+        ],
+        layer_depths=np.array([100.0, 400.0, 900.0]),
+        layer_vs=np.array([1500.0, 2400.0, 3200.0, 3800.0]),
+    )
+    rng = np.random.default_rng(7)
+    B = 24
+    named = []
+    for i in range(B):
+        p = np.array(
+            [0.1 * i, 8.0 * i, -15.0 * i, 300.0 + 10.0 * i, 1e12,
+             10.0 * i, 30.0 + 2.0 * i, 40.0, 10.0 * rng.random(),
+             10.0 * rng.random(), 150.0 + 8.0 * i,
+             20.0 * rng.random(), -20.0 * rng.random(),
+             0.7 + 0.01 * i, 0.3],
+            dtype=np.float32,
+        )
+        named.append(eiksrc.NAMED_PARAMS["eikonal"](p))
+
+    s_vec, a_vec = eiksrc._prepare_batch_vec(named, 0.1, ctx)
+    s_loop, a_loop = eiksrc._prepare_batch_loop(named, 0.1, ctx)
+    assert s_vec == s_loop
+    assert set(a_vec) == set(a_loop)
+    for k in a_loop:
+        np.testing.assert_array_equal(a_vec[k], a_loop[k], err_msg=k)
+
+    # a zero-radius member routes the public API to the loop fallback
+    p0 = np.array(
+        [0.0, 0.0, 0.0, 300.0, 1e12, 0.0, 30.0, 40.0, 0.0, 0.0, 0.0,
+         0.0, 0.0, 0.9, 0.3], dtype=np.float32)
+    named0 = [eiksrc.NAMED_PARAMS["eikonal"](p0)]
+    s0, a0 = eiksrc.prepare_batch(named0, 0.1, ctx)
+    s0l, a0l = eiksrc._prepare_batch_loop(named0, 0.1, ctx)
+    assert s0 == s0l
+    for k in a0l:
+        np.testing.assert_array_equal(a0[k], a0l[k], err_msg=k)
