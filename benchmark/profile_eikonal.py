@@ -76,7 +76,7 @@ def main():
     from kiwi_tpu.sources import get_source_model
     model = get_source_model(eng.source_type)
     ctx = eng.eikonal_context()
-    named = [eiksrc.NAMED_PARAMS[model.name](q) for q in batch]
+    named = eiksrc.named_params_batch(model.name, batch)
 
     # 1. host prep
     t0 = time.time()

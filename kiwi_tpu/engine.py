@@ -612,7 +612,7 @@ class Engine:
             and len(pb) >= 2
             and model.name in eiksrc.NAMED_PARAMS
         ):
-            named = [eiksrc.NAMED_PARAMS[model.name](p) for p in pb]
+            named = eiksrc.named_params_batch(model.name, pb)
             static, arrays = eiksrc.prepare_batch(named, self.effective_dt, ctx)
             # host bound on per-cell time-cell count: durations <=
             # 4 * celldiag / minspeed

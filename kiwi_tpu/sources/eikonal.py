@@ -413,24 +413,33 @@ def prepare_batch(pb_named, effective_dt, ctx: EikonalContext):
 
     Returns (static, arrays) or raises ValueError like the host path.
     """
+    if isinstance(pb_named, tuple):  # batched (pv, m6s, rotmats)
+        pv, m6s, rotmats = pb_named
+        if (pv["bord_radius"] != 0.0).all():
+            return _prepare_batch_vec(pv, m6s, rotmats, effective_dt, ctx)
+        pb_named = [
+            ({k: float(v[i]) for k, v in pv.items()}, m6s[i], rotmats[i])
+            for i in range(m6s.shape[0])
+        ]
+        return _prepare_batch_loop(pb_named, effective_dt, ctx)
     if len(pb_named) and all(
         p["bord_radius"] != 0.0 for p, _m, _r in pb_named
     ):
-        return _prepare_batch_vec(pb_named, effective_dt, ctx)
+        keys = ("north", "east", "depth", "bord_shift_x", "bord_shift_y",
+                "bord_radius", "nukl_shift_x", "nukl_shift_y", "rel_vrup",
+                "time")
+        pv = {k: np.array([p[k] for p, _m, _r in pb_named]) for k in keys}
+        rotmats = np.array([r for _p, _m, r in pb_named])
+        m6s = np.array([m for _p, m, _r in pb_named])
+        return _prepare_batch_vec(pv, m6s, rotmats, effective_dt, ctx)
     return _prepare_batch_loop(pb_named, effective_dt, ctx)
 
 
-def _prepare_batch_vec(pb_named, effective_dt, ctx: EikonalContext):
+def _prepare_batch_vec(pv, m6s, rotmats, effective_dt, ctx: EikonalContext):
     """Batched prepare: same quantities as _prepare_batch_loop, computed
     with batch-axis numpy.  Bit-compatible: every per-source float64
     operation runs in the same order as the loop."""
-    b = len(pb_named)
-    keys = ("north", "east", "depth", "bord_shift_x", "bord_shift_y",
-            "bord_radius", "nukl_shift_x", "nukl_shift_y", "rel_vrup",
-            "time")
-    pv = {k: np.array([p[k] for p, _m, _r in pb_named]) for k in keys}
-    rotmats = np.array([r for _p, _m, r in pb_named])  # [B, 3, 3]
-    m6s = np.array([m for _p, m, _r in pb_named])
+    b = m6s.shape[0]
     centers = np.stack([pv["north"], pv["east"], pv["depth"]], axis=-1)
 
     # boundary polygons: transformed unit circles (circle_to_polygon),
@@ -753,3 +762,36 @@ def discretize_device_batch(static, arrays, effective_dt, ctx, nt_cell_max,
 
 
 NAMED_PARAMS = {"eikonal": _eik_named, "mt_eikonal": _mte_named}
+
+# (time, north, east, depth, bord_shift_x, bord_shift_y, bord_radius,
+#  nukl_shift_x, nukl_shift_y, rel_vrup) column indices per model
+_NAMED_COLS = {
+    "eikonal": (0, 1, 2, 3, 8, 9, 10, 11, 12, 13),
+    "mt_eikonal": (0, 1, 2, 3, 7, 8, 9, 10, 11, 12),
+}
+
+
+def named_params_batch(name, pb):
+    """Batched NAMED_PARAMS: (pv dict of f64[B] arrays, m6s f64[B, 6],
+    rotmats f64[B, 3, 3]).  Bit-identical to looping NAMED_PARAMS[name]
+    over the rows (same f64 operation order; init_euler broadcasts)."""
+    pb = np.atleast_2d(np.asarray(pb, np.float64))
+    cols = _NAMED_COLS[name]
+    keys = ("time", "north", "east", "depth", "bord_shift_x",
+            "bord_shift_y", "bord_radius", "nukl_shift_x", "nukl_shift_y",
+            "rel_vrup")
+    pv = {k: pb[:, c].copy() for k, c in zip(keys, cols)}
+    d2r = float(DEG2RAD_F32)
+    strike = pb[:, 5] * d2r
+    dip = pb[:, 6] * d2r
+    rotmats = init_euler(dip, strike, np.zeros(pb.shape[0]))
+    if name == "eikonal":
+        rake = pb[:, 7] * d2r
+        rs = init_euler(dip, strike, -rake)
+        m_rot = rs @ M_UNROT @ np.swapaxes(rs, -1, -2)
+        m6s = np.stack(
+            [m_rot[:, 0, 0], m_rot[:, 1, 1], m_rot[:, 2, 2],
+             m_rot[:, 0, 1], m_rot[:, 0, 2], m_rot[:, 1, 2]], axis=-1)
+    else:
+        m6s = pb[:, 13:19].copy()
+    return pv, m6s, rotmats

@@ -133,7 +133,7 @@ def test_prepare_batch_vectorized_matches_loop():
         )
         named.append(eiksrc.NAMED_PARAMS["eikonal"](p))
 
-    s_vec, a_vec = eiksrc._prepare_batch_vec(named, 0.1, ctx)
+    s_vec, a_vec = eiksrc.prepare_batch(named, 0.1, ctx)
     s_loop, a_loop = eiksrc._prepare_batch_loop(named, 0.1, ctx)
     assert s_vec == s_loop
     assert set(a_vec) == set(a_loop)
@@ -150,3 +150,31 @@ def test_prepare_batch_vectorized_matches_loop():
     assert s0 == s0l
     for k in a0l:
         np.testing.assert_array_equal(a0[k], a0l[k], err_msg=k)
+
+
+def test_named_params_batch_matches_loop():
+    """named_params_batch must reproduce per-row NAMED_PARAMS bit-exactly
+    (rotation matrices feed the rupture grids; m6 feeds the tables)."""
+    import numpy as np
+
+    from kiwi_tpu.sources import eikonal as eiksrc
+
+    rng = np.random.default_rng(3)
+    B = 16
+    pb_eik = rng.normal(size=(B, 15)).astype(np.float32) * 100.0
+    pv, m6s, rotm = eiksrc.named_params_batch("eikonal", pb_eik)
+    for i in range(B):
+        pd, m6, r = eiksrc.NAMED_PARAMS["eikonal"](pb_eik[i])
+        for k, v in pd.items():
+            assert pv[k][i] == v, k
+        np.testing.assert_array_equal(m6s[i], m6)
+        np.testing.assert_array_equal(rotm[i], r)
+
+    pb_mte = rng.normal(size=(B, 20)).astype(np.float32) * 100.0
+    pv, m6s, rotm = eiksrc.named_params_batch("mt_eikonal", pb_mte)
+    for i in range(B):
+        pd, m6, r = eiksrc.NAMED_PARAMS["mt_eikonal"](pb_mte[i])
+        for k, v in pd.items():
+            assert pv[k][i] == v, k
+        np.testing.assert_array_equal(m6s[i], m6)
+        np.testing.assert_array_equal(rotm[i], r)
