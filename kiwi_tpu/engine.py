@@ -649,10 +649,10 @@ class Engine:
                     )
                     self.eikonal_device = False
                     return self._discretize_batch_host(model, pb)
-            pf = np.array([model.post_factors(p) for p in pb], dtype=np.float32)
+            moments, risetimes = self._post_factors(model, pb)
             c = int(cbatch["north"].shape[1])
             # device tables are [ncell, ntmax] row-major -> groups of ntmax
-            return cbatch, pf[:, 0], pf[:, 1], (c,), int(ntmax)
+            return cbatch, moments, risetimes, (c,), int(ntmax)
 
         tables = [model.discretize(p, self.effective_dt, ctx) for p in pb]
         cmax = max(t["north"].shape[0] for t in tables)
@@ -671,9 +671,9 @@ class Engine:
             aarr[i, :n] = t["active"]
         out["m"] = jnp.asarray(marr)
         out["active"] = jnp.asarray(aarr)
-        pf = np.array([model.post_factors(p) for p in pb], dtype=np.float32)
+        moments, risetimes = self._post_factors(model, pb)
         # host FMM tables have ragged per-cell time runs: no uniform groups
-        return out, pf[:, 0], pf[:, 1], (cmax,), 1
+        return out, moments, risetimes, (cmax,), 1
 
     def _eikonal_crosscheck_ok(self, model, p0, cbatch, ctx, rtol=2e-3,
                                member=0):

@@ -316,6 +316,8 @@ MODEL_EIKONAL = register(
         grid_shape=lambda params, edt: ("host",),
         discretize=_eik_host,
         post_factors=lambda params: (float(params[4]), float(params[14])),
+        post_factors_batch=lambda pb: (pb[:, 4].astype("f4"),
+                                       pb[:, 14].astype("f4")),
         host_discretize=True,
         param_stats=_eik_param_stats,
         param_stats_ctx=True,
@@ -386,6 +388,8 @@ MODEL_MT_EIKONAL = register(
         grid_shape=lambda params, edt: ("host",),
         discretize=_mte_host,
         post_factors=lambda params: (float(params[4]), float(params[19])),
+        post_factors_batch=lambda pb: (pb[:, 4].astype("f4"),
+                                       pb[:, 19].astype("f4")),
         host_discretize=True,
         param_stats=_mte_param_stats,
         param_stats_ctx=True,
