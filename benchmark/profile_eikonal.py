@@ -90,10 +90,11 @@ def main():
     log(f"1. prepare_batch (host):          {t_prep*1e3:8.1f} ms")
 
     diag = np.hypot(arrays["cdelta"][:, 0], arrays["cdelta"][:, 1])
-    ntmax = int(np.floor(4.0 * diag / np.maximum(arrays["minspeed"], 1.0)
-                         / eng.effective_dt).max()) + 2
-    log(f"   ntmax={ntmax}, ncell={static['NC'][0]*static['NC'][1]}, "
-        f"table rows per source={static['NC'][0]*static['NC'][1]*ntmax}")
+    ntmax_hard = int(np.floor(4.0 * diag / np.maximum(arrays["minspeed"], 1.0)
+                              / eng.effective_dt).max()) + 2
+    ntmax = ntmax_hard
+    log(f"   hard ntmax={ntmax_hard}, ncell={static['NC'][0]*static['NC'][1]} "
+        f"(engine calibrates tighter budgets from the host oracle)")
 
     # 2. sweep_solve alone
     from kiwi_tpu import eikonal as eik
@@ -113,10 +114,14 @@ def main():
     t_solve = pipelined(lambda: solve_only(adev))
     log(f"2. sweep_solve alone (device):    {t_solve*1e3:8.1f} ms")
 
-    # 3. full discretizer
+    # 3. full discretizer (with the engine's calibrated table budgets)
+    eng._discretize_batch(batch)  # triggers calibration
+    (_ck, (nt_cal, budget, _hard)), = eng._eik_calib.items()
+    log(f"   calibrated ntmax={nt_cal} ncell_budget={budget}")
     t_disc = pipelined(
         lambda: eiksrc.discretize_device_batch(
-            static, arrays, eng.effective_dt, ctx, ntmax))
+            static, arrays, eng.effective_dt, ctx, nt_cal,
+            ncell_budget=budget))
     log(f"3. discretize_device_batch:       {t_disc*1e3:8.1f} ms")
     log(f"4. downsample+table (3-2):        {(t_disc-t_solve)*1e3:8.1f} ms")
 

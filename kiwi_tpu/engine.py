@@ -93,6 +93,14 @@ class Engine:
         # disagrees beyond f32 roundoff.
         self.eikonal_device = True
         self._eikonal_checked_keys = set()
+        # device-table calibration: (model, NF, NC, dt) -> (ntmax, ncell
+        # budget, hard ntmax bound).  The bounding-box x worst-case-duration
+        # table is ~6x larger than what the rupture actually needs; the
+        # budgets are calibrated from the host-oracle tables of the first
+        # batch's most demanding members and guarded by the discretizer's
+        # async overflow counter (checked one batch later, sync-free).
+        self._eik_calib = {}
+        self._eik_pending = None
         # (per_source_bytes estimates are TPU-pad-aware; a v5e chip has
         # ~16 GB HBM, leaving headroom for the GF window + misfit probes)
 
@@ -614,14 +622,49 @@ class Engine:
         ):
             named = eiksrc.named_params_batch(model.name, pb)
             static, arrays = eiksrc.prepare_batch(named, self.effective_dt, ctx)
-            # host bound on per-cell time-cell count: durations <=
-            # 4 * celldiag / minspeed
+            # rigorous host bound on per-cell time-cell count: cell duration
+            # is 4x the mean |t - mean t| over the cell (psm_downsample_grid
+            # semantics), bounded by 4 * celldiag / minspeed (eikonal
+            # solutions are 1-Lipschitz in the d/speed metric; the solver's
+            # dead-zone floor is 0.5 * minspeed)
             diag = np.hypot(arrays["cdelta"][:, 0], arrays["cdelta"][:, 1])
-            ntmax = int(np.floor(4.0 * diag / np.maximum(arrays["minspeed"], 1.0)
-                                 / self.effective_dt).max()) + 2
-            cbatch = eiksrc.discretize_device_batch(
-                static, arrays, self.effective_dt, ctx, ntmax
-            )
+            ntmax_hard = int(
+                np.floor(4.0 * diag / np.maximum(arrays["minspeed"], 1.0)
+                         / self.effective_dt).max()) + 2
+
+            self._check_eik_overflow()
+            ckey = (model.name, static["NF"], static["NC"],
+                    float(self.effective_dt), ctx.content_key())
+            calib = self._eik_calib.get(ckey)
+            hosts = {}
+            if calib is None:
+                # calibrate the static table budgets from the host oracle
+                # on the batch's most demanding members: the hard bound
+                # pads ~4x in time cells (typical crossing spans are a
+                # fraction of the worst case) and ~1.6x in cells (disc vs
+                # bounding box), and the synthesis kernel pays for every
+                # padded row.  The async overflow counter catches later
+                # batches that outgrow the calibration.
+                radius = np.asarray(
+                    named[0]["bord_radius"] if isinstance(named, tuple)
+                    else [p["bord_radius"] for p, _m, _r in named])
+                members = {0, len(pb) - 1, int(np.argmax(radius))}
+                for i in sorted(members):
+                    hosts[i] = model.discretize(pb[i], self.effective_dt, ctx)
+                ncell = int(static["NC"][0]) * int(static["NC"][1])
+                st = [h["stats"] for h in hosts.values()]
+                ntmax = min(max(s["max_nt"] for s in st) + 1, ntmax_hard)
+                budget = -(-int(np.ceil(
+                    max(s["n_cells"] for s in st) * 1.2)) // 8) * 8
+                calib = (max(ntmax, 1), budget if budget < ncell else None,
+                         ntmax_hard)
+                self._eik_calib[ckey] = calib
+            ntmax, budget, _hard = calib
+            cbatch = dict(eiksrc.discretize_device_batch(
+                static, arrays, self.effective_dt, ctx, ntmax,
+                ncell_budget=budget,
+            ))
+            self._eik_pending = (ckey, cbatch.pop("overflow"))
             # validate K >= 3 randomly chosen batch members (not just
             # source 0) once per (model, table shape, dt): a discretizer
             # regression affecting only members != 0 (e.g. a batch-indexing
@@ -632,12 +675,13 @@ class Engine:
                 self._eikonal_checked_keys.add(key)
                 rng = np.random.default_rng(len(self._eikonal_checked_keys))
                 k = min(3, len(pb))
-                idxs = {0} | set(
+                idxs = set(hosts) | {0} | set(
                     int(i) for i in rng.choice(len(pb), size=k, replace=False)
                 )
                 bad = [i for i in sorted(idxs)
                        if not self._eikonal_crosscheck_ok(
-                           model, pb[i], cbatch, ctx, member=i)]
+                           model, pb[i], cbatch, ctx, member=i,
+                           host=hosts.get(i))]
                 if bad:
                     import logging
 
@@ -675,8 +719,34 @@ class Engine:
         # host FMM tables have ragged per-cell time runs: no uniform groups
         return out, moments, risetimes, (cmax,), 1
 
+    def _check_eik_overflow(self):
+        """Deferred (sync-free) guard on the calibrated device-eikonal
+        table budgets: the previous batch's overflow counter has resolved
+        by the time the next batch is discretized.  On overflow the
+        calibration for that shape is widened to the rigorous hard bound
+        (one synthesis-plan recompile); the overflowed batch itself shipped
+        with clipped time cells / dropped cells -- a discretization-level
+        approximation on a few cells, flagged here."""
+        if self._eik_pending is None:
+            return
+        ckey, ov = self._eik_pending
+        self._eik_pending = None
+        ov = int(np.asarray(ov).max(initial=0))
+        if ov > 0:
+            import logging
+
+            calib = self._eik_calib.get(ckey)
+            hard = calib[2] if calib else ov
+            self._eik_calib[ckey] = (hard, None, hard)
+            logging.getLogger(__name__).warning(
+                "device eikonal table calibration overflowed by %d "
+                "rows/cells on the previous batch (its misfits carry a "
+                "small extra discretization error); widening the table "
+                "budget to the rigorous bound for %s", ov, ckey,
+            )
+
     def _eikonal_crosscheck_ok(self, model, p0, cbatch, ctx, rtol=2e-3,
-                               member=0):
+                               member=0, host=None):
         """First-use validation of the device fast-sweeping discretizer
         against the host FMM oracle: the moment-weighted summary statistics
         of batch member `member`'s centroid table must agree (the full
@@ -699,7 +769,8 @@ class Engine:
             ])
             return c
 
-        host = model.discretize(p0, self.effective_dt, ctx)
+        if host is None:
+            host = model.discretize(p0, self.effective_dt, ctx)
         s_host = stats(host["north"], host["east"], host["depth"], host["time"],
                        host["m"], host["active"])
         i = member

@@ -187,11 +187,15 @@ def discretize_eikonal_host(p, effective_dt, ctx: EikonalContext, m6_unit, rotma
 
     rows = {k: [] for k in ("north", "east", "depth", "time")}
     ms = []
+    n_cells = 0
+    max_nt = 0
     for iyc in range(ny):
         for ixc in range(nx):
             if ctimes[ixc, iyc] < 0.0:
                 continue
             tw, toff = _discretize_subfault_time(cdur[ixc, iyc], 0.0, effective_dt)
+            n_cells += 1
+            max_nt = max(max_nt, len(tw))
             for w, to in zip(tw, toff):
                 rows["north"].append(cpoints[ixc, iyc, 0])
                 rows["east"].append(cpoints[ixc, iyc, 1])
@@ -207,6 +211,9 @@ def discretize_eikonal_host(p, effective_dt, ctx: EikonalContext, m6_unit, rotma
         "time": np.asarray(rows["time"], np.float32),
         "m": np.asarray(ms, np.float32).reshape(n, 6),
         "active": np.ones(n, bool),
+        # table-geometry stats (the device pipeline calibrates its static
+        # ncell/nt budgets from these, engine._discretize_batch_host)
+        "stats": {"n_cells": n_cells, "max_nt": max_nt},
     }
 
 
@@ -627,7 +634,7 @@ def _prepare_batch_loop(pb_named, effective_dt, ctx: EikonalContext):
 
 
 def make_device_discretizer(static, effective_dt, ctx: EikonalContext,
-                            nt_cell_max, n_rounds=2):
+                            nt_cell_max, n_rounds=2, ncell_budget=None):
     """Build the jitted batched eikonal discretizer for one static shape.
 
     Same pipeline as discretize_eikonal_host, vmapped over sources; the fine
@@ -635,6 +642,14 @@ def make_device_discretizer(static, effective_dt, ctx: EikonalContext,
     dims get zero speed and are masked).  Uses the fast-sweeping solver
     instead of the FMM heap; both converge to the same viscosity solution
     (kiwi_tpu/eikonal.py).
+
+    ncell_budget (static, optional): keep only that many coarse cells,
+    actives first in a stable order.  The rupture disc covers only ~60% of
+    its bounding-box coarse grid and the synthesis kernel pays for every
+    padded table row, so the engine calibrates a budget from the host
+    oracle's n_cells (engine._discretize_batch_host).  The extra "overflow"
+    output counts dropped active cells / clipped time cells per source so
+    the engine can detect a too-tight calibration asynchronously.
     """
     import jax
     import jax.numpy as jnp
@@ -722,8 +737,22 @@ def make_device_discretizer(static, effective_dt, ctx: EikonalContext,
 
         # per-cell boxcar time cells (risetime = 0 here): nt cells of equal
         # weight 1/nt at midpoints of [-dur/2, dur/2]
-        nt = jnp.where(have, jnp.floor(cdur / edt).astype(jnp.int32) + 1, 0)
-        nt = jnp.minimum(nt, nt_cell_max)
+        nt_full = jnp.where(have, jnp.floor(cdur / edt).astype(jnp.int32) + 1, 0)
+        overflow = jnp.maximum(nt_full - nt_cell_max, 0).max()
+
+        ncell_out = ncell
+        if ncell_budget is not None and ncell_budget < ncell:
+            # actives first, stable (cix-major order preserved among them);
+            # dropped actives are counted in overflow, not silently lost
+            order = jnp.argsort(jnp.where(have, 0, 1))[:ncell_budget]
+            overflow = jnp.maximum(
+                overflow, have.sum().astype(jnp.int32) - ncell_budget)
+            ctimes, cn, ce, cd = (x[order] for x in (ctimes, cn, ce, cd))
+            cdur, have, cweights = (x[order] for x in (cdur, have, cweights))
+            nt_full = nt_full[order]
+            ncell_out = ncell_budget
+
+        nt = jnp.minimum(nt_full, nt_cell_max)
         it = jnp.arange(nt_cell_max, dtype=jnp.float32)
         ntf = jnp.maximum(nt, 1).astype(jnp.float32)
         toff = -cdur[:, None] / 2.0 + cdur[:, None] / ntf[:, None] * (it[None, :] + 0.5)
@@ -735,26 +764,29 @@ def make_device_discretizer(static, effective_dt, ctx: EikonalContext,
         )[:, :, None]
         t0 = a["time0"].astype(jnp.float32)
         return {
-            "north": jnp.broadcast_to(cn[:, None], (ncell, nt_cell_max)).reshape(-1),
-            "east": jnp.broadcast_to(ce[:, None], (ncell, nt_cell_max)).reshape(-1),
-            "depth": jnp.broadcast_to(cd[:, None], (ncell, nt_cell_max)).reshape(-1),
+            "north": jnp.broadcast_to(cn[:, None], (ncell_out, nt_cell_max)).reshape(-1),
+            "east": jnp.broadcast_to(ce[:, None], (ncell_out, nt_cell_max)).reshape(-1),
+            "depth": jnp.broadcast_to(cd[:, None], (ncell_out, nt_cell_max)).reshape(-1),
             "time": (ctimes[:, None] + toff + t0 - centertime).reshape(-1),
             "m": m.reshape(-1, 6),
             "active": live.reshape(-1),
+            "overflow": overflow,
         }
 
     return jax.jit(jax.vmap(one))
 
 
 def discretize_device_batch(static, arrays, effective_dt, ctx, nt_cell_max,
-                            n_rounds=2, _cache={}):
+                            n_rounds=2, ncell_budget=None, _cache={}):
     import jax.numpy as jnp
 
     key = (static["NF"], static["NC"], float(effective_dt), int(nt_cell_max),
-           n_rounds, ctx.content_key())
+           n_rounds, None if ncell_budget is None else int(ncell_budget),
+           ctx.content_key())
     fn = _cache.get(key)
     if fn is None:
-        fn = make_device_discretizer(static, effective_dt, ctx, nt_cell_max, n_rounds)
+        fn = make_device_discretizer(static, effective_dt, ctx, nt_cell_max,
+                                     n_rounds, ncell_budget=ncell_budget)
         _cache[key] = fn
     adev = {
         k: jnp.asarray(v, jnp.int32 if v.dtype.kind == "i" else jnp.float32)

@@ -239,8 +239,8 @@ def test_eikonal_crosscheck_catches_corrupt_member(engine, monkeypatch,
 
     real = eiksrc.discretize_device_batch
 
-    def corrupt(static, arrays, edt, ctx, ntmax):
-        out = dict(real(static, arrays, edt, ctx, ntmax))
+    def corrupt(static, arrays, edt, ctx, ntmax, **kw):
+        out = dict(real(static, arrays, edt, ctx, ntmax, **kw))
         import jax.numpy as jnp
 
         # shift every member EXCEPT source 0 by 3 km: a batch-indexing-bug
@@ -303,3 +303,49 @@ def test_eikonal_batch_needs_no_device_stats_sync(engine, monkeypatch):
     assert stats[0] >= ext - 1e-6
     assert stats[1][0] <= d0 + 1e-6 and stats[1][1] >= d1 - 1e-6
     assert stats[2][0] <= t0 + 1e-6 and stats[2][1] >= t1 - 1e-6
+
+
+def test_eikonal_table_calibration(engine, caplog):
+    """The device-eikonal table budgets are calibrated from the host
+    oracle (ntmax from actual cell durations, not the 4x-worst-case hard
+    bound), and a too-tight calibration is caught by the deferred
+    overflow guard one batch later."""
+    import logging
+
+    p = np.array(
+        [0.0, 0.0, 0.0, 400.0, 1e12, 30.0, 80.0, 164.0,
+         0.0, 0.0, 250.0, 50.0, -50.0, 0.9, 0.3],
+        dtype=np.float32,
+    )
+    engine.set_misfit_method("l2norm")
+    engine.set_source_constraints(
+        [[0, 0, 50.0], [0, 0, 700.0]], [[0, 0, -1.0], [0, 0, 1.0]]
+    )
+    engine.set_source_params("eikonal", p)
+    engine.set_synthetic_reference()
+    engine.eikonal_device = True
+    engine._eikonal_checked_keys.clear()
+    engine._eik_calib.clear()
+
+    batch = np.tile(p, (4, 1))
+    batch[:, 10] = np.linspace(200.0, 350.0, 4).astype(np.float32)
+    cbatch, *_rest, gsize = engine._discretize_batch(batch)
+    (ckey, calib), = engine._eik_calib.items()
+    ntmax, _budget, ntmax_hard = calib
+    assert ntmax < ntmax_hard, "calibration should beat the hard bound here"
+    assert gsize == ntmax
+    # host stats cover the device tables (no clipping at calibration)
+    engine._check_eik_overflow()
+    assert engine._eik_calib[ckey] == calib, "overflow guard fired wrongly"
+
+    # seed a deliberately too-tight budget: the guard must widen it to the
+    # hard bound and warn, one batch later, without any extra device sync
+    engine._eik_calib[ckey] = (1, 8, ntmax_hard)
+    engine._invalidate()
+    engine._discretize_batch(batch)
+    with caplog.at_level(logging.WARNING):
+        engine._check_eik_overflow()
+    assert engine._eik_calib[ckey] == (ntmax_hard, None, ntmax_hard)
+    assert any("overflow" in r.message for r in caplog.records)
+    engine.eikonal_device = False
+    engine._invalidate()
