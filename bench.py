@@ -170,7 +170,17 @@ def bench_finite(eng, log):
     eng.set_floating_shiftrange(-1.0, 1.0)
     eng.set_misfit_method("floating_l1norm")
 
+    # batch at the plan's own chunk cap: the window kernel's per-dispatch
+    # fixed cost is ~30% of a max_chunk-row chunk, so a B that the engine
+    # must split (256 -> 2 x 128 under a 236 cap) wastes ~25% throughput
+    # vs one full-cap dispatch per batch
     B = 256
+    warm = np.tile(base, (B, 1))
+    eng.misfits_for_source_batch(warm)
+    cap = (eng._plan or {}).get("max_chunk")
+    if cap and cap < B:
+        B = cap
+        log(f"  finite: batching at the plan chunk cap B={B}")
     nbatches = 8
 
     def dispatch(sl):
