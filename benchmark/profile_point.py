@@ -116,6 +116,19 @@ def main():
         log(f"5. e2e depth {depth:2d}:                {t*1e3:8.2f} ms "
             f"=> {nrows/t:.0f} MPS")
 
+    # 6. floating-shift scan cost: same program under plain l2norm
+    # (S=1, no shift scan) vs the floating norm (S = 2*shift/dt + 1
+    # re-reads of every synthetic).  The difference is the scan's cost.
+    eng.set_misfit_method("l2norm")
+    eng.set_floating_shiftrange(0.0, 0.0)
+    eng._invalidate()
+    t0 = time.time()
+    jax.block_until_ready(e2e())
+    log(f"6. l2norm compile+first:          {(time.time()-t0)*1e3:8.0f} ms")
+    t = pipelined(e2e, n=8)
+    log(f"6. e2e l2norm (no shift scan):    {t*1e3:8.2f} ms "
+        f"=> {nrows/t:.0f} MPS")
+
 
 if __name__ == "__main__":
     main()

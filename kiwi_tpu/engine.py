@@ -393,6 +393,44 @@ class Engine:
         span_idx_j = jnp.asarray(span_of_chan[rc_chan])
         span_tab_xla = jax.jit(synth.span_tables, static_argnums=2)(gfi, gfn, cfg)
 
+        # batched floating-shift scan kernel (ops/float_scan.py): one pass
+        # over each synthetic instead of S = 2*nshift+1 HBM re-reads.  Only
+        # for no-filter plans (its mask-free tail decomposition needs
+        # constant span tails); KIWI_FLOAT_SCAN=0 falls back to the vmapped
+        # XLA evaluation, CPU tests opt in via KIWI_FLOAT_SCAN_INTERPRET=1.
+        use_fscan = (
+            method in (mf.FLOATING_L2NORM, mf.FLOATING_L1NORM)
+            and not any_filter
+            and os.environ.get("KIWI_FLOAT_SCAN", "1") != "0"
+            and (_on_tpu() or os.environ.get("KIWI_FLOAT_SCAN_INTERPRET") == "1")
+        )
+
+        def eval_batch(syn_rc_b, lo_b, hi_b, moments, risetimes):
+            """Batched misfit eval: the floating scan kernel when usable,
+            else the per-source evaluation under vmap."""
+            if use_fscan:
+                return mf.evaluate_misfits_floating_batch(
+                    ctx, syn_rc_b, cfg.out_it0, lo_b, hi_b, method, st, nrec,
+                    moments, risetimes, fold_nshift_max=fold_max, rctx=rctx,
+                    shiftrange=shiftrange, any_taper=any_taper,
+                    eval_win=eval_win, interpret=not _on_tpu(),
+                )
+
+            def eval_one(syn, lo1, hi1, moment, risetime):
+                return mf.evaluate_misfits(
+                    ctx, syn, cfg.out_it0, lo1, hi1, method, st, nrec,
+                    moment=moment, risetime=risetime,
+                    fold_nshift_max=fold_max, shiftrange=shiftrange,
+                    rctx=rctx, any_taper=any_taper, any_filter=any_filter,
+                    eval_win=eval_win,
+                )
+
+            lo_b = jnp.broadcast_to(
+                jnp.atleast_2d(lo_b), syn_rc_b.shape[:2])
+            hi_b = jnp.broadcast_to(
+                jnp.atleast_2d(hi_b), syn_rc_b.shape[:2])
+            return jax.vmap(eval_one)(syn_rc_b, lo_b, hi_b, moments, risetimes)
+
         def synth_rc(cent):
             """One source -> component traces + spans: f32[RC, nt_out]."""
             def per_rec(rec):
@@ -462,17 +500,7 @@ class Engine:
                 syn_rc = canon[:, rc_rec_j, rc_chan_j] * rc_sign_j[None, :, None]
                 lo_rc = lo[:, rc_rec_j, span_idx_j]
                 hi_rc = hi[:, rc_rec_j, span_idx_j]
-
-                def eval_one(syn, lo1, hi1, moment, risetime):
-                    return mf.evaluate_misfits(
-                        ctx, syn, cfg.out_it0, lo1, hi1, method, st, nrec,
-                        moment=moment, risetime=risetime,
-                        fold_nshift_max=fold_max, shiftrange=shiftrange,
-                        rctx=rctx, any_taper=any_taper, any_filter=any_filter,
-                        eval_win=eval_win,
-                    )
-
-                return jax.vmap(eval_one)(syn_rc, lo_rc, hi_rc, moments, risetimes)
+                return eval_batch(syn_rc, lo_rc, hi_rc, moments, risetimes)
 
             forward_batch_raw_xla = forward_batch_raw
             forward_batch_raw = forward_batch_window
@@ -511,17 +539,7 @@ class Engine:
             ).transpose(1, 0, 2)  # [B, RC, nt]
             lo_rc = los[rc_rec_j, span_idx_j]  # [RC], batch-shared
             hi_rc = his[rc_rec_j, span_idx_j]
-
-            def eval_one(syn, moment, risetime):
-                return mf.evaluate_misfits(
-                    ctx, syn, cfg.out_it0, lo_rc, hi_rc, method, st, nrec,
-                    moment=moment, risetime=risetime, fold_nshift_max=fold_max,
-                    shiftrange=shiftrange, rctx=rctx,
-                    any_taper=any_taper, any_filter=any_filter,
-                    eval_win=eval_win,
-                )
-
-            return jax.vmap(eval_one)(syn_rc, moments, risetimes)
+            return eval_batch(syn_rc, lo_rc, hi_rc, moments, risetimes)
 
         def _scaled_traces(cent, moment, risetime):
             syn_rc, lo_rc, hi_rc = synth_rc(cent)

@@ -578,6 +578,121 @@ def evaluate_misfits(
     return m, rctx["norm"], zero_shift
 
 
+def evaluate_misfits_floating_batch(
+    ctx,
+    syn_traces_b,
+    syn_it0,
+    syn_lo_b,
+    syn_hi_b,
+    method,
+    st: ProbeStatic,
+    nrec,
+    moments,
+    risetimes=None,
+    fold_nshift_max=0,
+    rctx=None,
+    shiftrange=(0, 0),
+    any_taper=True,
+    eval_win=None,
+    interpret=False,
+    bt=32,
+):
+    """Batched floating-norm evaluation through the Pallas scan kernel
+    (ops/float_scan.py) -- one pass over every synthetic instead of the
+    vmapped path's S re-reads.
+
+    Mathematically identical to jax.vmap(evaluate_misfits) over the batch
+    for floating norms on NO-FILTER plans (the kernel's mask-free
+    decomposition needs constant span tails; see ops/float_scan.py).
+    f32 rounding differs in reduction order only.
+
+    syn_traces_b: f32[B, RC, NT]; syn_lo_b/syn_hi_b: i32[B, RC] or [RC]
+    (batch-shared); moments f32[B]; risetimes f32[B] or None.
+    Returns (m [B, RC], norm [B, RC], floating_shift [B, R]).
+    """
+    from .ops.float_scan import scan_sums
+
+    assert method in (FLOATING_L2NORM, FLOATING_L1NORM)
+    base = L2NORM if method == FLOATING_L2NORM else L1NORM
+    if rctx is None:
+        rctx = precompute_ref_context(ctx, method, st, shiftrange, any_taper, False)
+
+    B, RC, _nt = syn_traces_b.shape
+    syn_lo_b = jnp.broadcast_to(jnp.atleast_2d(syn_lo_b), (B, RC))
+    syn_hi_b = jnp.broadcast_to(jnp.atleast_2d(syn_hi_b), (B, RC))
+
+    if risetimes is not None and fold_nshift_max > 0:
+        wf = jax.vmap(
+            lambda r: fold_stf_weights(r, jnp.float32(st.dt), fold_nshift_max)
+        )(risetimes)
+        syn_traces_b = jax.vmap(apply_fold)(syn_traces_b, wf)
+        syn_lo_b = syn_lo_b - fold_nshift_max
+        syn_hi_b = syn_hi_b + fold_nshift_max
+
+    syn = place_on_probe(syn_traces_b, syn_it0, st) * moments.astype(F32)[:, None, None]
+    syn_proc = _taper_arrays(ctx, syn)  # [B, RC, PL]; no-filter plans only
+    syn_s = syn_proc * ctx["syn_factor"][None, :, None]
+
+    # static window slice, padded to whole lane tiles (the kernel sums all
+    # lanes; the tail correction handles everything right of each span)
+    if eval_win is not None:
+        i0 = max(int(eval_win[0]) - st.ps0, 0)
+        i1 = min(int(eval_win[1]) - st.ps0 + 1, st.pl)
+    else:
+        i0, i1 = 0, st.pl
+    wk = min(-(-(i1 - i0) // 128) * 128, st.pl)
+    i0 = max(min(i0, st.pl - wk), 0)
+
+    ref_sl = rctx["ref_proc"][..., i0:i0 + wk]  # [S, RC, W]
+    syn_sl = syn_s[..., i0:i0 + wk]             # [B, RC, W]
+    S = ref_sl.shape[0]
+
+    bp = -(-B // bt) * bt
+    syn_k = jnp.concatenate(
+        [syn_sl, jnp.broadcast_to(syn_sl[-1:], (bp - B, RC, wk))]
+    ) if bp != B else syn_sl
+    out = scan_sums(
+        ref_sl.reshape(S * RC, wk), syn_k.transpose(1, 0, 2),
+        l2=(base == L2NORM), bt=bt, interpret=interpret,
+    )[:, :B]  # [S, B, RC]
+
+    # exact tail correction: right of hi = max(ref span, syn span) both
+    # arrays repeat their edge values (zero for tapered rows)
+    basei = st.ps0 + i0
+    hi = jnp.maximum(rctx["ref_hi_s"][:, None, :], syn_hi_b[None, :, :])
+    hi_loc = jnp.clip(hi - basei, 0, wk - 1)
+    hi_loc = jnp.where(ctx["has_taper"][None, None, :], wk - 1, hi_loc)
+    count = (wk - 1 - hi_loc).astype(F32)
+    dlast = ref_sl[..., -1][:, None, :] - syn_sl[..., -1][None, :, :]
+    tail = count * (dlast * dlast if base == L2NORM else jnp.abs(dlast))
+
+    dtc = ACCUM(st.dt)
+    sums = (out - tail).astype(ACCUM)
+    ms = jnp.sqrt(dtc * sums) if base == L2NORM else dtc * sums
+    ms = jnp.where(ctx["enabled"][None, None, :], ms.astype(F32), 0.0)
+
+    # per-receiver shift selection, exactly as evaluate_misfits
+    rlo = jax.ops.segment_min(ctx["shift_lo"], ctx["receiver_ids"], num_segments=nrec)
+    rhi = jax.ops.segment_max(ctx["shift_hi"], ctx["receiver_ids"], num_segments=nrec)
+    allowed = (rctx["shifts"][:, None] >= rlo[None, :]) & (
+        rctx["shifts"][:, None] <= rhi[None, :]
+    )
+
+    def post(ms_b):  # [S, RC] -> (m [RC], shift [R])
+        per_rec = jax.vmap(
+            lambda row: jax.ops.segment_sum(row, ctx["receiver_ids"], num_segments=nrec)
+        )(ms_b**2 if base == L2NORM else ms_b)
+        per_rec = jnp.where(allowed, per_rec, jnp.inf)
+        iloc = jnp.argmin(per_rec, axis=0)
+        shift_sel = rctx["shifts"][iloc]
+        m = jnp.take_along_axis(ms_b, iloc[ctx["receiver_ids"]][None, :], axis=0)[0]
+        return m, shift_sel
+
+    m, shift_sel = jax.vmap(post)(ms.transpose(1, 0, 2))
+    n = jnp.broadcast_to(rctx["norm"][None, :], (B, RC))
+    return m, n, shift_sel
+
+
 def global_misfit(misfits, norms):
     """sqrt(sum m^2)/sqrt(sum n^2) (minimizer_engine.f90:935-942)."""
     return jnp.sqrt(jnp.sum(misfits.astype(jnp.float64) ** 2)) / jnp.sqrt(

@@ -1,0 +1,104 @@
+"""Pallas TPU kernel: batched floating-shift misfit scan (VPU-only).
+
+The floating norms (floating_l2norm / floating_l1norm) evaluate the
+misfit integral at every trial reference shift s in the scan range and
+keep the per-receiver minimum (probes_... scan, comparator.f90:627-697 +
+minimizer_engine's floating-shift selection).  The XLA formulation
+(misfit.evaluate_misfits under vmap) re-reads every synthetic S =
+2*nshift+1 times from HBM -- for the benchmark point sweep that is ~21x
+the synthesis traffic and the dominant cost of the whole fused forward
+(profile_point.py stage 6: the same program under plain l2norm runs ~3x
+faster than under floating_l1norm).
+
+This kernel keeps the processed reference stack [S*RC, W] resident in
+VMEM (a few hundred KB: the probe is 128-256 lanes), streams each
+synthetic block through once, and emits the full scan sum table
+[S, B, RC] in a single pass.
+
+Mask-free by construction
+-------------------------
+The probe extension conventions make the *unmasked* full-window sum
+exactly decomposable (misfit.evaluate_misfits integrates |ref_s -
+fb*syn| over the span union [lo, hi] = [min(ref_lo_s, syn_lo),
+max(ref_hi_s, syn_hi)]):
+
+* left of lo BOTH arrays are zero (zero-left extension;
+  misfit.place_on_probe / misfit.shift_probe), so [0, lo) contributes 0;
+* right of hi BOTH arrays are their repeated edge constants (repeat-right
+  extension, sparse_trace.f90 end-value semantics), so (hi, W-1]
+  contributes (W-1 - hi) * |ref_edge - fb*syn_edge| -- a closed form the
+  XLA caller subtracts (`tail correction`).
+
+Tapered rows are zero outside the taper span, so the full sum already
+equals the taper-span integral and the correction vanishes through its
+zero edge values (the caller passes hi = slice end for tapered rows).
+Rows with spectral FILTERS break tail constancy (irfft ringing), so the
+engine gates this path on no-filter plans.
+
+The kernel therefore needs no masks, no bounds, no i32 operands: for
+each (shift, rc) it does `sum |ref_row - syn|` over the lane axis.
+No dot_general (Mosaic lowers f32 dots through one bf16 MXU pass,
+~2^-8 error -- the scan values ARE the reported misfits and must hold
+1e-5 parity with the XLA path); the lane reduction is a VPU tree sum.
+
+Layout: B on sublanes (BT-row blocks), probe lanes W on lanes; syn block
+[RC, BT, W]; ref resident [S*RC, W]; out [S, B, RC] with the shift loop
+a fori (ref row reads are dynamic sublane slices, near-free; the per-s
+output plane store is a dynamic leading-dim store).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+
+
+def _scan_kernel(ref_ref, syn_ref, out_ref, *, S, RC, BT, l2):
+    def body(s, _):
+        # per-rc scan sums for this shift: [BT, RC] plane
+        cols = []
+        for rc in range(RC):
+            syn = syn_ref[rc]                    # [BT, W]
+            ref_row = ref_ref[s * RC + rc]       # [W] (dynamic sublane read)
+            d = ref_row[None, :] - syn
+            u = d * d if l2 else jnp.abs(d)
+            cols.append(jnp.sum(u, axis=-1))     # [BT]
+        out_ref[s] = jnp.stack(cols, axis=-1)    # [BT, RC]
+        return 0
+
+    jax.lax.fori_loop(0, S, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("l2", "bt", "interpret"))
+def scan_sums(ref_srw, syn_rbw, l2=False, bt=32, interpret=False):
+    """Full-window scan sums.
+
+    ref_srw: f32[S*RC, W] processed+shifted references (W a 128-multiple).
+    syn_rbw: f32[RC, B, W] scaled synthetics (fb * moment folded in),
+        B a multiple of bt.
+    Returns f32[S, B, RC]: sum over all W lanes of |ref - syn| (or the
+    square for l2) -- the caller applies the tail correction, dt, and
+    masking/argmin.
+    """
+    SRC, W = ref_srw.shape
+    RC, B, W2 = syn_rbw.shape
+    assert W == W2 and SRC % RC == 0 and B % bt == 0
+    S = SRC // RC
+    grid = (B // bt,)
+    return pl.pallas_call(
+        functools.partial(_scan_kernel, S=S, RC=RC, BT=bt, l2=l2),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((SRC, W), lambda i: (0, 0)),          # resident
+            pl.BlockSpec((RC, bt, W), lambda i: (0, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((S, bt, RC), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((S, B, RC), F32),
+        interpret=interpret,
+    )(ref_srw, syn_rbw)

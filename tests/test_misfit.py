@@ -253,3 +253,61 @@ def test_cross_correlation_vs_numpy():
         # union of dataspans [lo, hi] u [probe span] -> full probe here
         exp = float((shifted * syn_row[0]).sum())
         assert abs(float(cc[k, 0]) - exp) < 2e-5 * max(1.0, abs(exp)), (s, cc[k, 0], exp)
+
+
+def test_floating_batch_matches_vmapped_eval():
+    """evaluate_misfits_floating_batch (the Pallas scan kernel path, in
+    interpret mode) must match jax.vmap(evaluate_misfits) for both floating
+    norms, with tapers on some rows, per-source spans, moments and STF
+    folds -- pins the kernel's mask-free tail-correction decomposition."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    nrc, pl, ps0, dt = 5, 128, -10, 0.25
+    setup, st = make_setup(nrc=nrc, ps0=ps0, pl=pl, dt=dt,
+                           receiver_ids=[0, 0, 1, 1, 2])
+    for irc in range(nrc):
+        n = 30 + 3 * irc
+        ref = rng.normal(size=n).astype(np.float32)
+        ref[-1] = 0.7  # nonzero edge: exercises the repeat-tail correction
+        setup.set_ref(irc, ref, 5 + irc)
+    # taper on two rows (zero outside span: correction must vanish there)
+    setup.set_taper(1, PLF([dt * 2, dt * 6, dt * 20, dt * 30], [0, 1, 1, 0]))
+    setup.set_taper(3, PLF([dt * 0, dt * 4, dt * 16, dt * 28], [0, 1, 1, 0]))
+    setup.shift_lo[:] = -6
+    setup.shift_hi[:] = 6
+    ctx = setup.device()
+    nrec = 3
+    shiftrange = (-6, 6)
+    B, nt, it0 = 9, 40, 2
+    syn = (rng.normal(size=(B, nrc, nt)) * 0.8).astype(np.float32)
+    syn[..., -1] = 0.3  # nonzero syn edge too
+    lo = np.full((B, nrc), it0, np.int32)
+    hi = lo + nt - 1
+    moments = (0.5 + rng.random(B)).astype(np.float32)
+    risetimes = (dt * 3 * rng.random(B)).astype(np.float32)
+
+    for method in (mf.FLOATING_L1NORM, mf.FLOATING_L2NORM):
+        rctx = mf.precompute_ref_context(ctx, method, st, shiftrange,
+                                         True, False)
+
+        def one(s, l1, h1, mo, rt):
+            return mf.evaluate_misfits(
+                ctx, s, it0, l1, h1, method, st, nrec, moment=mo,
+                risetime=rt, fold_nshift_max=3, shiftrange=shiftrange,
+                rctx=rctx, any_taper=True, any_filter=False, eval_win=None)
+
+        m0, n0, fs0 = jax.vmap(one)(
+            jnp.asarray(syn), jnp.asarray(lo), jnp.asarray(hi),
+            jnp.asarray(moments), jnp.asarray(risetimes))
+        m1, n1, fs1 = mf.evaluate_misfits_floating_batch(
+            ctx, jnp.asarray(syn), it0, jnp.asarray(lo), jnp.asarray(hi),
+            method, st, nrec, jnp.asarray(moments), jnp.asarray(risetimes),
+            fold_nshift_max=3, rctx=rctx, shiftrange=shiftrange,
+            any_taper=True, eval_win=None, interpret=True)
+        scale = max(float(jnp.abs(m0).max()), 1e-30)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                                   rtol=1e-5, atol=scale * 1e-5)
+        np.testing.assert_allclose(np.asarray(n1), np.asarray(n0),
+                                   rtol=1e-6, atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(fs1), np.asarray(fs0))

@@ -572,3 +572,34 @@ def test_receiver_lane_packing_matches_grouped_xla(monkeypatch):
     ref = np.asarray(jax.vmap(jax.vmap(oracle_one))(kin))[..., :nt_out]
     scale = max(np.abs(ref).max(), 1e-30)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=scale * 1e-5)
+
+
+def test_engine_float_scan_matches_fallback(setup, monkeypatch):
+    """Engine integration of the floating-shift scan kernel
+    (ops/float_scan.py, interpret mode): misfits/norms/shifts through
+    forward_batch with the scan enabled must match the vmapped evaluation
+    -- pins the eval_batch wiring, the tail correction against real GF
+    synthetics (nonzero static offsets), folds and chunking."""
+    eng, p, store = setup
+    eng.set_misfit_method("floating_l1norm")
+    eng.set_floating_shiftrange(-0.3, 0.3)
+    eng.set_source_params("bilateral", p)
+    eng.set_synthetic_reference()
+    batch = np.tile(p, (3, 1))
+    batch[:, 5] = np.array([45.0, 135.0, 291.0], np.float32)
+
+    monkeypatch.setenv("KIWI_FLOAT_SCAN", "0")
+    eng._invalidate()
+    m_x, n_x, fs_x = [np.asarray(x) for x in
+                      eng.misfits_for_source_batch(batch)]
+
+    monkeypatch.setenv("KIWI_FLOAT_SCAN", "1")
+    monkeypatch.setenv("KIWI_FLOAT_SCAN_INTERPRET", "1")
+    eng._invalidate()
+    m_k, n_k, fs_k = [np.asarray(x) for x in
+                      eng.misfits_for_source_batch(batch)]
+
+    scale = max(np.abs(m_x).max(), 1e-30)
+    np.testing.assert_allclose(m_k, m_x, rtol=1e-5, atol=scale * 1e-5)
+    np.testing.assert_allclose(n_k, n_x, rtol=1e-5, atol=scale * 1e-5)
+    np.testing.assert_array_equal(fs_k, fs_x)
