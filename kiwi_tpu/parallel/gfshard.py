@@ -460,6 +460,36 @@ def build_plan(engine, mesh, axis="r", source_axis="auto"):
                 any_taper=any_taper, any_filter=any_filter,
             )
 
+        # batched floating-shift scan kernel, like the unsharded engine's
+        # eval_batch (engine._make_plan): one pass over each synthetic
+        # instead of S HBM re-reads, per shard
+        import os as _os
+
+        use_fscan = (
+            method in (mf.FLOATING_L2NORM, mf.FLOATING_L1NORM)
+            and not any_filter
+            and _os.environ.get("KIWI_FLOAT_SCAN", "1") != "0"
+            and (synth.on_tpu()
+                 or _os.environ.get("KIWI_FLOAT_SCAN_INTERPRET") == "1")
+        )
+
+        def eval_rows_batch(ctx_l, rctx_l, syn_rc_b, lo_b, hi_b, moments,
+                            risetimes):
+            if use_fscan:
+                return mf.evaluate_misfits_floating_batch(
+                    ctx_l, syn_rc_b, cfg.out_it0, lo_b, hi_b, method, st,
+                    nrec_local, moments, risetimes,
+                    fold_nshift_max=fold_max, rctx=rctx_l,
+                    shiftrange=shiftrange, any_taper=any_taper,
+                    eval_win=None, interpret=interp,
+                )
+            lo_b = jnp.broadcast_to(jnp.atleast_2d(lo_b), syn_rc_b.shape[:2])
+            hi_b = jnp.broadcast_to(jnp.atleast_2d(hi_b), syn_rc_b.shape[:2])
+            return jax.vmap(
+                lambda syn, l1, h1, mo, rt: eval_rows(
+                    ctx_l, rctx_l, syn, l1, h1, mo, rt)
+            )(syn_rc_b, lo_b, hi_b, moments, risetimes)
+
         def shard_fn(ext_s, gfi_s, gfn_s, ix0_s, tab_s, recs_s, ctx_s,
                      rctx_s, aux_s, cbatch, moments, risetimes):
             (ext_l, gfi_l, gfn_l, tab_l, recs_l, ctx_l, rctx_l,
@@ -498,11 +528,8 @@ def build_plan(engine, mesh, axis="r", source_axis="auto"):
                 lo_rc = los[rl_c, aux_l["span_idx"]]  # [RC], batch-shared
                 hi_rc = his[rl_c, aux_l["span_idx"]]
 
-                def eval_one(syn, moment, risetime):
-                    return eval_rows(ctx_l, rctx_l, syn, lo_rc, hi_rc,
-                                     moment, risetime)
-
-                m, nn, fs = jax.vmap(eval_one)(syn_rc, moments, risetimes)
+                m, nn, fs = eval_rows_batch(ctx_l, rctx_l, syn_rc, lo_rc,
+                                            hi_rc, moments, risetimes)
             elif form.use_window:
                 ext_flat = synth_window.pack_ext(ext_l, cfg)
 
@@ -524,13 +551,11 @@ def build_plan(engine, mesh, axis="r", source_axis="auto"):
                     )(ab, recs_l["bazi"])
                 )(ard)  # [B, R, 5, nt_out]
 
-                def eval_one(cn, lo1, hi1, moment, risetime):
-                    syn_rc, lo_rc, hi_rc = rc_gather(ctx_l, aux_l, cn, lo1, hi1)
-                    return eval_rows(ctx_l, rctx_l, syn_rc, lo_rc, hi_rc,
-                                     moment, risetime)
-
-                m, nn, fs = jax.vmap(eval_one)(canon, lo, hi, moments,
-                                               risetimes)
+                syn_rc, lo_rc, hi_rc = jax.vmap(
+                    lambda cn, lo1, hi1: rc_gather(ctx_l, aux_l, cn, lo1, hi1)
+                )(canon, lo, hi)
+                m, nn, fs = eval_rows_batch(ctx_l, rctx_l, syn_rc, lo_rc,
+                                            hi_rc, moments, risetimes)
             else:
                 def forward_one(cent, moment, risetime):
                     def per_rec(rec):
