@@ -514,13 +514,12 @@ class Engine:
         max_chunk = form.max_chunk
         forward_batch = jax.jit(forward_batch_raw)
 
-        def forward_shared_raw(cbatch, moments, risetimes):
-            """Batch forward for shared-kinematics batches (identical
-            centroid positions/times/activity across the batch; only the
-            moment tensors vary): GF values are blended/shifted ONCE per
-            receiver and each source contributes only a weight contraction
-            -- the batched rendering of the reference's only_moment_changed
-            shortcut (minimizer_engine.f90's dirty-flag DAG)."""
+        def shared_synth_raw(cbatch):
+            """Synthesis half of the shared-kinematics forward: GF values
+            blended/shifted ONCE per receiver, each source a weight
+            contraction -- the batched rendering of the reference's
+            only_moment_changed shortcut (minimizer_engine.f90's dirty-flag
+            DAG).  Returns (syn_rc [B, RC, nt], lo_rc [RC], hi_rc [RC])."""
             cent0 = {k: v[0] for k, v in cbatch.items()}
             mb = cbatch["m"]  # [B, C, 6]
 
@@ -544,6 +543,10 @@ class Engine:
             ).transpose(1, 0, 2)  # [B, RC, nt]
             lo_rc = los[rc_rec_j, span_idx_j]  # [RC], batch-shared
             hi_rc = his[rc_rec_j, span_idx_j]
+            return syn_rc, lo_rc, hi_rc
+
+        def forward_shared_raw(cbatch, moments, risetimes):
+            syn_rc, lo_rc, hi_rc = shared_synth_raw(cbatch)
             return eval_batch(syn_rc, lo_rc, hi_rc, moments, risetimes)
 
         def _scaled_traces(cent, moment, risetime):
@@ -569,6 +572,9 @@ class Engine:
             "forward_batch_raw": forward_batch_raw,
             "forward_batch_raw_xla": forward_batch_raw_xla,
             "forward_shared_raw": forward_shared_raw,
+            "shared_synth_raw": shared_synth_raw,
+            "eval_batch_raw": eval_batch,
+            "use_fscan": use_fscan,
             "fused": {},  # (source_type, shape, edt) -> disc+forward jit
             "fused_shared": {},  # same, via the shared-kinematics forward
             "synth_one": synth_one,
@@ -871,6 +877,17 @@ class Engine:
                     # round trip)
                     fb = plan["forward_batch"]
                     fwd = lambda pbj, mts, rts: fb(disc(pbj), mts, rts)  # noqa: E731
+                elif (shared and plan.get("use_fscan")
+                      and os.environ.get("KIWI_FSCAN_SPLIT", "0") == "1"):
+                    # ablation knob: shared-kinematics forward as two jits
+                    # (XLA disc+synthesis | pallas scan eval) instead of one
+                    # fused program, mirroring the window-path split above
+                    sy = jax.jit(lambda pbj: plan["shared_synth_raw"](disc(pbj)))
+                    ev = jax.jit(plan["eval_batch_raw"])
+
+                    def fwd(pbj, mts, rts):
+                        syn_rc, lo_rc, hi_rc = sy(pbj)
+                        return ev(syn_rc, lo_rc, hi_rc, mts, rts)
                 else:
                     raw = plan["forward_shared_raw" if shared else "forward_batch_raw"]
                     fwd = jax.jit(lambda pbj, mts, rts: raw(disc(pbj), mts, rts))
