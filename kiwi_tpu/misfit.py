@@ -694,9 +694,14 @@ def evaluate_misfits_floating_batch(
 
 
 def global_misfit(misfits, norms):
-    """sqrt(sum m^2)/sqrt(sum n^2) (minimizer_engine.f90:935-942)."""
-    return jnp.sqrt(jnp.sum(misfits.astype(jnp.float64) ** 2)) / jnp.sqrt(
-        jnp.sum(norms.astype(jnp.float64) ** 2)
+    """sqrt(sum m^2)/sqrt(sum n^2) (minimizer_engine.f90:935-942).
+
+    Accumulates in ACCUM (f32 tree reductions, ~1e-7 relative over <=
+    hundreds of rc rows) like every other norm here: device f64 is
+    emulated on TPU and an order of magnitude slower, and this runs
+    per-source over whole grid-search batches."""
+    return jnp.sqrt(jnp.sum(misfits.astype(ACCUM) ** 2)) / jnp.sqrt(
+        jnp.sum(norms.astype(ACCUM) ** 2)
     )
 
 
