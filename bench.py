@@ -381,10 +381,33 @@ def bench_eikonal(eng, log):
     return mps
 
 
+def _check_float_scan(log):
+    """Fail-safe for the floating-scan Pallas kernel: a 5-second lowering
+    + value self-check; any failure pins KIWI_FLOAT_SCAN=0 so the bench
+    still reports numbers on the (slower) XLA eval path instead of dying
+    inside the first fused forward."""
+    if os.environ.get("KIWI_FLOAT_SCAN") == "0":
+        return
+    try:
+        import jax.numpy as jnp
+
+        from kiwi_tpu.ops.float_scan import scan_sums
+
+        ref = np.ones((2 * 3, 128), np.float32)
+        syn = np.zeros((3, 32, 128), np.float32)
+        out = np.asarray(scan_sums(jnp.asarray(ref), jnp.asarray(syn)))
+        assert out.shape == (2, 32, 3) and np.allclose(out, 128.0), out
+    except Exception as e:  # noqa: BLE001
+        log(f"  float-scan kernel unavailable ({type(e).__name__}: {e}); "
+            "falling back to the XLA eval path")
+        os.environ["KIWI_FLOAT_SCAN"] = "0"
+
+
 def main():
     def log(msg):
         print(msg, file=sys.stderr, flush=True)
 
+    _check_float_scan(log)
     store = get_store(log)
     eng = make_engine(store)
 
