@@ -61,15 +61,16 @@ F32 = jnp.float32
 
 def _scan_kernel(ref_ref, syn_ref, out_ref, *, S, RC, BT, l2):
     def body(s, _):
-        # per-rc scan sums for this shift: [BT, RC] plane
+        # per-rc scan sums for this shift: [BT, RC] plane (keepdims sums
+        # + lane concatenation -- 2-D shapes throughout for Mosaic)
         cols = []
         for rc in range(RC):
             syn = syn_ref[rc]                    # [BT, W]
             ref_row = ref_ref[s * RC + rc]       # [W] (dynamic sublane read)
             d = ref_row[None, :] - syn
             u = d * d if l2 else jnp.abs(d)
-            cols.append(jnp.sum(u, axis=-1))     # [BT]
-        out_ref[s] = jnp.stack(cols, axis=-1)    # [BT, RC]
+            cols.append(jnp.sum(u, axis=-1, keepdims=True))  # [BT, 1]
+        out_ref[s] = jnp.concatenate(cols, axis=-1)          # [BT, RC]
         return 0
 
     jax.lax.fori_loop(0, S, body, 0)
