@@ -398,14 +398,9 @@ class Engine:
         # for no-filter plans (its mask-free tail decomposition needs
         # constant span tails); KIWI_FLOAT_SCAN=0 falls back to the vmapped
         # XLA evaluation, CPU tests opt in via KIWI_FLOAT_SCAN_INTERPRET=1.
-        nrc_rows = int(len(layout))
-        nshifts = s2 - s1 + 1
         use_fscan = (
             method in (mf.FLOATING_L2NORM, mf.FLOATING_L1NORM)
             and not any_filter
-            # resident ref stack + double-buffered syn blocks must fit VMEM
-            # (very wide teleseismic shift scans fall back to the XLA path)
-            and (nshifts * nrc_rows + 3 * 32 * nrc_rows) * st.pl * 4 < 8 << 20
             and os.environ.get("KIWI_FLOAT_SCAN", "1") != "0"
             and (_on_tpu() or os.environ.get("KIWI_FLOAT_SCAN_INTERPRET") == "1")
         )

@@ -76,6 +76,33 @@ def _scan_kernel(ref_ref, syn_ref, out_ref, *, S, RC, BT, l2):
     jax.lax.fori_loop(0, S, body, 0)
 
 
+def _scan_kernel_blocked(ref_ref, syn_ref, out_ref, *, S, RC, BT, l2):
+    """W-blocked variant: the W grid axis (minor) revisits the same output
+    block per B block; accumulate across its consecutive steps."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(s, _):
+        cols = []
+        for rc in range(RC):
+            syn = syn_ref[rc]                    # [BT, WB]
+            ref_row = ref_ref[s * RC + rc]
+            d = ref_row[None, :] - syn
+            u = d * d if l2 else jnp.abs(d)
+            cols.append(jnp.sum(u, axis=-1, keepdims=True))
+        out_ref[s] = out_ref[s] + jnp.concatenate(cols, axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, S, body, 0)
+
+
+# resident ref stack + double-buffered syn blocks target (VMEM is ~16 MB
+# less Mosaic overheads; synth kernels may co-reside in a fused program)
+VMEM_TARGET_BYTES = 8 << 20
+
+
 @functools.partial(jax.jit, static_argnames=("l2", "bt", "interpret"))
 def scan_sums(ref_srw, syn_rbw, l2=False, bt=32, interpret=False):
     """Full-window scan sums.
@@ -86,20 +113,40 @@ def scan_sums(ref_srw, syn_rbw, l2=False, bt=32, interpret=False):
     Returns f32[S, B, RC]: sum over all W lanes of |ref - syn| (or the
     square for l2) -- the caller applies the tail correction, dt, and
     masking/argmin.
+
+    The reference stack stays VMEM-resident when it fits; otherwise both
+    operands stream W-blocked (long teleseismic probes / wide scans),
+    which still reads each synthetic once per (B/bt) ref re-streams --
+    strictly less traffic than the vmapped XLA path's S re-reads.
     """
     SRC, W = ref_srw.shape
     RC, B, W2 = syn_rbw.shape
     assert W == W2 and SRC % RC == 0 and B % bt == 0
     S = SRC // RC
-    grid = (B // bt,)
+
+    resident_bytes = (SRC * W + 2 * RC * bt * W + 2 * S * bt * RC) * 4
+    if resident_bytes <= VMEM_TARGET_BYTES:
+        return pl.pallas_call(
+            functools.partial(_scan_kernel, S=S, RC=RC, BT=bt, l2=l2),
+            grid=(B // bt,),
+            in_specs=[
+                pl.BlockSpec((SRC, W), lambda i: (0, 0)),      # resident
+                pl.BlockSpec((RC, bt, W), lambda i: (0, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((S, bt, RC), lambda i: (0, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((S, B, RC), F32),
+            interpret=interpret,
+        )(ref_srw, syn_rbw)
+
+    wb = 256 if W % 256 == 0 else 128
     return pl.pallas_call(
-        functools.partial(_scan_kernel, S=S, RC=RC, BT=bt, l2=l2),
-        grid=grid,
+        functools.partial(_scan_kernel_blocked, S=S, RC=RC, BT=bt, l2=l2),
+        grid=(B // bt, W // wb),
         in_specs=[
-            pl.BlockSpec((SRC, W), lambda i: (0, 0)),          # resident
-            pl.BlockSpec((RC, bt, W), lambda i: (0, i, 0)),
+            pl.BlockSpec((SRC, wb), lambda i, j: (0, j)),
+            pl.BlockSpec((RC, bt, wb), lambda i, j: (0, i, j)),
         ],
-        out_specs=pl.BlockSpec((S, bt, RC), lambda i: (0, i, 0)),
+        out_specs=pl.BlockSpec((S, bt, RC), lambda i, j: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((S, B, RC), F32),
         interpret=interpret,
     )(ref_srw, syn_rbw)

@@ -465,12 +465,9 @@ def build_plan(engine, mesh, axis="r", source_axis="auto"):
         # instead of S HBM re-reads, per shard
         import os as _os
 
-        nrc_rows = int(rc_chan_stack[0].shape[0])
-        nshifts = s2 - s1 + 1
         use_fscan = (
             method in (mf.FLOATING_L2NORM, mf.FLOATING_L1NORM)
             and not any_filter
-            and (nshifts * nrc_rows + 3 * 32 * nrc_rows) * st.pl * 4 < 8 << 20
             and _os.environ.get("KIWI_FLOAT_SCAN", "1") != "0"
             and (synth.on_tpu()
                  or _os.environ.get("KIWI_FLOAT_SCAN_INTERPRET") == "1")

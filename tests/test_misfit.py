@@ -311,3 +311,25 @@ def test_floating_batch_matches_vmapped_eval():
         np.testing.assert_allclose(np.asarray(n1), np.asarray(n0),
                                    rtol=1e-6, atol=1e-12)
         np.testing.assert_array_equal(np.asarray(fs1), np.asarray(fs0))
+
+
+def test_floating_batch_blocked_variant(monkeypatch):
+    """The W-blocked scan kernel (long probes / wide scans stream both
+    operands) must match the resident variant."""
+    import jax
+
+    from kiwi_tpu.ops import float_scan as fs
+
+    rng = np.random.default_rng(3)
+    S, RC, B, W = 9, 6, 64, 512
+    ref = rng.normal(size=(S * RC, W)).astype(np.float32)
+    syn = rng.normal(size=(RC, B, W)).astype(np.float32)
+    for l2 in (False, True):
+        res = np.asarray(fs.scan_sums(
+            jnp.asarray(ref), jnp.asarray(syn), l2=l2, interpret=True))
+        monkeypatch.setattr(fs, "VMEM_TARGET_BYTES", 1)
+        blk = np.asarray(fs.scan_sums.__wrapped__(
+            jnp.asarray(ref), jnp.asarray(syn), l2, 32, True))
+        monkeypatch.undo()
+        np.testing.assert_allclose(blk, res, rtol=2e-6,
+                                   atol=np.abs(res).max() * 2e-6)
