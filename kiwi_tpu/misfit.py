@@ -667,7 +667,9 @@ def evaluate_misfits_floating_batch(
     tail = count * (dlast * dlast if base == L2NORM else jnp.abs(dlast))
 
     dtc = ACCUM(st.dt)
-    sums = (out - tail).astype(ACCUM)
+    # f32 rounding can leave out - tail a hair negative when the masked
+    # span contributes ~nothing; clamp before the L2 sqrt
+    sums = jnp.maximum((out - tail).astype(ACCUM), 0.0)
     ms = jnp.sqrt(dtc * sums) if base == L2NORM else dtc * sums
     ms = jnp.where(ctx["enabled"][None, None, :], ms.astype(F32), 0.0)
 
