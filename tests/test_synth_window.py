@@ -603,3 +603,62 @@ def test_engine_float_scan_matches_fallback(setup, monkeypatch):
     np.testing.assert_allclose(m_k, m_x, rtol=1e-5, atol=scale * 1e-5)
     np.testing.assert_allclose(n_k, n_x, rtol=1e-5, atol=scale * 1e-5)
     np.testing.assert_array_equal(fs_k, fs_x)
+
+
+@pytest.fixture(scope="module")
+def setup_longprobe():
+    """Long-trace store: probes big enough that the floating-scan kernel
+    takes its W-blocked streaming path (ref stack over the VMEM target)."""
+    stf = np.concatenate([np.zeros(3), np.linspace(0.0, 1.0, 300), np.ones(60)])
+    store = elseis.build_ahfull_store(
+        nx=24, nz=4, dt=0.1, dx=150.0, dz=150.0, firstx=150.0, firstz=0.0,
+        material=(2300.0, 3200.0, 1600.0), stf=stf,
+    )
+    eng = Engine(store)
+    olat, olon = 30.0, 70.0
+    recs = []
+    for i in range(3):
+        d = 1500.0 + 500.0 * i
+        la, lo = geo.ne_to_latlon(np.radians(olat), np.radians(olon), d, 0.4 * i)
+        recs.append(Receiver(np.degrees(float(la)), np.degrees(float(lo)), "ned"))
+    eng.set_receivers(recs)
+    eng.set_source_location(olat, olon, 0.0)
+    eng.set_effective_dt(0.1)
+    eng.set_local_interpolation(True)
+    p = np.array(
+        [0, 0, 0, 400.0, 1e12, 91.0, 87.0, 164.0, 0.0, 300.0, 200.0, 250.0,
+         2500.0, 0.2],
+        dtype=np.float32,
+    )
+    return eng, p, store
+
+
+def test_engine_float_scan_blocked_long_probe(setup_longprobe, monkeypatch):
+    """Long probes push the scan kernel onto its W-blocked streaming path;
+    the engine wiring must still match the vmapped evaluation."""
+    from kiwi_tpu.ops import float_scan as fs
+
+    eng, p, store = setup_longprobe
+    eng.set_misfit_method("floating_l1norm")
+    eng.set_floating_shiftrange(-0.5, 0.5)
+    eng.set_source_params("bilateral", p)
+    eng.set_synthetic_reference()
+    batch = np.tile(p, (3, 1))
+    batch[:, 5] = np.array([45.0, 135.0, 291.0], np.float32)
+
+    monkeypatch.setenv("KIWI_FLOAT_SCAN", "0")
+    eng._invalidate()
+    m_x, n_x, fs_x = [np.asarray(x) for x in
+                      eng.misfits_for_source_batch(batch)]
+
+    monkeypatch.setenv("KIWI_FLOAT_SCAN", "1")
+    monkeypatch.setenv("KIWI_FLOAT_SCAN_INTERPRET", "1")
+    monkeypatch.setattr(fs, "VMEM_TARGET_BYTES", 1)  # force blocked
+    eng._invalidate()
+    m_k, n_k, fs_k = [np.asarray(x) for x in
+                      eng.misfits_for_source_batch(batch)]
+
+    scale = max(np.abs(m_x).max(), 1e-30)
+    np.testing.assert_allclose(m_k, m_x, rtol=1e-5, atol=scale * 1e-5)
+    np.testing.assert_allclose(n_k, n_x, rtol=1e-5, atol=scale * 1e-5)
+    np.testing.assert_array_equal(fs_k, fs_x)
