@@ -364,7 +364,7 @@ def bench_eikonal(eng, log):
     # (B=32 measured 118 MPS, B=96 277 MPS -- the solve is latency-bound,
     # not throughput-bound).  4 batches in flight so the ~40 ms host-side
     # polygon prep of batch i+1 overlaps batch i's device work
-    B = 96
+    B = int(os.environ.get("KIWI_BENCH_EIK_B", "96"))
     nbatches = 4
 
     def dispatch(radii):
