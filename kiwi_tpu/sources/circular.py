@@ -84,7 +84,11 @@ def discretize(params, effective_dt, shape):
     gx = (2.0 * ix - nx + 1.0) / (2.0 * nx) * length
     gy = (2.0 * iy - ny + 1.0) / (2.0 * ny) * length
     gxm, gym = jnp.meshgrid(gx, gy, indexing="ij")
-    r = jnp.sqrt(gxm**2 + gym**2)
+    from .. import synth as _synth
+
+    # grad-safe: with nx odd the center cell sits exactly at r=0 and the
+    # raw sqrt's backward (inf) would poison autodiff w.r.t. length/rupvel
+    r = _synth._grad_safe_norm(gxm, gym)
     inside = r <= radius
 
     pts = jnp.stack([gxm, gym, jnp.zeros_like(gxm)], axis=-1)

@@ -147,6 +147,21 @@ def _poly_sincos(a):
     return sin_a, cos_a
 
 
+def _grad_safe_norm(x, y, z=None):
+    """sqrt(x^2 + y^2 [+ z^2]) with a finite reverse-mode gradient at 0.
+
+    The raw sqrt's backward is inf at 0; a centroid landing exactly on
+    the source origin (the central cell of a symmetric rupture) then
+    poisons engine.global_misfits_and_grad with NaNs.  The double-where
+    keeps forward values bit-identical and yields the 0 subgradient at
+    the (measure-zero) kink instead."""
+    s = x * x + y * y
+    if z is not None:
+        s = s + z * z
+    is0 = s == 0.0
+    return jnp.where(is0, 0.0, jnp.sqrt(jnp.where(is0, 1.0, s)))
+
+
 def centroid_geodesy(dnorth, deast, rec):
     """(azi, bazi, dist) from a centroid displaced (dnorth, deast) m.
 
@@ -161,14 +176,16 @@ def centroid_geodesy(dnorth, deast, rec):
     """
     dn = dnorth.astype(F64)
     de = deast.astype(F64)
-    r = jnp.sqrt(dn * dn + de * de)
+    r = _grad_safe_norm(dn, de)
     a = r / geo.EARTHRADIUS
     sin_a, cos_a = _poly_sincos(a)
 
     safe_r = jnp.where(r == 0.0, 1.0, r)
     sin_lam = de / safe_r
     cos_lam = jnp.where(r == 0.0, 1.0, dn / safe_r)
-    lam = jnp.arctan2(de, dn)
+    # arctan2(0, 0) = arctan2(0, 1) = 0 forward, but only the latter has a
+    # finite backward (the partials divide by dn^2 + de^2)
+    lam = jnp.arctan2(de, jnp.where(r == 0.0, 1.0, dn))
 
     sin_b, cos_b = rec["sin_b"], rec["cos_b"]
     sin_azi, cos_azi = rec["sin_azi"], rec["cos_azi"]
@@ -181,7 +198,7 @@ def centroid_geodesy(dnorth, deast, rec):
     cx = pn * bu - pu * bn
     cy = pu * be - pe * bu
     cz = pe * bn - pn * be
-    sin_c = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+    sin_c = _grad_safe_norm(cx, cy, cz)
     c = jnp.arctan2(sin_c, cos_c)
 
     sin_gamma = sin_azi * cos_lam - cos_azi * sin_lam  # sin(azi - lam)
@@ -239,7 +256,7 @@ def centroid_geodesy_fast(dnorth, deast, rec):
     """
     dn = dnorth.astype(F32)
     de = deast.astype(F32)
-    r = jnp.sqrt(dn * dn + de * de)
+    r = _grad_safe_norm(dn, de)
     a = r / jnp.float32(geo.EARTHRADIUS)
     a2 = a * a
     sin_a = a * (1.0 - a2 / 6.0 * (1.0 - a2 / 20.0))
@@ -263,7 +280,7 @@ def centroid_geodesy_fast(dnorth, deast, rec):
     cx = pn * bu - pu * bn
     cy = pu * be - pe * bu
     cz = pe * bn - pn * be
-    sin_c = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+    sin_c = _grad_safe_norm(cx, cy, cz)
     dist = jnp.arctan2(sin_c, cos_c) * jnp.float32(geo.EARTHRADIUS)
 
     sin_gamma = sin_azi * cos_lam - cos_azi * sin_lam  # sin(azi - lam)

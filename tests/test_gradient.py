@@ -1,0 +1,125 @@
+"""Autodiff gradients through the misfit engine (engine.global_misfits_and_grad
++ invert.minimize_multistart/minimize_gradient).
+
+The reference has no counterpart (its LM uses forward-difference
+Jacobians); correctness here is pinned against central finite
+differences of the engine's own batched forward, and end-to-end by
+recovering a known source from a perturbed start by pure descent."""
+
+import numpy as np
+import pytest
+
+from kiwi_tpu import geo
+from kiwi_tpu.engine import Engine, Receiver
+from kiwi_tpu.gf import elseis
+from kiwi_tpu.invert import minimize_gradient, minimize_multistart
+
+
+@pytest.fixture(scope="module")
+def store():
+    stf = np.array([0, 0, 0.3, 0.7, 1, 1, 1], dtype=np.float64)
+    return elseis.build_ahfull_store(
+        nx=45, nz=8, dt=0.1, dx=100.0, dz=100.0, firstx=100.0, firstz=0.0,
+        material=(2300.0, 3200.0, 1600.0), stf=stf,
+    )
+
+
+BILAT = np.array(
+    [0.0, 0.0, 0.0, 400.0, 1e12, 91.0, 87.0, 164.0, 0.0, 300.0, 200.0, 250.0,
+     2500.0, 0.2],
+    dtype=np.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(store):
+    eng = Engine(store)
+    olat, olon = 30.0, 70.0
+    recs = []
+    for d, az in [(1500.0, 0.0), (2300.0, 1.2), (3100.0, -2.0)]:
+        la, lo = geo.ne_to_latlon(
+            np.radians(olat), np.radians(olon), d * np.cos(az), d * np.sin(az)
+        )
+        recs.append(Receiver(np.degrees(float(la)), np.degrees(float(lo)), "ned"))
+    eng.set_receivers(recs)
+    eng.set_source_location(olat, olon, 0.0)
+    eng.set_effective_dt(0.1)
+    eng.set_local_interpolation(True)
+    eng.set_source_params("bilateral", BILAT)
+    eng.set_misfit_method("l2norm")
+    eng.set_synthetic_reference()
+    return eng
+
+
+def test_grad_matches_finite_differences(engine):
+    """Central FD of the engine's own forward vs the autodiff gradient on
+    smooth parameters (strike/dip/moment), away from grid-snap kinks."""
+    p = BILAT.copy()
+    p[5] = 104.0  # off the reference so g and its gradient are nonzero
+    p[6] = 80.0
+
+    g, grad = engine.global_misfits_and_grad(p[None, :])
+    assert g.shape == (1,) and grad.shape == (1, p.size)
+    assert np.isfinite(grad).all()
+
+    # (param index, step): steps large enough to beat f32 forward noise,
+    # small enough to stay inside one linear piece of the 2-tap shifts
+    probes = [(5, 0.25), (6, 0.25), (4, 2e10)]
+    rows = []
+    for j, h in probes:
+        lo_, hi_ = p.copy(), p.copy()
+        lo_[j] -= h
+        hi_[j] += h
+        rows += [lo_, hi_]
+    gfd = np.asarray(
+        engine.global_misfits_for_source_batch(np.stack(rows)), np.float64)
+    for k, (j, h) in enumerate(probes):
+        fd = (gfd[2 * k + 1] - gfd[2 * k]) / (2.0 * h)
+        ad = grad[0, j]
+        assert abs(ad - fd) <= 0.08 * max(abs(fd), 1e-12), (
+            f"param {j}: autodiff {ad} vs FD {fd}")
+
+
+def test_grad_zero_for_inactive_param(engine):
+    """East-shift of a symmetric store layout... use moment of a zero-misfit
+    source instead: at the reference itself the misfit floor keeps the
+    gradient finite (no NaNs from sqrt'(0))."""
+    g, grad = engine.global_misfits_and_grad(BILAT[None, :])
+    assert g[0] < 1e-5
+    assert np.isfinite(grad).all()
+
+
+def test_multistart_descends_and_recovers_strike(engine):
+    """Two perturbed starts, strike free: both descend; the best recovers
+    the true strike by gradient information alone."""
+    mask = np.zeros(BILAT.size, dtype=bool)
+    mask[5] = True  # strike
+
+    starts = np.tile(BILAT, (2, 1))
+    starts[0, 5] = 75.0
+    starts[1, 5] = 109.0
+    g0 = np.asarray(engine.global_misfits_for_source_batch(starts), np.float64)
+
+    best_rows, best_g, nsteps = minimize_multistart(
+        engine, starts, mask=mask, steps=60, lr=0.02)
+    assert nsteps == 60
+    assert (best_g <= g0 + 1e-12).all()
+    k = int(np.argmin(best_g))
+    assert abs(float(best_rows[k, 5]) - 91.0) < 3.0, best_rows[:, 5]
+    assert best_g[k] < 0.25 * g0.min()
+
+
+def test_minimize_gradient_updates_engine(engine):
+    p = BILAT.copy()
+    p[5] = 103.0
+    engine.set_source_params("bilateral", p)
+    mask = np.zeros(BILAT.size, dtype=bool)
+    mask[5] = True
+    gm0 = engine.get_global_misfit()
+    gm, nsteps, nstarts = minimize_gradient(
+        engine, mask=mask, steps=50, lr=0.02, nstarts=3, spread=0.05, seed=1)
+    assert nstarts == 3 and nsteps == 50
+    assert gm < gm0
+    assert abs(float(engine.source_params[5]) - 91.0) < 4.0
+    # leave the fixture's source as the tests found it
+    engine.set_source_params("bilateral", BILAT)
