@@ -322,6 +322,54 @@ class Greeper(Step):
         return src, best[0]
 
 
+class GradientGreeper(Step):
+    """Greeper's batched autodiff sibling (no reference counterpart): ALL
+    starting points descend together by exact gradients
+    (invert.minimize_multistart -- one device program per step instead of
+    a serial LM per start), then the winner is LM-polished on the same
+    mask.  Same configuration surface as Greeper."""
+
+    def __init__(self, workdir, params_starts, steps=150, lr=0.03,
+                 polish=True, name=None):
+        name = name or "-".join(n for n, _v in params_starts) + "-gradgreeper"
+        super().__init__(workdir, name)
+        self.params_starts = params_starts
+        self.steps = steps
+        self.lr = lr
+        self.polish = polish
+
+    def work(self, engine, base_source: Source):
+        self.pre_work()
+        from .invert.gradient import minimize_multistart
+        from .invert.source import source_grid
+
+        model = base_source.model
+        mask = np.zeros(model.nparams, dtype=bool)
+        for pname, _v in self.params_starts:
+            mask[model.param_index(pname)] = True
+
+        starts, _coords = source_grid(base_source, self.params_starts)
+        rows, gs, _n = minimize_multistart(
+            engine, np.asarray(starts, dtype=np.float32), mask=mask,
+            steps=self.steps, lr=self.lr,
+        )
+        k = int(np.argmin(gs))
+        engine.set_source_params(base_source.sourcetype, rows[k])
+        gm = float(gs[k])
+        if self.polish:
+            engine.set_source_params_mask(mask)
+            _info, _nfev, gm = engine.minimize_lm()
+        src = base_source.copy()
+        src.params = engine.source_params.copy()
+        for pname, _v in self.params_starts:
+            self.out_config[pname] = src[pname]
+        self.out_config["min_misfit"] = gm
+        self.result(
+            f"misfit {gm:g} after {len(starts)} batched starts", "gradgreeper")
+        self.post_work()
+        return src, gm
+
+
 class TracePlotter(Step):
     """Waveform comparison + station map figures (inversion.py's
     TracePlotter, via matplotlib instead of GMT)."""

@@ -115,6 +115,21 @@ def test_greeper(engine, tmp_path):
     assert abs(src["strike"] - 91.0) < 1.0
 
 
+def test_gradient_greeper(engine, tmp_path):
+    from kiwi_tpu.pipeline import GradientGreeper
+
+    engine.set_source_params("bilateral", TRUE)
+    engine.set_misfit_method("l2norm")
+    engine.set_synthetic_reference()
+    base = Source("bilateral", TRUE)
+    gr = GradientGreeper(
+        str(tmp_path), [("strike", np.array([78.0, 104.0]))],
+        steps=40, lr=0.02)
+    src, gm = gr.work(engine, base)
+    assert gm < 1e-3
+    assert abs(src["strike"] - 91.0) < 1.0
+
+
 def test_effective_dt_tester(engine, tmp_path):
     from kiwi_tpu.pipeline import EffectiveDtTester
 
