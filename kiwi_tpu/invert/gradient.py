@@ -41,8 +41,14 @@ def minimize_multistart(engine, p0_batch, mask=None, mins=None, maxs=None,
     mins/maxs: optional box limits over the FREE subparams, unnormalized
         (same convention as minimize_lm); iterates are projected into the
         box after every step.
-    steps / lr: Adam iterations and learning rate on the normalized scale
-        (model.norm units, so one lr works across mixed-unit parameters).
+    steps / lr: Adam iterations and learning rate on a normalized scale.
+        Adam's update magnitude is ~lr scale units per step regardless of
+        the gradient's size, so the scale must reflect the PARAMETER's
+        actual magnitude, not the model's norm column: moment-tensor
+        components sit ~6 decades below their 7e18 norm, and norm-scaled
+        steps would overshoot by exactly that factor.  The scale is the
+        per-parameter max |start| over the batch, falling back to 1% of
+        model.norm for parameters starting at 0.
     tol: early stop when the best global misfit improves by less than
         tol over a full sweep of 10 steps (0 = run all steps).
 
@@ -61,7 +67,8 @@ def minimize_multistart(engine, p0_batch, mask=None, mins=None, maxs=None,
     if mask is None:
         mask = np.ones(model.nparams, dtype=bool)
     idx = np.flatnonzero(np.asarray(mask, dtype=bool))
-    sub_norm = norm[idx]
+    start_mag = np.abs(rows[:, idx].astype(np.float64)).max(axis=0)
+    sub_norm = np.where(start_mag > 0.0, start_mag, 0.01 * norm[idx])
 
     lo = None if mins is None else np.asarray(mins, np.float64) / sub_norm
     hi = None if maxs is None else np.asarray(maxs, np.float64) / sub_norm
@@ -148,10 +155,13 @@ def minimize_gradient(engine, mask=None, subparam_mins=None,
     rows = np.tile(p0, (int(nstarts), 1))
     if nstarts > 1:
         rng = np.random.default_rng(seed)
-        norm = model.norm.astype(np.float64)[idx]
+        # same scale convention as minimize_multistart: the start's own
+        # magnitude, 1% of model.norm for zero-valued parameters
+        mag = np.abs(p0.astype(np.float64)[idx])
+        scale = np.where(mag > 0.0, mag, 0.01 * model.norm.astype(np.float64)[idx])
         jitter = rng.uniform(-spread, spread, size=(nstarts - 1, idx.size))
         rows[1:, idx] = (rows[1:, idx].astype(np.float64)
-                         + jitter * norm).astype(np.float32)
+                         + jitter * scale).astype(np.float32)
         if subparam_mins is not None:
             rows[1:, idx] = np.maximum(rows[1:, idx], subparam_mins)
         if subparam_maxs is not None:

@@ -109,6 +109,36 @@ def test_multistart_descends_and_recovers_strike(engine):
     assert best_g[k] < 0.25 * g0.min()
 
 
+def test_moment_tensor_linear_recovery(engine):
+    """The MT components enter the forward linearly, so gradient descent
+    on them is the classic linear inverse problem; a second model family
+    through the autodiff path (different discretizer than bilateral)."""
+    true = np.array(
+        [0.2, 50.0, -30.0, 400.0, 1e12, -5e11, 2e11, 3e11, -1e11, 5e11, 0.4],
+        dtype=np.float32)
+    try:
+        engine.set_source_params("moment_tensor", true)
+        engine.set_misfit_method("l2norm")
+        engine.set_synthetic_reference()
+
+        start = true.copy()
+        start[4] *= 1.6   # mxx
+        start[7] *= 0.4   # mxy
+        mask = np.zeros(true.size, dtype=bool)
+        mask[[4, 7]] = True
+
+        rows, g, _ = minimize_multistart(
+            engine, start[None, :], mask=mask, steps=80, lr=0.03)
+        assert g[0] < 0.02, g
+        assert abs(rows[0, 4] / true[4] - 1.0) < 0.05
+        assert abs(rows[0, 7] / true[7] - 1.0) < 0.05
+    finally:
+        # restore the module fixture's source/reference for later tests
+        engine.set_source_params("bilateral", BILAT)
+        engine.set_misfit_method("l2norm")
+        engine.set_synthetic_reference()
+
+
 def test_minimize_gradient_updates_engine(engine):
     p = BILAT.copy()
     p[5] = 103.0
