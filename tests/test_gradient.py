@@ -109,6 +109,39 @@ def test_multistart_descends_and_recovers_strike(engine):
     assert best_g[k] < 0.25 * g0.min()
 
 
+def test_grad_through_floating_norm(engine):
+    """The floating norms min over trial shifts; the subgradient follows
+    the selected shift (exact a.e.).  Checks finiteness and FD agreement
+    under floating_l1norm -- the benchmark's misfit method."""
+    try:
+        engine.set_misfit_method("floating_l1norm")
+        engine.set_floating_shiftrange(-0.5, 0.5)
+        engine.set_source_params("bilateral", BILAT)
+        engine.set_synthetic_reference()
+
+        p = BILAT.copy()
+        p[5] = 99.0
+        g, grad = engine.global_misfits_and_grad(p[None, :])
+        assert np.isfinite(grad).all()
+        assert abs(grad[0, 5]) > 0
+
+        h = 0.3
+        lo_, hi_ = p.copy(), p.copy()
+        lo_[5] -= h
+        hi_[5] += h
+        gfd = np.asarray(engine.global_misfits_for_source_batch(
+            np.stack([lo_, hi_])), np.float64)
+        fd = (gfd[1] - gfd[0]) / (2.0 * h)
+        # FD can straddle a shift-selection switch; 15% is enough to pin
+        # sign + scale of the subgradient
+        assert abs(grad[0, 5] - fd) <= 0.15 * max(abs(fd), 1e-12), (grad[0, 5], fd)
+    finally:
+        engine.set_misfit_method("l2norm")
+        engine.set_floating_shiftrange(0.0, 0.0)
+        engine.set_source_params("bilateral", BILAT)
+        engine.set_synthetic_reference()
+
+
 def test_moment_tensor_linear_recovery(engine):
     """The MT components enter the forward linearly, so gradient descent
     on them is the classic linear inverse problem; a second model family
