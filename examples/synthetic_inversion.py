@@ -86,10 +86,23 @@ def main():
         print(f"  {name:8s} best {s.best:8.1f}  mean {s.mean:8.1f} "
               f"[16%% {s.percentile16:8.1f} / 84%% {s.percentile84:8.1f}]")
 
-    # LM refinement of (strike, depth, moment) from the grid best
+    # autodiff refinement first (no reference counterpart): exact
+    # gradients through the forward, several starts descend as one
+    # batched device program per step
+    from kiwi_tpu.invert import minimize_gradient
+
     eng.set_source_params("bilateral", np.asarray(best.params, np.float32))
     mask = np.zeros(14, bool)
     mask[[3, 4, 5]] = True  # depth, moment, strike
+    t0 = time.time()
+    ggm, gsteps, _ = minimize_gradient(eng, mask=mask, steps=60, lr=0.02,
+                                       nstarts=4, spread=0.05, seed=0)
+    gfinal = eng.source_params
+    print(f"gradient: {gsteps} steps x 4 starts in {time.time() - t0:.1f} s "
+          f"-> strike {gfinal[5]:.2f}, depth {gfinal[3]:.0f}, "
+          f"global misfit {ggm:.2e}")
+
+    # LM polish from the gradient best (the reference's refinement path)
     info, nfev, gm = minimize_lm(eng, mask=mask)
     final = eng.source_params
     print(f"LM: info={info} nfev={nfev} -> strike {final[5]:.2f} (true 91), "

@@ -933,9 +933,15 @@ class Engine:
         m, n, _ = self.misfits_for_source_batch(params_batch)
         return jax.vmap(mf.global_misfit)(m, n)
 
-    def global_misfits_and_grad(self, params_batch):
+    def global_misfits_and_grad(self, params_batch, mesh=None):
         """Batched global misfits g[B] AND dg/dparams [B, nparams] by
         reverse-mode autodiff through the forward model.
+
+        mesh: optional jax.sharding.Mesh with a source axis "s"
+        (parallel.make_mesh): the batch axis is sharded over it and the
+        value+gradient program runs SPMD -- multi-chip multi-start
+        descent needs no collectives (each start's misfit is
+        independent; GF window and misfit context replicate).
 
         No reference counterpart: minimizer_engine.f90:729-874's LM builds
         forward-difference Jacobians (n+1 forwards per step).  Here the
@@ -999,21 +1005,35 @@ class Engine:
             vg = jax.jit(jax.value_and_grad(scalar, has_aux=True))
             cache[gkey] = vg
 
+        ns = 1
+        put = jnp.asarray
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ns = int(mesh.shape.get("s", 1))
+            sh = NamedSharding(mesh, P("s", None))
+            put = lambda rows: jax.device_put(rows, sh)  # noqa: E731
+
         b = pb.shape[0]
-        # the backward pass roughly triples the forward's live transients
-        chunk = int(max(8, min(b, self.memory_budget
+        # the backward pass roughly triples the forward's live transients;
+        # chunks stay multiples of the source-shard count
+        chunk = int(max(8, min(b, ns * self.memory_budget
                                // max(3 * plan["per_source_bytes"], 1))))
         if plan.get("max_chunk"):
-            chunk = max(1, min(chunk, plan["max_chunk"]))
+            chunk = max(1, min(chunk, ns * plan["max_chunk"]))
+        chunk = max(ns, chunk // ns * ns)
         if chunk < b:
-            chunk = -(-b // (-(-b // chunk)))
+            # balance: split ceil(b/ns) shard-groups evenly over the chunks
+            nchunks = -(-b // chunk)
+            ngroups = -(-b // ns)
+            chunk = -(-ngroups // nchunks) * ns
         gs, grads = [], []
         for i in range(0, b, chunk):
             idx = np.arange(i, min(i + chunk, b))
             keep = idx.shape[0]
             if keep < chunk:
                 idx = np.concatenate([idx, np.full(chunk - keep, b - 1)])
-            (_tot, g), grad = vg(jnp.asarray(pb[idx]))
+            (_tot, g), grad = vg(put(pb[idx]))
             gs.append(np.asarray(g[:keep]))
             grads.append(np.asarray(grad[:keep]))
         return np.concatenate(gs), np.concatenate(grads)

@@ -33,7 +33,7 @@ __all__ = ["minimize_multistart", "minimize_gradient"]
 
 
 def minimize_multistart(engine, p0_batch, mask=None, mins=None, maxs=None,
-                        steps=150, lr=0.03, tol=0.0):
+                        steps=150, lr=0.03, tol=0.0, mesh=None):
     """Descend B starting parameter vectors in parallel.
 
     p0_batch: f32[B, nparams] starting points.
@@ -51,6 +51,9 @@ def minimize_multistart(engine, p0_batch, mask=None, mins=None, maxs=None,
         model.norm for parameters starting at 0.
     tol: early stop when the best global misfit improves by less than
         tol over a full sweep of 10 steps (0 = run all steps).
+    mesh: optional jax.sharding.Mesh (parallel.make_mesh): shard the
+        starts over the mesh's source axis -- multi-chip multi-start
+        descent, no collectives needed (starts are independent).
 
     Returns (best_params f32[B, nparams], best_g f64[B], nsteps): the
     best iterate PER START (not just the winner), so multimodal misfit
@@ -93,7 +96,7 @@ def minimize_multistart(engine, p0_batch, mask=None, mins=None, maxs=None,
             rb = full_rows[sel]
             if rb.shape[0] < b:
                 rb = np.concatenate([rb, np.tile(rb[-1:], (b - rb.shape[0], 1))])
-            gi, gr = engine.global_misfits_and_grad(rb)
+            gi, gr = engine.global_misfits_and_grad(rb, mesh=mesh)
             g[sel] = gi[: sel.size]
             grad[sel] = gr[: sel.size]
         return g, grad

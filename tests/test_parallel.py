@@ -239,3 +239,29 @@ def test_gfshard_shared_kinematics_branch(engine):
     # restore the module fixture's source
     eng.set_source_params("bilateral", p)
     eng.set_synthetic_reference()
+
+
+def test_sharded_gradient_matches_unsharded(engine):
+    """global_misfits_and_grad with the batch axis sharded over the mesh's
+    source axis matches the single-device values+gradients (multi-chip
+    multi-start descent is collective-free data parallelism)."""
+    eng, p = engine
+    batch = np.tile(p, (8, 1))
+    batch[:, 5] = np.linspace(40.0, 140.0, 8).astype(np.float32)
+
+    g0, grad0 = eng.global_misfits_and_grad(batch)
+
+    mesh = make_mesh(n_sources=8, n_receivers=1)
+    g1, grad1 = eng.global_misfits_and_grad(batch, mesh=mesh)
+    np.testing.assert_allclose(g1, g0, rtol=2e-5, atol=1e-8)
+    scale = np.abs(grad0).max()
+    np.testing.assert_allclose(grad1, grad0, rtol=2e-4, atol=scale * 2e-5)
+
+    # uneven: 10 starts over 8 devices (internal padding, rows sliced off)
+    batch10 = np.tile(p, (10, 1))
+    batch10[:, 5] = np.linspace(40.0, 140.0, 10).astype(np.float32)
+    g2, grad2 = eng.global_misfits_and_grad(batch10, mesh=mesh)
+    gref, gradref = eng.global_misfits_and_grad(batch10)
+    np.testing.assert_allclose(g2, gref, rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(grad2, gradref, rtol=2e-4,
+                               atol=np.abs(gradref).max() * 2e-5)
