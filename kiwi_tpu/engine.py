@@ -986,6 +986,23 @@ class Engine:
             fwd = plan["forward_batch_raw_xla"]
             pfb = model.post_factors_batch
 
+            def stable_l2(x):
+                # sqrt(sum x^2) via enorm-style max scaling (sminpack's
+                # enorm does the same for the same reason): misfit scales
+                # follow the moment convention -- protocol sessions use
+                # moment 1.0, where squared sums sit ~1e-38 and TPUs
+                # flush the denormals to zero.  Double-wheres keep the
+                # backward pass finite at the all-zero point (a perfect
+                # reference match) with the 0 subgradient.
+                a = jnp.max(jnp.abs(x).astype(jnp.float32), axis=-1)
+                a_s = jnp.where(a == 0.0, 1.0, a)
+                y = x.astype(jnp.float32) / a_s[..., None]
+                s = jnp.sum(y * y, axis=-1)
+                is0 = s == 0.0
+                root = jnp.where(is0, 0.0,
+                                 jnp.sqrt(jnp.where(is0, 1.0, s)))
+                return a * root
+
             def scalar(pbj):
                 cb = disc_raw(pbj)
                 mts, rts = pfb(pbj)
@@ -993,13 +1010,9 @@ class Engine:
                     cb, jnp.asarray(mts, jnp.float32),
                     jnp.asarray(rts, jnp.float32),
                 )
-                # global_misfit with a sqrt floor: d sqrt(s)/ds -> inf as
-                # s -> 0 (a perfect reference match), the floor keeps the
-                # backward pass finite without moving any realistic value
-                sm = jnp.sum(m.astype(jnp.float32) ** 2, axis=-1)
-                sn = jnp.sum(n.astype(jnp.float32) ** 2, axis=-1)
-                g = jnp.sqrt(jnp.maximum(sm, 1e-30)) / jnp.sqrt(
-                    jnp.maximum(sn, 1e-30))
+                sm = stable_l2(m)
+                sn = stable_l2(n)
+                g = sm / jnp.where(sn == 0.0, 1.0, sn)
                 return jnp.sum(g), g
 
             vg = jax.jit(jax.value_and_grad(scalar, has_aux=True))
@@ -1153,6 +1166,19 @@ class Engine:
             mask=mask,
             subparam_mins=getattr(self, "subparam_mins", None),
             subparam_maxs=getattr(self, "subparam_maxs", None),
+        )
+
+    def minimize_gradient(self, steps=150, lr=0.03, nstarts=1):
+        """(misfit, steps, starts) -- the autodiff sibling of minimize_lm
+        (no reference counterpart); honors the same mask/limit setters."""
+        from .invert import minimize_gradient as _mg
+
+        return _mg(
+            self,
+            mask=getattr(self, "params_mask", None),
+            subparam_mins=getattr(self, "subparam_mins", None),
+            subparam_maxs=getattr(self, "subparam_maxs", None),
+            steps=steps, lr=lr, nstarts=nstarts,
         )
 
     def get_principal_axes(self):

@@ -263,6 +263,18 @@ def _accum(x, mask):
     return jnp.sum((x * mask).astype(ACCUM), axis=-1)
 
 
+def _gsqrt(s):
+    """sqrt with a finite reverse-mode gradient at 0 (forward-identical).
+
+    Norm sqrts hit exact zeros in normal operation -- a synthetic that
+    equals its reference on some rc row makes the misfit integrand 0 --
+    and the raw sqrt's backward (inf at 0) would poison
+    engine.global_misfits_and_grad for the whole batch.  The double-where
+    yields the 0 subgradient at the kink instead."""
+    is0 = s == 0.0
+    return jnp.where(is0, 0.0, jnp.sqrt(jnp.where(is0, 1.0, s)))
+
+
 def pair_norms(ctx, ref_arr, syn_arr, mask, method, st: ProbeStatic):
     """misfit = |ref - syn| and norm factor = |ref| under `method`.
 
@@ -275,8 +287,8 @@ def pair_norms(ctx, ref_arr, syn_arr, mask, method, st: ProbeStatic):
     fb = ctx["syn_factor"][..., None]
     diff = ref_arr - fb * syn_arr
     if method == L2NORM:
-        m = jnp.sqrt(dt * _accum(diff * diff, mask))
-        n = jnp.sqrt(dt * _accum(ref_arr * ref_arr, mask))
+        m = _gsqrt(dt * _accum(diff * diff, mask))
+        n = _gsqrt(dt * _accum(ref_arr * ref_arr, mask))
     elif method == L1NORM:
         m = dt * _accum(jnp.abs(diff), mask)
         n = dt * _accum(jnp.abs(ref_arr), mask)
@@ -285,7 +297,7 @@ def pair_norms(ctx, ref_arr, syn_arr, mask, method, st: ProbeStatic):
         n = _accum(ref_arr * ref_arr, mask)
     elif method == PEAK:
         fb2 = ctx["syn_factor"][..., None]
-        m = jnp.max(jnp.sqrt((ref_arr**2 + (fb2 * syn_arr) ** 2).astype(ACCUM)) * mask, axis=-1)
+        m = jnp.max(_gsqrt((ref_arr**2 + (fb2 * syn_arr) ** 2).astype(ACCUM)) * mask, axis=-1)
         n = jnp.max(jnp.abs(ref_arr).astype(ACCUM) * mask, axis=-1)
     else:
         raise ValueError(f"unsupported time-domain method {method}")
@@ -301,7 +313,7 @@ def ampspec_norms(ctx, ref_amp, syn_amp, method, st: ProbeStatic):
     fb = ctx["syn_factor"][..., None]
     diff = ref_amp - fb * syn_amp
     if method == AMPSPEC_L2NORM:
-        m = jnp.sqrt(df * jnp.sum((diff * diff).astype(ACCUM), axis=-1))
+        m = _gsqrt(df * jnp.sum((diff * diff).astype(ACCUM), axis=-1))
         n = jnp.sqrt(df * jnp.sum((ref_amp * ref_amp).astype(ACCUM), axis=-1))
     elif method == AMPSPEC_L1NORM:
         m = df * jnp.sum(jnp.abs(diff).astype(ACCUM), axis=-1)
@@ -535,7 +547,7 @@ def evaluate_misfits(
                 - fb * syn_proc[None, :, i0:i1])
         dt = ACCUM(st.dt)
         if base == L2NORM:
-            ms = jnp.sqrt(dt * jnp.sum((diff * diff * mask).astype(ACCUM), axis=-1))
+            ms = _gsqrt(dt * jnp.sum((diff * diff * mask).astype(ACCUM), axis=-1))
         else:
             ms = dt * jnp.sum((jnp.abs(diff) * mask).astype(ACCUM), axis=-1)
         ms = jnp.where(ctx["enabled"][None, :], ms.astype(F32), 0.0)
@@ -562,7 +574,7 @@ def evaluate_misfits(
         df = ACCUM(st.df)
         diff = rctx["ref_amp"] - ctx["syn_factor"][..., None] * syn_amp
         if method == AMPSPEC_L2NORM:
-            m = jnp.sqrt(df * jnp.sum((diff * diff).astype(ACCUM), axis=-1))
+            m = _gsqrt(df * jnp.sum((diff * diff).astype(ACCUM), axis=-1))
         else:
             m = df * jnp.sum(jnp.abs(diff).astype(ACCUM), axis=-1)
         m = jnp.where(ctx["enabled"], m.astype(F32), 0.0)
@@ -670,7 +682,7 @@ def evaluate_misfits_floating_batch(
     # f32 rounding can leave out - tail a hair negative when the masked
     # span contributes ~nothing; clamp before the L2 sqrt
     sums = jnp.maximum((out - tail).astype(ACCUM), 0.0)
-    ms = jnp.sqrt(dtc * sums) if base == L2NORM else dtc * sums
+    ms = _gsqrt(dtc * sums) if base == L2NORM else dtc * sums
     ms = jnp.where(ctx["enabled"][None, None, :], ms.astype(F32), 0.0)
 
     # per-receiver shift selection, exactly as evaluate_misfits
@@ -740,13 +752,13 @@ def peak_amplitude(ctx, syn_rows, mask, differentiate, st: ProbeStatic):
     if differentiate == 1:
         d = (syn_rows[..., :-1] - syn_rows[..., 1:]).astype(jnp.float64)
         power = jnp.sum(d * d, axis=0)
-        return jnp.sqrt(jnp.max(power * mask[..., :-1])) / dt
+        return _gsqrt(jnp.max(power * mask[..., :-1])) / dt
     else:
         d = (
             syn_rows[..., :-2] - 2.0 * syn_rows[..., 1:-1] + syn_rows[..., 2:]
         ).astype(jnp.float64)
         power = jnp.sum(d * d, axis=0)
-        return jnp.sqrt(jnp.max(power * mask[..., :-2])) / dt**2
+        return _gsqrt(jnp.max(power * mask[..., :-2])) / dt**2
 
 
 def arias_intensity(syn_rows, mask, st: ProbeStatic):
