@@ -165,8 +165,22 @@ class MisfitSetup:
         self.has_filter[irc] = True
 
     def device(self):
+        # Amplitude normalization: every norm runs on ref/s0 and
+        # syn_factor/s0 (so fb*syn is scaled identically), and the eval
+        # exits multiply the 1-homogeneous outputs back by s0 (s0^2 for
+        # scalar products).  Forward values change only at roundoff --
+        # but WITHOUT it, squared accumulations underflow for small
+        # amplitude scales: a moment-1.0 source makes samples ~1e-19,
+        # squares ~1e-38, and both TPU and XLA:CPU flush the denormals
+        # to zero (observed: a zero-misfit plateau over 6 degrees of
+        # strike).  The reference computes in f64 and never sees this;
+        # sminpack's enorm scales for exactly the same reason.
+        s0 = float(np.abs(self.ref).max())
+        if not np.isfinite(s0) or s0 == 0.0:
+            s0 = 1.0
         return {
-            "ref": jnp.asarray(self.ref),
+            "amp_scale": jnp.float32(s0),
+            "ref": jnp.asarray(self.ref / np.float32(s0)),
             "ref_lo": jnp.asarray(self.ref_lo),
             "ref_hi": jnp.asarray(self.ref_hi),
             "taper_w": jnp.asarray(self.taper_w),
@@ -176,7 +190,7 @@ class MisfitSetup:
             "taper_hi": jnp.asarray(self.taper_hi),
             "filter_w": jnp.asarray(self.filter_w),
             "has_filter": jnp.asarray(self.has_filter),
-            "syn_factor": jnp.asarray(self.syn_factor),
+            "syn_factor": jnp.asarray(self.syn_factor / np.float32(s0)),
             "enabled": jnp.asarray(self.enabled),
             "receiver_ids": jnp.asarray(self.receiver_ids),
             "shift_lo": jnp.asarray(self.shift_lo),
@@ -508,6 +522,12 @@ def evaluate_misfits(
     if rctx is None:
         rctx = precompute_ref_context(ctx, method, st, shiftrange, any_taper, any_filter)
 
+    # undo the ctx amplitude normalization on the way out (see
+    # MisfitSetup.device): misfit/norm are 1-homogeneous in (ref, fb*syn),
+    # the scalar product is 2-homogeneous
+    s0 = ctx.get("amp_scale", jnp.float32(1.0))
+    fac = s0 * s0 if method == SCALAR_PRODUCT else s0
+
     if risetime is not None and fold_nshift_max > 0:
         w = fold_stf_weights(risetime, jnp.float32(st.dt), fold_nshift_max)
         syn_traces = apply_fold(syn_traces, w)
@@ -565,7 +585,7 @@ def evaluate_misfits(
         iloc = jnp.argmin(per_rec, axis=0)  # [R]
         shift_sel = rctx["shifts"][iloc]
         m = jnp.take_along_axis(ms, iloc[ctx["receiver_ids"]][None, :], axis=0)[0]
-        return m, rctx["norm"], shift_sel
+        return m * fac, rctx["norm"] * fac, shift_sel
 
     zero_shift = jnp.zeros((nrec,), dtype=I32)
     if method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM):
@@ -578,7 +598,7 @@ def evaluate_misfits(
         else:
             m = df * jnp.sum(jnp.abs(diff).astype(ACCUM), axis=-1)
         m = jnp.where(ctx["enabled"], m.astype(F32), 0.0)
-        return m, rctx["norm"], zero_shift
+        return m * fac, rctx["norm"] * fac, zero_shift
 
     syn_proc = jnp.where(ctx["has_filter"][..., None], filt_s, tap_s)
     lo, hi = norm_spans(ctx, syn_lo, syn_hi, st)
@@ -587,7 +607,7 @@ def evaluate_misfits(
     m, _ = pair_norms(ctx, rctx["ref_proc"][..., i0:i1],
                       syn_proc[..., i0:i1], mask, method, st)
     m = jnp.where(ctx["enabled"], m, 0.0)
-    return m, rctx["norm"], zero_shift
+    return m * fac, rctx["norm"] * fac, zero_shift
 
 
 def evaluate_misfits_floating_batch(
@@ -704,7 +724,10 @@ def evaluate_misfits_floating_batch(
 
     m, shift_sel = jax.vmap(post)(ms.transpose(1, 0, 2))
     n = jnp.broadcast_to(rctx["norm"][None, :], (B, RC))
-    return m, n, shift_sel
+    # undo the ctx amplitude normalization (MisfitSetup.device); the
+    # floating bases (l1/l2) are 1-homogeneous in (ref, fb*syn)
+    s0 = ctx.get("amp_scale", jnp.float32(1.0))
+    return m * s0, n * s0, shift_sel
 
 
 def global_misfit(misfits, norms):
@@ -713,10 +736,17 @@ def global_misfit(misfits, norms):
     Accumulates in ACCUM (f32 tree reductions, ~1e-7 relative over <=
     hundreds of rc rows) like every other norm here: device f64 is
     emulated on TPU and an order of magnitude slower, and this runs
-    per-source over whole grid-search batches."""
-    return jnp.sqrt(jnp.sum(misfits.astype(ACCUM) ** 2)) / jnp.sqrt(
-        jnp.sum(norms.astype(ACCUM) ** 2)
-    )
+    per-source over whole grid-search batches.  Max-scaled (sminpack
+    enorm style) with ONE shared scale so the ratio is unchanged but
+    tiny amplitude scales (moment-1.0 sessions: m ~ 1e-19) don't flush
+    their squares to zero."""
+    m = misfits.astype(ACCUM)
+    n = norms.astype(ACCUM)
+    a = jnp.maximum(jnp.max(jnp.abs(m)), jnp.max(jnp.abs(n)))
+    a_s = jnp.where(a == 0.0, 1.0, a)
+    m = m / a_s
+    n = n / a_s
+    return jnp.sqrt(jnp.sum(m * m)) / jnp.sqrt(jnp.sum(n * n))
 
 
 def cross_correlation(ctx, syn, shiftrange, st: ProbeStatic):
@@ -739,7 +769,10 @@ def cross_correlation(ctx, syn, shiftrange, st: ProbeStatic):
         )
         mask = _span_mask(lo, hi, st)
         m, _ = pair_norms(ctx, syn_proc, ref_proc, mask, SCALAR_PRODUCT, st)
-        return m
+        # ctx holds ref/s0 and syn_factor/s0 (amplitude normalization,
+        # MisfitSetup.device); the scalar product is 2-homogeneous
+        s0 = ctx.get("amp_scale", jnp.float32(1.0))
+        return m * (s0 * s0)
 
     return jax.lax.map(lambda s: one_shift(jnp.full((), s)), jnp.arange(s1, s2 + 1))
 
@@ -751,14 +784,19 @@ def peak_amplitude(ctx, syn_rows, mask, differentiate, st: ProbeStatic):
     dt = jnp.float64(st.dt)
     if differentiate == 1:
         d = (syn_rows[..., :-1] - syn_rows[..., 1:]).astype(jnp.float64)
-        power = jnp.sum(d * d, axis=0)
-        return _gsqrt(jnp.max(power * mask[..., :-1])) / dt
+        dmask = mask[..., :-1]
     else:
         d = (
             syn_rows[..., :-2] - 2.0 * syn_rows[..., 1:-1] + syn_rows[..., 2:]
         ).astype(jnp.float64)
-        power = jnp.sum(d * d, axis=0)
-        return _gsqrt(jnp.max(power * mask[..., :-2])) / dt**2
+        dmask = mask[..., :-2]
+    # max-scale before squaring: without f64 (emulated on TPU) the squares
+    # of ~1e-19-scale samples flush to zero
+    a = jnp.max(jnp.abs(d))
+    a_s = jnp.where(a == 0.0, 1.0, a)
+    power = jnp.sum((d / a_s) ** 2, axis=0)
+    root = a * _gsqrt(jnp.max(power * dmask))
+    return root / (dt if differentiate == 1 else dt**2)
 
 
 def arias_intensity(syn_rows, mask, st: ProbeStatic):
@@ -766,5 +804,7 @@ def arias_intensity(syn_rows, mask, st: ProbeStatic):
     (arias_intensity_*, comparator.f90:591-625)."""
     dt = jnp.float64(st.dt)
     d = (syn_rows[..., :-2] - 2.0 * syn_rows[..., 1:-1] + syn_rows[..., 2:]).astype(jnp.float64)
-    total = jnp.sum(jnp.sum(d * d, axis=0) * mask[..., :-2])
+    a = jnp.max(jnp.abs(d))
+    a_s = jnp.where(a == 0.0, 1.0, a)
+    total = (a * a) * jnp.sum(jnp.sum((d / a_s) ** 2, axis=0) * mask[..., :-2])
     return jnp.pi / (2.0 * 9.81) * dt * total / dt**2

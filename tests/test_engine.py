@@ -367,3 +367,33 @@ def test_teleseismic_scale_windows():
     p2 = p.copy(); p2[0] += 5.0  # 5 s later
     eng.set_source_params("bilateral", p2)
     assert eng.get_global_misfit() > 1e-3
+
+
+def test_tiny_amplitude_misfits_do_not_underflow(engine):
+    """Moment-1.0 sources make sample amplitudes ~1e-19; their squares sit
+    in the f32 flush-to-zero range and, without the ctx amplitude
+    normalization (misfit.MisfitSetup.device), the l2 misfit showed a
+    zero plateau degrees wide around the optimum.  Pins a strictly
+    increasing, nonzero misfit curve at moment 1.0."""
+    p = BILAT.copy()
+    p[4] = 1.0  # moment
+    engine.set_source_params("bilateral", p)
+    engine.set_misfit_method("l2norm")
+    engine.set_synthetic_reference()
+
+    gms = []
+    for strike in (93.0, 96.0, 99.0):
+        q = p.copy()
+        q[5] = strike
+        gms.append(float(engine.global_misfits_for_source_batch(q[None])[0]))
+    assert gms[0] > 1e-4, gms
+    assert gms[0] < gms[1] < gms[2], gms
+
+    # and the absolute outputs keep reference units: m, n scale with the
+    # amplitude (~1e-19 at moment 1.0)
+    q = p.copy()
+    q[5] = 99.0
+    m, n, _ = engine.misfits_for_source_batch(q[None])
+    m, n = np.asarray(m), np.asarray(n)
+    assert 0.0 < np.abs(m).max() < 1e-12
+    assert 0.0 < np.abs(n).max() < 1e-12
