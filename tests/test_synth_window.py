@@ -662,3 +662,36 @@ def test_engine_float_scan_blocked_long_probe(setup_longprobe, monkeypatch):
     np.testing.assert_allclose(m_k, m_x, rtol=1e-5, atol=scale * 1e-5)
     np.testing.assert_allclose(n_k, n_x, rtol=1e-5, atol=scale * 1e-5)
     np.testing.assert_array_equal(fs_k, fs_x)
+
+
+def test_engine_float_scan_tiny_amplitudes(setup, monkeypatch):
+    """Moment-1.0 floating norms through BOTH eval paths: the amplitude
+    normalization (misfit.MisfitSetup.device) must keep the scan sums out
+    of the f32 flush-to-zero range and the fscan kernel must agree with
+    the vmapped path at that scale."""
+    eng, p, store = setup
+    p1 = p.copy()
+    p1[4] = 1.0  # moment -> samples ~1e-19
+    eng.set_misfit_method("floating_l1norm")
+    eng.set_floating_shiftrange(-0.3, 0.3)
+    eng.set_source_params("bilateral", p1)
+    eng.set_synthetic_reference()
+    batch = np.tile(p1, (3, 1))
+    batch[:, 5] = np.array([70.0, 91.0, 113.0], np.float32)
+
+    monkeypatch.setenv("KIWI_FLOAT_SCAN", "0")
+    eng._invalidate()
+    m_x, n_x, _ = [np.asarray(x) for x in eng.misfits_for_source_batch(batch)]
+
+    monkeypatch.setenv("KIWI_FLOAT_SCAN", "1")
+    monkeypatch.setenv("KIWI_FLOAT_SCAN_INTERPRET", "1")
+    eng._invalidate()
+    m_k, n_k, _ = [np.asarray(x) for x in eng.misfits_for_source_batch(batch)]
+
+    # wrong-strike rows misfit strictly nonzero (no underflow plateau)
+    g_x = np.sqrt((m_x**2).sum(1)) / np.sqrt((n_x**2).sum(1))
+    assert g_x[0] > 1e-3 and g_x[2] > 1e-3, g_x
+    assert g_x[1] < 1e-5, g_x
+    scale = np.abs(m_x).max()
+    np.testing.assert_allclose(m_k, m_x, rtol=2e-5, atol=scale * 2e-5)
+    np.testing.assert_allclose(n_k, n_x, rtol=2e-5, atol=scale * 2e-5)
