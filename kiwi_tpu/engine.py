@@ -1168,6 +1168,64 @@ class Engine:
             subparam_maxs=getattr(self, "subparam_maxs", None),
         )
 
+    def misfit_jacobian(self, params, mask=None):
+        """(m [RC], J [RC, n_free]): misfit rows and their exact Jacobian
+        w.r.t. the masked subparams at `params`, by forward-mode autodiff
+        (one jvp pass per free parameter through the XLA forward).
+
+        These are the same rows minimize_lm's lmdif minimizes (sum m^2),
+        so J feeds the standard linearized-least-squares covariance
+        (invert.gradient.covariance) -- the reference stack has no
+        counterpart (tunguska bootstraps instead).  Device-discretize
+        models only, like global_misfits_and_grad."""
+        model = get_source_model(self.source_type)
+        if model.host_discretize or model.post_factors_batch is None:
+            raise NotImplementedError(
+                f"autodiff Jacobians need a device discretizer "
+                f"(source type {self.source_type!r})"
+            )
+        p = np.asarray(params, dtype=np.float32).reshape(-1)
+        if mask is None:
+            mask = np.ones(model.nparams, dtype=bool)
+        idx = np.flatnonzero(np.asarray(mask, dtype=bool))
+        pb = p[None, :]
+        stats = self._param_stats(model, pb)
+        if stats is None:
+            raise NotImplementedError(
+                f"source type {self.source_type!r} provides no host-side "
+                "param_stats bounds")
+        shape = self._batch_shape(model, pb)
+        _, risetimes = self._post_factors(model, pb)
+        plan = self._ensure_plan(
+            None, float(risetimes.max(initial=0.0)), shape,
+            stats=stats, gsize=int(shape[-1]),
+        )
+        jkey = (self.source_type, shape, self.effective_dt, tuple(idx))
+        cache = plan.setdefault("jac_fns", {})
+        jf = cache.get(jkey)
+        if jf is None:
+            edt = self.effective_dt
+            disc_raw = jax.vmap(lambda q: model.discretize(q, edt, shape))
+            fwd = plan["forward_batch_raw_xla"]
+            pfb = model.post_factors_batch
+            idx_j = jnp.asarray(idx)
+
+            def rows(sub, base):
+                q = base.at[idx_j].set(sub)[None, :]
+                cb = disc_raw(q)
+                mts, rts = pfb(q)
+                m, _n, _fs = fwd(
+                    cb, jnp.asarray(mts, jnp.float32),
+                    jnp.asarray(rts, jnp.float32),
+                )
+                return m[0]
+
+            jf = jax.jit(lambda sub, base: (
+                rows(sub, base), jax.jacfwd(rows)(sub, base)))
+            cache[jkey] = jf
+        m, J = jf(jnp.asarray(p[idx]), jnp.asarray(p))
+        return np.asarray(m), np.asarray(J)
+
     def minimize_gradient(self, steps=150, lr=0.03, nstarts=1):
         """(misfit, steps, starts) -- the autodiff sibling of minimize_lm
         (no reference counterpart); honors the same mask/limit setters."""

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["minimize_multistart", "minimize_gradient"]
+__all__ = ["minimize_multistart", "minimize_gradient", "covariance"]
 
 
 def minimize_multistart(engine, p0_batch, mask=None, mins=None, maxs=None,
@@ -133,6 +133,39 @@ def minimize_multistart(engine, p0_batch, mask=None, mins=None, maxs=None,
         x = project(np.asarray(optax.apply_updates(
             x.astype(np.float32), updates), dtype=np.float64))
     return best_rows, best_g, nsteps
+
+
+def covariance(engine, mask=None, params=None):
+    """Linearized least-squares parameter covariance at `params` (default:
+    the engine's current source): cov = sigma^2 (J^T J)^{-1} with J the
+    exact autodiff Jacobian of the misfit rows (the same rows minimize_lm
+    minimizes) and sigma^2 = sum m^2 / (n_rows - n_free).
+
+    Complements invert.MisfitGrid's bootstrap confidence intervals with
+    the formal curvature-based uncertainty; no reference counterpart.
+    Returns (cov [n_free, n_free], sigma2, J [RC, n_free]).  Uses the
+    pseudo-inverse when J^T J is singular (a parameter the data does not
+    constrain)."""
+    from ..sources import get_source_model
+
+    model = get_source_model(engine.source_type)
+    if params is None:
+        params = engine.source_params
+    if mask is None:
+        mask = np.ones(model.nparams, dtype=bool)
+    idx = np.flatnonzero(np.asarray(mask, dtype=bool))
+
+    m, J = engine.misfit_jacobian(params, mask=mask)
+    m = m.astype(np.float64)
+    J = J.astype(np.float64)
+    dof = max(m.size - idx.size, 1)
+    sigma2 = float((m * m).sum() / dof)
+    jtj = J.T @ J
+    try:
+        cov = sigma2 * np.linalg.inv(jtj)
+    except np.linalg.LinAlgError:
+        cov = sigma2 * np.linalg.pinv(jtj)
+    return cov, sigma2, J
 
 
 def minimize_gradient(engine, mask=None, subparam_mins=None,

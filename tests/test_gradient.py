@@ -186,3 +186,39 @@ def test_minimize_gradient_updates_engine(engine):
     assert abs(float(engine.source_params[5]) - 91.0) < 4.0
     # leave the fixture's source as the tests found it
     engine.set_source_params("bilateral", BILAT)
+
+
+def test_misfit_jacobian_matches_fd_and_covariance(engine):
+    """Forward-mode misfit-row Jacobian vs central finite differences, and
+    the linearized covariance on top of it (cov = sigma^2 (J^T J)^-1, the
+    lmdif-style formal uncertainty)."""
+    engine.set_misfit_method("l2norm")
+    engine.set_source_params("bilateral", BILAT)
+    engine.set_synthetic_reference()
+
+    p = BILAT.copy()
+    p[5] = 99.0   # strike off the reference
+    mask = np.zeros(p.size, dtype=bool)
+    mask[[4, 5]] = True  # moment, strike
+
+    m, J = engine.misfit_jacobian(p, mask=mask)
+    assert J.shape == (m.size, 2)
+    assert np.isfinite(J).all()
+
+    for k, (j, h) in enumerate([(4, 2e10), (5, 0.25)]):
+        lo_, hi_ = p.copy(), p.copy()
+        lo_[j] -= h
+        hi_[j] += h
+        mm, _n, _ = engine.misfits_for_source_batch(np.stack([lo_, hi_]))
+        fd = (np.asarray(mm, np.float64)[1] - np.asarray(mm, np.float64)[0]) / (2 * h)
+        big = np.abs(fd) > 0.2 * np.abs(fd).max()
+        np.testing.assert_allclose(J[big, k], fd[big], rtol=0.1)
+
+    from kiwi_tpu.invert import covariance
+    cov, sigma2, J2 = covariance(engine, mask=mask, params=p)
+    assert cov.shape == (2, 2)
+    assert sigma2 > 0
+    assert (np.diag(cov) > 0).all()
+    # symmetric PSD
+    np.testing.assert_allclose(cov, cov.T, rtol=1e-10)
+    assert np.linalg.eigvalsh(cov).min() >= -1e-12 * np.abs(cov).max()
