@@ -235,6 +235,17 @@ class MinimizerServer:
         info, iters, misfit = self.engine.minimize_lm()
         return f"{info} {iters} {_fmt(misfit)}"
 
+    def do_minimize_gradient(self, args):
+        """Protocol EXTENSION (not in minimizer.f90): batched autodiff
+        descent on the masked subparams.  args: [steps [lr [nstarts]]]."""
+        parts = args.split()
+        steps = int(parts[0]) if len(parts) > 0 else 150
+        lr = float(parts[1]) if len(parts) > 1 else 0.03
+        nstarts = int(parts[2]) if len(parts) > 2 else 1
+        misfit, nsteps, ns = self.engine.minimize_gradient(
+            steps=steps, lr=lr, nstarts=nstarts)
+        return f"{nsteps} {ns} {_fmt(misfit)}"
+
     def do_get_principal_axes(self, args):
         pax, tax = self.engine.get_principal_axes()
         return _fmt_list(list(pax) + list(tax))

@@ -997,11 +997,7 @@ class Engine:
                 a = jnp.max(jnp.abs(x).astype(jnp.float32), axis=-1)
                 a_s = jnp.where(a == 0.0, 1.0, a)
                 y = x.astype(jnp.float32) / a_s[..., None]
-                s = jnp.sum(y * y, axis=-1)
-                is0 = s == 0.0
-                root = jnp.where(is0, 0.0,
-                                 jnp.sqrt(jnp.where(is0, 1.0, s)))
-                return a * root
+                return a * mf.gsqrt(jnp.sum(y * y, axis=-1))
 
             def scalar(pbj):
                 cb = disc_raw(pbj)
@@ -1178,6 +1174,8 @@ class Engine:
         (invert.gradient.covariance) -- the reference stack has no
         counterpart (tunguska bootstraps instead).  Device-discretize
         models only, like global_misfits_and_grad."""
+        if not self._refs:
+            raise RuntimeError("no reference seismograms set")
         model = get_source_model(self.source_type)
         if model.host_discretize or model.post_factors_batch is None:
             raise NotImplementedError(
@@ -1220,8 +1218,14 @@ class Engine:
                 )
                 return m[0]
 
-            jf = jax.jit(lambda sub, base: (
-                rows(sub, base), jax.jacfwd(rows)(sub, base)))
+            def jf_raw(sub, base):
+                # one linearization: primal + all n jvps (jacfwd would
+                # re-run the primal internally, paying n+2 forwards)
+                m, lin = jax.linearize(lambda s: rows(s, base), sub)
+                basis = jnp.eye(sub.shape[0], dtype=sub.dtype)
+                return m, jax.vmap(lin)(basis).T  # [RC, n_free]
+
+            jf = jax.jit(jf_raw)
             cache[jkey] = jf
         m, J = jf(jnp.asarray(p[idx]), jnp.asarray(p))
         return np.asarray(m), np.asarray(J)

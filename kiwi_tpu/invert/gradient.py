@@ -87,15 +87,12 @@ def minimize_multistart(engine, p0_batch, mask=None, mins=None, maxs=None,
         """g, grad with rows bucketed by discretization grid shape (a free
         geometry parameter can quantize starts onto different grids); each
         bucket pads to the full B so one compiled program serves every
-        composition (the lm.py fcn_batch trick)."""
-        shapes = [model.grid_shape(r, engine.effective_dt) for r in full_rows]
+        composition (lm.shape_buckets)."""
+        from .lm import shape_buckets
+
         g = np.zeros(b)
         grad = np.zeros((b, model.nparams))
-        for shp in sorted(set(shapes)):
-            sel = np.array([i for i, s in enumerate(shapes) if s == shp])
-            rb = full_rows[sel]
-            if rb.shape[0] < b:
-                rb = np.concatenate([rb, np.tile(rb[-1:], (b - rb.shape[0], 1))])
+        for sel, rb in shape_buckets(model, engine.effective_dt, full_rows, b):
             gi, gr = engine.global_misfits_and_grad(rb, mesh=mesh)
             g[sel] = gi[: sel.size]
             grad[sel] = gr[: sel.size]
@@ -158,7 +155,13 @@ def covariance(engine, mask=None, params=None):
     m, J = engine.misfit_jacobian(params, mask=mask)
     m = m.astype(np.float64)
     J = J.astype(np.float64)
-    dof = max(m.size - idx.size, 1)
+    # degrees of freedom count only ENABLED rc rows: disabled receivers'
+    # rows come back as exact zeros and would silently deflate sigma^2
+    n_rows = sum(
+        1 for irec, _c in engine._rc_layout()
+        if engine.receivers[irec].enabled
+    )
+    dof = max(n_rows - idx.size, 1)
     sigma2 = float((m * m).sum() / dof)
     jtj = J.T @ J
     try:

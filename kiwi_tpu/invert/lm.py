@@ -22,6 +22,25 @@ from scipy.optimize import leastsq
 F32_EPS = float(np.finfo(np.float32).eps)
 
 
+def shape_buckets(model, effective_dt, rows, k):
+    """Yield (sel, padded_rows f32[k, nparams]) per distinct discretization
+    grid shape.
+
+    Probe/start rows can straddle a grid-shape boundary (a step on a
+    geometry parameter quantizes to a different grid); each bucket pads to
+    a FIXED k rows (repeating its last row) so every bucket reuses ONE
+    compiled device program per shape -- varying bucket sizes would each
+    trigger a fresh TPU compile.  Shared by lmdif's batched Jacobian
+    forwards and the gradient multistart."""
+    shapes = [model.grid_shape(r, effective_dt) for r in rows]
+    for shp in sorted(set(shapes)):
+        sel = np.array([i for i, s in enumerate(shapes) if s == shp])
+        rb = rows[sel]
+        if rb.shape[0] < k:
+            rb = np.concatenate([rb, np.tile(rb[-1:], (k - rb.shape[0], 1))])
+        yield sel, rb
+
+
 def minimize_lm(engine, mask=None, subparam_mins=None, subparam_maxs=None,
                 method="batched"):
     """Refine engine.source_params in place.
@@ -86,22 +105,8 @@ def minimize_lm(engine, mask=None, subparam_mins=None, subparam_maxs=None,
                 sub, pen = clip_penalty(np.asarray(X[i], dtype=np.float64))
                 rows[i, idx] = (sub * sub_norm).astype(np.float32)
                 penalties[i] = pen
-            # probe rows can straddle a discretization-grid-shape boundary
-            # (a forward-difference step on a geometry parameter quantizes
-            # to a different grid); bucket rows by shape, one device call
-            # per bucket.  Each bucket is padded to the full k = n + 1 rows
-            # (repeating its last row) so every bucket reuses ONE compiled
-            # program per shape -- varying bucket sizes across LM iterations
-            # would each trigger a fresh TPU compile (tens of seconds)
-            shapes = [model.grid_shape(r, engine.effective_dt) for r in rows]
             out = None
-            for shp in sorted(set(shapes)):
-                sel = np.array([i for i, s in enumerate(shapes) if s == shp])
-                rb = rows[sel]
-                if rb.shape[0] < k:
-                    rb = np.concatenate(
-                        [rb, np.tile(rb[-1:], (k - rb.shape[0], 1))]
-                    )
+            for sel, rb in shape_buckets(model, engine.effective_dt, rows, k):
                 m, _n, _fs = engine.misfits_for_source_batch(rb)
                 m = np.asarray(m, dtype=np.float64)[: sel.size]
                 if out is None:

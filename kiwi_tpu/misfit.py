@@ -277,7 +277,7 @@ def _accum(x, mask):
     return jnp.sum((x * mask).astype(ACCUM), axis=-1)
 
 
-def _gsqrt(s):
+def gsqrt(s):
     """sqrt with a finite reverse-mode gradient at 0 (forward-identical).
 
     Norm sqrts hit exact zeros in normal operation -- a synthetic that
@@ -301,8 +301,8 @@ def pair_norms(ctx, ref_arr, syn_arr, mask, method, st: ProbeStatic):
     fb = ctx["syn_factor"][..., None]
     diff = ref_arr - fb * syn_arr
     if method == L2NORM:
-        m = _gsqrt(dt * _accum(diff * diff, mask))
-        n = _gsqrt(dt * _accum(ref_arr * ref_arr, mask))
+        m = gsqrt(dt * _accum(diff * diff, mask))
+        n = gsqrt(dt * _accum(ref_arr * ref_arr, mask))
     elif method == L1NORM:
         m = dt * _accum(jnp.abs(diff), mask)
         n = dt * _accum(jnp.abs(ref_arr), mask)
@@ -311,7 +311,7 @@ def pair_norms(ctx, ref_arr, syn_arr, mask, method, st: ProbeStatic):
         n = _accum(ref_arr * ref_arr, mask)
     elif method == PEAK:
         fb2 = ctx["syn_factor"][..., None]
-        m = jnp.max(_gsqrt((ref_arr**2 + (fb2 * syn_arr) ** 2).astype(ACCUM)) * mask, axis=-1)
+        m = jnp.max(gsqrt((ref_arr**2 + (fb2 * syn_arr) ** 2).astype(ACCUM)) * mask, axis=-1)
         n = jnp.max(jnp.abs(ref_arr).astype(ACCUM) * mask, axis=-1)
     else:
         raise ValueError(f"unsupported time-domain method {method}")
@@ -327,7 +327,7 @@ def ampspec_norms(ctx, ref_amp, syn_amp, method, st: ProbeStatic):
     fb = ctx["syn_factor"][..., None]
     diff = ref_amp - fb * syn_amp
     if method == AMPSPEC_L2NORM:
-        m = _gsqrt(df * jnp.sum((diff * diff).astype(ACCUM), axis=-1))
+        m = gsqrt(df * jnp.sum((diff * diff).astype(ACCUM), axis=-1))
         n = jnp.sqrt(df * jnp.sum((ref_amp * ref_amp).astype(ACCUM), axis=-1))
     elif method == AMPSPEC_L1NORM:
         m = df * jnp.sum(jnp.abs(diff).astype(ACCUM), axis=-1)
@@ -524,9 +524,15 @@ def evaluate_misfits(
 
     # undo the ctx amplitude normalization on the way out (see
     # MisfitSetup.device): misfit/norm are 1-homogeneous in (ref, fb*syn),
-    # the scalar product is 2-homogeneous
+    # the scalar product is 2-homogeneous.  Apply s0 as CHAINED multiplies
+    # ((x*s0)*s0), never as a standalone s0*s0: at the tiny scales this
+    # normalization exists for (s0 ~ 1e-19) the bare square itself flushes
+    # to zero in f32
     s0 = ctx.get("amp_scale", jnp.float32(1.0))
-    fac = s0 * s0 if method == SCALAR_PRODUCT else s0
+
+    def _unscale(x):
+        x = x * s0
+        return x * s0 if method == SCALAR_PRODUCT else x
 
     if risetime is not None and fold_nshift_max > 0:
         w = fold_stf_weights(risetime, jnp.float32(st.dt), fold_nshift_max)
@@ -567,7 +573,7 @@ def evaluate_misfits(
                 - fb * syn_proc[None, :, i0:i1])
         dt = ACCUM(st.dt)
         if base == L2NORM:
-            ms = _gsqrt(dt * jnp.sum((diff * diff * mask).astype(ACCUM), axis=-1))
+            ms = gsqrt(dt * jnp.sum((diff * diff * mask).astype(ACCUM), axis=-1))
         else:
             ms = dt * jnp.sum((jnp.abs(diff) * mask).astype(ACCUM), axis=-1)
         ms = jnp.where(ctx["enabled"][None, :], ms.astype(F32), 0.0)
@@ -585,7 +591,7 @@ def evaluate_misfits(
         iloc = jnp.argmin(per_rec, axis=0)  # [R]
         shift_sel = rctx["shifts"][iloc]
         m = jnp.take_along_axis(ms, iloc[ctx["receiver_ids"]][None, :], axis=0)[0]
-        return m * fac, rctx["norm"] * fac, shift_sel
+        return _unscale(m), _unscale(rctx["norm"]), shift_sel
 
     zero_shift = jnp.zeros((nrec,), dtype=I32)
     if method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM):
@@ -594,11 +600,11 @@ def evaluate_misfits(
         df = ACCUM(st.df)
         diff = rctx["ref_amp"] - ctx["syn_factor"][..., None] * syn_amp
         if method == AMPSPEC_L2NORM:
-            m = _gsqrt(df * jnp.sum((diff * diff).astype(ACCUM), axis=-1))
+            m = gsqrt(df * jnp.sum((diff * diff).astype(ACCUM), axis=-1))
         else:
             m = df * jnp.sum(jnp.abs(diff).astype(ACCUM), axis=-1)
         m = jnp.where(ctx["enabled"], m.astype(F32), 0.0)
-        return m * fac, rctx["norm"] * fac, zero_shift
+        return _unscale(m), _unscale(rctx["norm"]), zero_shift
 
     syn_proc = jnp.where(ctx["has_filter"][..., None], filt_s, tap_s)
     lo, hi = norm_spans(ctx, syn_lo, syn_hi, st)
@@ -607,7 +613,7 @@ def evaluate_misfits(
     m, _ = pair_norms(ctx, rctx["ref_proc"][..., i0:i1],
                       syn_proc[..., i0:i1], mask, method, st)
     m = jnp.where(ctx["enabled"], m, 0.0)
-    return m * fac, rctx["norm"] * fac, zero_shift
+    return _unscale(m), _unscale(rctx["norm"]), zero_shift
 
 
 def evaluate_misfits_floating_batch(
@@ -702,7 +708,7 @@ def evaluate_misfits_floating_batch(
     # f32 rounding can leave out - tail a hair negative when the masked
     # span contributes ~nothing; clamp before the L2 sqrt
     sums = jnp.maximum((out - tail).astype(ACCUM), 0.0)
-    ms = _gsqrt(dtc * sums) if base == L2NORM else dtc * sums
+    ms = gsqrt(dtc * sums) if base == L2NORM else dtc * sums
     ms = jnp.where(ctx["enabled"][None, None, :], ms.astype(F32), 0.0)
 
     # per-receiver shift selection, exactly as evaluate_misfits
@@ -770,9 +776,10 @@ def cross_correlation(ctx, syn, shiftrange, st: ProbeStatic):
         mask = _span_mask(lo, hi, st)
         m, _ = pair_norms(ctx, syn_proc, ref_proc, mask, SCALAR_PRODUCT, st)
         # ctx holds ref/s0 and syn_factor/s0 (amplitude normalization,
-        # MisfitSetup.device); the scalar product is 2-homogeneous
+        # MisfitSetup.device); the scalar product is 2-homogeneous --
+        # chained multiplies, a bare s0*s0 flushes to zero at s0 ~ 1e-19
         s0 = ctx.get("amp_scale", jnp.float32(1.0))
-        return m * (s0 * s0)
+        return m * s0 * s0
 
     return jax.lax.map(lambda s: one_shift(jnp.full((), s)), jnp.arange(s1, s2 + 1))
 
@@ -795,7 +802,7 @@ def peak_amplitude(ctx, syn_rows, mask, differentiate, st: ProbeStatic):
     a = jnp.max(jnp.abs(d))
     a_s = jnp.where(a == 0.0, 1.0, a)
     power = jnp.sum((d / a_s) ** 2, axis=0)
-    root = a * _gsqrt(jnp.max(power * dmask))
+    root = a * gsqrt(jnp.max(power * dmask))
     return root / (dt if differentiate == 1 else dt**2)
 
 

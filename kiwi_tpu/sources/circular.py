@@ -88,7 +88,7 @@ def discretize(params, effective_dt, shape):
 
     # grad-safe: with nx odd the center cell sits exactly at r=0 and the
     # raw sqrt's backward (inf) would poison autodiff w.r.t. length/rupvel
-    r = _synth._grad_safe_norm(gxm, gym)
+    r = _synth.grad_safe_norm(gxm, gym)
     inside = r <= radius
 
     pts = jnp.stack([gxm, gym, jnp.zeros_like(gxm)], axis=-1)

@@ -147,7 +147,7 @@ def _poly_sincos(a):
     return sin_a, cos_a
 
 
-def _grad_safe_norm(x, y, z=None):
+def grad_safe_norm(x, y, z=None):
     """sqrt(x^2 + y^2 [+ z^2]) with a finite reverse-mode gradient at 0.
 
     The raw sqrt's backward is inf at 0; a centroid landing exactly on
@@ -176,7 +176,7 @@ def centroid_geodesy(dnorth, deast, rec):
     """
     dn = dnorth.astype(F64)
     de = deast.astype(F64)
-    r = _grad_safe_norm(dn, de)
+    r = grad_safe_norm(dn, de)
     a = r / geo.EARTHRADIUS
     sin_a, cos_a = _poly_sincos(a)
 
@@ -198,7 +198,7 @@ def centroid_geodesy(dnorth, deast, rec):
     cx = pn * bu - pu * bn
     cy = pu * be - pe * bu
     cz = pe * bn - pn * be
-    sin_c = _grad_safe_norm(cx, cy, cz)
+    sin_c = grad_safe_norm(cx, cy, cz)
     c = jnp.arctan2(sin_c, cos_c)
 
     sin_gamma = sin_azi * cos_lam - cos_azi * sin_lam  # sin(azi - lam)
@@ -256,7 +256,7 @@ def centroid_geodesy_fast(dnorth, deast, rec):
     """
     dn = dnorth.astype(F32)
     de = deast.astype(F32)
-    r = _grad_safe_norm(dn, de)
+    r = grad_safe_norm(dn, de)
     a = r / jnp.float32(geo.EARTHRADIUS)
     a2 = a * a
     sin_a = a * (1.0 - a2 / 6.0 * (1.0 - a2 / 20.0))
@@ -280,7 +280,7 @@ def centroid_geodesy_fast(dnorth, deast, rec):
     cx = pn * bu - pu * bn
     cy = pu * be - pe * bu
     cz = pe * bn - pn * be
-    sin_c = _grad_safe_norm(cx, cy, cz)
+    sin_c = grad_safe_norm(cx, cy, cz)
     dist = jnp.arctan2(sin_c, cos_c) * jnp.float32(geo.EARTHRADIUS)
 
     sin_gamma = sin_azi * cos_lam - cos_azi * sin_lam  # sin(azi - lam)

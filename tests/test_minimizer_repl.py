@@ -185,6 +185,7 @@ set_synthetics_factor   1.0
 set_source_params_mask  F F F T F T F F F F F F F F
 set_source_subparams_limits 300 85 500 95
 minimize_lm
+minimize_gradient       10 0.01
 get_source_subparams    2 3 5
 set_verbose             T
 set_ignore_sigint       T
@@ -195,6 +196,10 @@ set_ignore_sigint       T
     # LM answered "info nfev misfit"
     lm_line = [l for l in out.splitlines() if l.startswith("minimize_lm: ok")]
     assert lm_line
+    # the gradient extension answered "steps starts misfit"
+    mg_line = [l for l in out.splitlines()
+               if l.startswith("minimize_gradient: ok")]
+    assert mg_line
     # outputs exist
     import os
     assert os.path.exists(f"{base}-dist.table")
