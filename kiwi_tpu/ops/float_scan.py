@@ -125,27 +125,33 @@ def scan_sums(ref_srw, syn_rbw, l2=False, bt=32, interpret=False):
 
     resident_bytes = (SRC * W + 2 * RC * bt * W + 2 * S * bt * RC) * 4
     if resident_bytes <= VMEM_TARGET_BYTES:
+        # trace under x64=False: the package enables x64 globally, which
+        # makes in-kernel Python-int index arithmetic (s * RC) materialize
+        # i64 constants that Mosaic's i32 index lowering rejects
+        # ('arith.muli' i32/i64 mismatch on real TPU; interpret mode hides it)
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                functools.partial(_scan_kernel, S=S, RC=RC, BT=bt, l2=l2),
+                grid=(B // bt,),
+                in_specs=[
+                    pl.BlockSpec((SRC, W), lambda i: (0, 0)),  # resident
+                    pl.BlockSpec((RC, bt, W), lambda i: (0, i, 0)),
+                ],
+                out_specs=pl.BlockSpec((S, bt, RC), lambda i: (0, i, 0)),
+                out_shape=jax.ShapeDtypeStruct((S, B, RC), F32),
+                interpret=interpret,
+            )(ref_srw, syn_rbw)
+
+    wb = 256 if W % 256 == 0 else 128
+    with jax.enable_x64(False):
         return pl.pallas_call(
-            functools.partial(_scan_kernel, S=S, RC=RC, BT=bt, l2=l2),
-            grid=(B // bt,),
+            functools.partial(_scan_kernel_blocked, S=S, RC=RC, BT=bt, l2=l2),
+            grid=(B // bt, W // wb),
             in_specs=[
-                pl.BlockSpec((SRC, W), lambda i: (0, 0)),      # resident
-                pl.BlockSpec((RC, bt, W), lambda i: (0, i, 0)),
+                pl.BlockSpec((SRC, wb), lambda i, j: (0, j)),
+                pl.BlockSpec((RC, bt, wb), lambda i, j: (0, i, j)),
             ],
-            out_specs=pl.BlockSpec((S, bt, RC), lambda i: (0, i, 0)),
+            out_specs=pl.BlockSpec((S, bt, RC), lambda i, j: (0, i, 0)),
             out_shape=jax.ShapeDtypeStruct((S, B, RC), F32),
             interpret=interpret,
         )(ref_srw, syn_rbw)
-
-    wb = 256 if W % 256 == 0 else 128
-    return pl.pallas_call(
-        functools.partial(_scan_kernel_blocked, S=S, RC=RC, BT=bt, l2=l2),
-        grid=(B // bt, W // wb),
-        in_specs=[
-            pl.BlockSpec((SRC, wb), lambda i, j: (0, j)),
-            pl.BlockSpec((RC, bt, wb), lambda i, j: (0, i, j)),
-        ],
-        out_specs=pl.BlockSpec((S, bt, RC), lambda i, j: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((S, B, RC), F32),
-        interpret=interpret,
-    )(ref_srw, syn_rbw)
