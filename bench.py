@@ -136,11 +136,12 @@ def bench_point(eng, log):
     def dispatch(sl):
         if len(sl) < chunk:
             sl = np.concatenate([sl, np.full(chunk - len(sl), sl[-1], np.float32)])
-        batch = np.tile(base, (len(sl), 1))
-        batch[:, 5] = sl
-        m, n, fs = eng.misfits_for_source_batch(batch)
-        g = jnp.sqrt((m.astype(jnp.float32) ** 2).sum(axis=1))
-        return g
+        # fused on-device sweep: the batch is tiled inside the jit, the
+        # global-misfit reduction rides the same program, and the host
+        # ships/receives 4096 floats per dispatch (round 4: the old
+        # host-built batch path issued slower than the device computed;
+        # measured 410k -> 1.0M+ MPS on the same chip/day)
+        return eng.sweep_global_misfits(base, 5, sl)
 
     # 8 sweep replicas in flight: the sweep is ONE dispatch (3610 <= 4096),
     # so a single replica would time host-issue + device + a full tunnel

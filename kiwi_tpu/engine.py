@@ -83,6 +83,7 @@ class Engine:
         self._plan = None
         self._plan_key = None
         self._disc_cache = {}
+        self._sweep_memo = {}
         self.memory_budget = 4 << 30  # transient bytes per device call
         self.force_path = None  # ("conv"|"direct", group_size) debug override
         # batched eikonal discretization on device (anti-diagonal fast
@@ -253,6 +254,7 @@ class Engine:
     def _invalidate(self):
         self._plan = None
         self._plan_key = None
+        self._sweep_memo = {}
 
     def _rc_layout(self):
         """[(irec, comp_char)] rows in receiver-major order."""
@@ -932,6 +934,107 @@ class Engine:
     def global_misfits_for_source_batch(self, params_batch):
         m, n, _ = self.misfits_for_source_batch(params_batch)
         return jax.vmap(mf.global_misfit)(m, n)
+
+    def sweep_global_misfits(self, base_params, col, values):
+        """Global misfits g[N] for a one-column sweep around base_params.
+
+        The batch never exists on the host: one jitted program tiles the
+        base row, sets column `col` to `values`, discretizes, synthesizes,
+        evaluates, and reduces each row to its global misfit
+        (minimizer_engine.f90:935-942) -- the host ships N floats and
+        receives N floats per dispatch.  This is the grid-search inner
+        loop with the per-dispatch host half (batch tiling, param stats,
+        [N, nparams] transfers, a second reduction dispatch) removed;
+        misfits_for_source_batch on the same sweep spends more wall time
+        issuing than the device spends computing (docs/performance.md).
+
+        Falls back to misfits_for_source_batch + global_misfit when the
+        fused design does not apply: host-discretize models, sweeps that
+        change the discretization grid shape, window-kernel plans whose
+        chunk cap is below N, or models without batched post factors.
+        """
+        if not self._refs:
+            raise RuntimeError("no reference seismograms set")
+        model = get_source_model(self.source_type)
+        base = np.asarray(base_params, np.float32).reshape(-1)
+        values = np.asarray(values, np.float32).reshape(-1)
+        col = int(col)
+        n = values.shape[0]
+        vmin, vmax = float(values.min()), float(values.max())
+        # repeat-sweep memo: grid searches dispatch the same (base, col)
+        # spec with fresh values every call; the host prep below (probe
+        # rows, stats, plan key) costs ~2 ms -- comparable to the whole
+        # device program -- so skip it when a previous dispatch already
+        # planned a covering value range
+        mkey = (self.source_type, col, n, base.tobytes())
+        memo = self._sweep_memo
+        hit = memo.get(mkey)
+        if hit is not None and hit[0] is self._plan and (
+                hit[1] <= vmin and vmax <= hit[2]):
+            return hit[3](jnp.asarray(base), jnp.asarray(values))
+        # 3-row probe: host-side shape/stat/sharedness decisions cover the
+        # sweep's full range without materializing the batch
+        pb3 = np.tile(base, (3, 1))
+        pb3[:, col] = (vmin, vmax, float(base[col]))
+
+        def fallback():
+            pb = np.tile(base, (n, 1))
+            pb[:, col] = values
+            try:
+                m, nn, _ = self.misfits_for_source_batch(pb)
+            except ValueError:
+                # sweep crosses discretization-grid shapes: bucket rows by
+                # shape (what gridsearch does for general parameter grids)
+                groups = {}
+                for i in range(n):
+                    s = model.grid_shape(pb[i], self.effective_dt)
+                    groups.setdefault(s, []).append(i)
+                res = jnp.zeros(n, jnp.float32)
+                for idx in groups.values():
+                    m, nn, _ = self.misfits_for_source_batch(pb[idx])
+                    g = jax.vmap(mf.global_misfit)(m, nn)
+                    res = res.at[jnp.asarray(np.asarray(idx))].set(
+                        g.astype(jnp.float32))
+                return res
+            return jax.vmap(mf.global_misfit)(m, nn)
+
+        if model.host_discretize or model.post_factors_batch is None:
+            return fallback()
+        try:
+            shape = self._batch_shape(model, pb3)
+        except ValueError:
+            return fallback()
+        stats = self._param_stats(model, pb3)
+        if stats is None:
+            return fallback()
+        _m3, r3 = self._post_factors(model, pb3)
+        plan = self._ensure_plan(None, float(r3.max(initial=0.0)), shape,
+                                 stats=stats, gsize=int(shape[-1]))
+        shared = (model.shared_kin_check is not None
+                  and model.shared_kin_check(pb3))
+        if not shared and plan.get("max_chunk") and plan["max_chunk"] < n:
+            return fallback()
+        key = (self.source_type, shape, self.effective_dt, col, n, shared)
+        sweeps = plan.setdefault("sweep", {})
+        fn = sweeps.get(key)
+        if fn is None:
+            edt = self.effective_dt
+            raw = plan["forward_shared_raw" if shared else "forward_batch_raw"]
+
+            def sweep_fn(basej, vals):
+                pb = jnp.tile(basej[None, :], (n, 1))
+                pb = pb.at[:, col].set(vals)
+                cb = jax.vmap(lambda p: model.discretize(p, edt, shape))(pb)
+                moments, risetimes = model.post_factors_batch(pb)
+                m, nrm, _fs = raw(
+                    cb, jnp.asarray(moments, jnp.float32),
+                    jnp.asarray(risetimes, jnp.float32))
+                return jax.vmap(mf.global_misfit)(m, nrm)
+
+            fn = jax.jit(sweep_fn)
+            sweeps[key] = fn
+        self._sweep_memo[mkey] = (self._plan, vmin, vmax, fn)
+        return fn(jnp.asarray(base), jnp.asarray(values))
 
     def global_misfits_and_grad(self, params_batch, mesh=None):
         """Batched global misfits g[B] AND dg/dparams [B, nparams] by

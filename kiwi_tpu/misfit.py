@@ -718,17 +718,33 @@ def evaluate_misfits_floating_batch(
         rctx["shifts"][:, None] <= rhi[None, :]
     )
 
-    def post(ms_b):  # [S, RC] -> (m [RC], shift [R])
-        per_rec = jax.vmap(
-            lambda row: jax.ops.segment_sum(row, ctx["receiver_ids"], num_segments=nrec)
-        )(ms_b**2 if base == L2NORM else ms_b)
-        per_rec = jnp.where(allowed, per_rec, jnp.inf)
-        iloc = jnp.argmin(per_rec, axis=0)
-        shift_sel = rctx["shifts"][iloc]
-        m = jnp.take_along_axis(ms_b, iloc[ctx["receiver_ids"]][None, :], axis=0)[0]
-        return m, shift_sel
-
-    m, shift_sel = jax.vmap(post)(ms.transpose(1, 0, 2))
+    # ctx arrays are setup-time constants here (the whole eval is traced
+    # with ctx closed over), so host-side layout decisions are free
+    rids = np.asarray(ctx["receiver_ids"])
+    msq = ms**2 if base == L2NORM else ms  # [S, B, RC]
+    counts = np.bincount(rids, minlength=nrec)
+    uniform = (
+        counts.min() == counts.max()
+        and (rids == np.repeat(np.arange(nrec), counts[0])).all()
+    )
+    if uniform:
+        per_rec = msq.reshape(S, B, nrec, int(counts[0])).sum(axis=-1)
+    else:
+        per_rec = jnp.zeros((S, B, nrec), ACCUM).at[:, :, rids].add(msq)
+    per_rec = jnp.where(allowed[:, None, :], per_rec, jnp.inf)
+    iloc = jnp.argmin(per_rec, axis=0)  # [B, R]
+    # one-hot select + sum instead of take_along_axis: the per-element
+    # gather measured 1.25 ms on a [21, 4096, 30] table (39% of the fused
+    # point program device time); the select fuses into the ms epilogue
+    sel_r = jnp.arange(S, dtype=iloc.dtype)[:, None, None] == iloc[None]  # [S,B,R]
+    shift_sel = jnp.sum(
+        jnp.where(sel_r, rctx["shifts"][:, None, None], 0), axis=0
+    ).astype(rctx["shifts"].dtype)
+    if uniform:
+        sel_rc = jnp.repeat(sel_r, int(counts[0]), axis=2, total_repeat_length=RC)
+    else:
+        sel_rc = sel_r[:, :, rids]
+    m = jnp.sum(jnp.where(sel_rc, ms, 0.0), axis=0)  # [B, RC]
     n = jnp.broadcast_to(rctx["norm"][None, :], (B, RC))
     # undo the ctx amplitude normalization (MisfitSetup.device); the
     # floating bases (l1/l2) are 1-homogeneous in (ref, fb*syn)

@@ -123,6 +123,60 @@ def test_batch_matches_serial(engine):
     assert np.argmin(gms) == 1
 
 
+def test_sweep_global_misfits_matches_batch(engine):
+    """sweep_global_misfits (the fused on-device sweep, round 4) against
+    the host-built batch path, on every branch: shared-kinematics point
+    sweep, non-shared finite sweep, the repeat-sweep memo, and the
+    grid-shape-change fallback."""
+    engine.set_source_params("bilateral", BILAT)
+    engine.set_misfit_method("floating_l1norm")
+    engine.set_floating_shiftrange(-0.3, 0.3)
+    engine.set_synthetic_reference()
+
+    def batch_gms(base, col, vals):
+        pb = np.tile(base, (len(vals), 1))
+        pb[:, col] = vals
+        return np.asarray(engine.global_misfits_for_source_batch(pb))
+
+    # point source (degenerate fault): strike sweep is shared-kinematics
+    point = BILAT.copy()
+    point[9:12] = 0.0
+    engine.set_source_params("bilateral", point)
+    engine.set_synthetic_reference()
+    strikes = np.linspace(41.0, 141.0, 11).astype(np.float32)
+    g = np.asarray(engine.sweep_global_misfits(point, 5, strikes))
+    np.testing.assert_allclose(g, batch_gms(point, 5, strikes),
+                               rtol=1e-5, atol=1e-7)
+    assert float(strikes[np.argmin(g)]) == 91.0
+    # repeat dispatch with a covered narrower range rides the memo
+    key = next(iter(engine._sweep_memo))
+    memo_fn = engine._sweep_memo[key][3]
+    strikes2 = np.linspace(60.0, 120.0, 11).astype(np.float32)
+    g2 = np.asarray(engine.sweep_global_misfits(point, 5, strikes2))
+    assert engine._sweep_memo[key][3] is memo_fn
+    np.testing.assert_allclose(g2, batch_gms(point, 5, strikes2),
+                               rtol=1e-5, atol=1e-7)
+
+    # finite fault: strike rotates subfault positions -> non-shared path
+    engine.set_source_params("bilateral", BILAT)
+    engine.set_synthetic_reference()
+    g3 = np.asarray(engine.sweep_global_misfits(BILAT, 5, strikes))
+    np.testing.assert_allclose(g3, batch_gms(BILAT, 5, strikes),
+                               rtol=1e-5, atol=1e-7)
+
+    # sweeping a shape parameter (length-a) changes the discretization
+    # grid -> fallback path (shape-bucketed), still correct
+    lens = np.array([250.0, 300.0, 350.0, 700.0], np.float32)
+    g4 = np.asarray(engine.sweep_global_misfits(BILAT, 9, lens))
+    serial = []
+    for v in lens:
+        p = BILAT.copy()
+        p[9] = v
+        engine.set_source_params("bilateral", p)
+        serial.append(engine.get_global_misfit())
+    np.testing.assert_allclose(g4, serial, rtol=1e-5, atol=1e-7)
+
+
 def test_engine_synthetics_match_oracle(engine, store):
     from oracle import synthesize_oracle
     import jax
