@@ -40,8 +40,17 @@ import time
 import numpy as np
 
 # benchmark/fortran_denominator.cc on the kiwibench syntheseis config;
-# see BASELINE.md for provenance and what the bound omits
+# see BASELINE.md for provenance and what the bound omits.  Re-measured
+# 2026-08-19 with the v2 oracle (in-C++ bilateral discretizer, probe edge
+# extension): 15.3-15.7k/core -- the recorded constant stands.
 MEASURED_FORTRAN_CORE_MPS = 15400.0
+# per-regime denominators (same host/flags, 2026-08-19):
+# finite = the bench_finite 195-centroid bilateral replayed by the same
+# C++ loop (prep_denominator.py finite); eikonal = the bench_eikonal
+# rupture table replay INCLUDING a per-model FMM solve + downsample
+# accumulation (the reference pays both per model)
+MEASURED_FORTRAN_FINITE_MPS = 413.0
+MEASURED_FORTRAN_EIKONAL_MPS = 327.0
 V5E_HBM_GBPS = 819.0
 V5E_VPU_GFLOPS = 3930.0  # 4 ALUs x 8x128 lanes x 0.94 GHz, f32
 
@@ -433,7 +442,9 @@ def main():
         "fortran_core_mps": MEASURED_FORTRAN_CORE_MPS,
         "vs_fortran_pool4": round(point_mps / (4 * MEASURED_FORTRAN_CORE_MPS), 2),
         "finite_mps": round(finite_mps, 1),
+        "finite_vs_fortran": round(finite_mps / MEASURED_FORTRAN_FINITE_MPS, 2),
         "eikonal_mps": round(eik_mps, 1),
+        "eikonal_vs_fortran": round(eik_mps / MEASURED_FORTRAN_EIKONAL_MPS, 2),
         "finite_long_mps": round(float(long_mps), 1),
         "finite_long_xla_mps": round(float(long_mps_xla), 1),
         "finite_long_nt_ext": int(long_nt),

@@ -1,33 +1,49 @@
-// Measured Fortran-denominator stand-in for BASELINE.md.
+// Measured Fortran-denominator stand-in AND golden parity oracle.
 //
 // No Fortran toolchain exists in this image, so this program transliterates
 // the reference's scalar hot loop into C++ (same data structures, same
-// per-sample arithmetic, same span bookkeeping) and replays the kiwibench
-// 'syntheseis' workload (/root/reference/benchmark/kiwibench.py:94-150):
-// a 3610-strike sweep of a bilateral point source against 10 'ned'
-// receivers with the floating_l1norm misfit.  What it times per model:
+// per-sample arithmetic, same span bookkeeping).  Two duties:
 //
-//   * make_seismogram            seismogram.f90:131-254
+//  1. DENOMINATOR (BASELINE.md): replay a kiwibench-style workload and
+//     print models/sec for one core -- point sweep, finite-bilateral
+//     sweep, or an eikonal-table replay (workloads below).
+//  2. GOLDEN ORACLE (--dump): write synthesized traces + per-(receiver,
+//     component) misfits/norms + floating shifts for a committed set of
+//     sources, so pytest can pin the JAX engine against an independently
+//     derived implementation (tests/test_golden_oracle.py).
+//
+// What it computes per model, transliterated from:
+//
+//   * psm_to_tdsm_table_bilat     source_bilat.f90:318-459 (in-C++
+//                                 discretizer: grid, rupture rotation,
+//                                 trapezoid STF cells via PLF integrals)
+//   * make_seismogram             seismogram.f90:131-254, including the
+//                                 per-centroid backazimuth rotation of the
+//                                 (away, right) contributions (:195-233)
 //   * approx_differential_azidist orthodrome.f90:121-152 (exact branch)
-//   * make_weights               seismogram.f90:316-336
-//   * gfdb_get_indices_bilin     gfdb.f90:781-815
-//   * gfdb_get_trace_bilin       gfdb.f90:865-951 (4-trace blend into a
-//                                reusable buffer -- rebuilt every call,
-//                                exactly like the reference)
-//   * trace_multiply_add         sparse_trace.f90:597-707 (2-tap
-//                                fractional shift + end-point repeat)
+//   * make_weights                seismogram.f90:316-336
+//   * gfdb_get_indices_bilin      gfdb.f90:781-815
+//   * gfdb_get_trace_bilin        gfdb.f90:865-951 (4-trace blend into a
+//                                 reusable buffer -- rebuilt every call,
+//                                 exactly like the reference)
+//   * trace_multiply_add          sparse_trace.f90:597-707 (2-tap
+//                                 fractional shift + end-point repeat)
+//   * plf_taper_array             piecewise_linear_function.f90:195-237
+//                                 (cosine taper weights)
 //   * receiver_calculate_floating_misfits  receiver.f90:439-510
-//     with l1norm_func           comparator.f90:639-648 (f64 accumulation)
+//     with l1norm_func / l2norm_func comparator.f90:639-676 (f64 accum)
 //
 // This is a *generous* rendering of the Fortran: contiguous arrays, no
 // sparse-strip indirection beyond one level, no text-protocol framing, no
 // process-pool IPC, compiled -O3 -march=native.  The measured
-// single-process number is therefore an upper bound on what the reference
-// binary would do per core on this host.
+// single-process number is an upper bound on what the reference binary
+// would do per core on this host.  The eikonal replay is extra-generous:
+// it replays a fixed discretized table, charging the reference nothing
+// for its per-model eikonal solve + grid downsampling.
 //
-// Build/run:  g++ -O3 -march=native -o fortran_denominator
-//             fortran_denominator.cc && ./fortran_denominator
-// (after python benchmark/prep_denominator.py)
+// Build:  g++ -O3 -march=native -o fortran_denominator fortran_denominator.cc
+// Run:    ./fortran_denominator BLOB [nmodels] [--dump FILE]
+// (blob written by benchmark/prep_denominator.py; v2 layout documented there)
 
 #include <algorithm>
 #include <chrono>
@@ -39,13 +55,38 @@
 
 namespace {
 
+constexpr uint32_t kMagicV2 = 0x4B574932u;  // "KWI2"
+
+struct Taper {
+    int irc = -1;
+    float x[4], y[4];
+};
+
 struct Store {
-    int nx, nz, ng, ntmax, nrec, ncent, nshift;
+    int nx, nz, ng, ntmax, nrec, nshift;
     float dt, dx, dz, firstx, firstz;
     std::vector<double> azi, bazi, dist;
-    std::vector<float> cent_time, cent_w;
     std::vector<int32_t> itmin, nsamples;
     std::vector<float> data;
+
+    // workload
+    int workload = 0;  // 0 = bilat sweep, 1 = table replay
+    double edt = 0.1;
+    float ref_params[14];
+    int nsweep = 0;
+    std::vector<std::vector<float>> dump_params;
+    std::vector<Taper> tapers;
+    // table replay
+    int ncent_tab = 0;
+    std::vector<float> tab_north, tab_east, tab_depth, tab_time, tab_m6;
+    // optional per-model eikonal solve (the reference runs psm_to_tdsm's
+    // FMM + downsample for EVERY model; charging only synthesis would
+    // inflate the denominator)
+    bool has_solve = false;
+    int nfx = 0, nfy = 0, ncx = 0, ncy = 0;
+    double fdx = 1, fdy = 1, ffx = 0, ffy = 0, nuklx = 0, nukly = 0;
+    std::vector<float> fspeed;   // solver field (dead zone = 0.5*minspeed)
+    std::vector<uint8_t> finside;
 
     const float* trace(int ix, int iz, int ig) const {
         return &data[size_t(((ix * nz) + iz) * ng + ig) * ntmax];
@@ -58,32 +99,78 @@ struct Store {
     }
 };
 
+bool rd(FILE* f, void* p, size_t esz, size_t n) {
+    return std::fread(p, esz, n, f) == n;
+}
+
 bool load(const char* path, Store& s) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return false;
-    int32_t ihdr[7];
+    uint32_t magic;
+    if (!rd(f, &magic, 4, 1) || magic != kMagicV2) { std::fclose(f); return false; }
+    int32_t ihdr[6];
     float fhdr[5];
-    if (std::fread(ihdr, 4, 7, f) != 7 || std::fread(fhdr, 4, 5, f) != 5) {
-        std::fclose(f);
-        return false;
-    }
+    if (!rd(f, ihdr, 4, 6) || !rd(f, fhdr, 4, 5)) { std::fclose(f); return false; }
     s.nx = ihdr[0]; s.nz = ihdr[1]; s.ng = ihdr[2]; s.ntmax = ihdr[3];
-    s.nrec = ihdr[4]; s.ncent = ihdr[5]; s.nshift = ihdr[6];
+    s.nrec = ihdr[4]; s.nshift = ihdr[5];
     s.dt = fhdr[0]; s.dx = fhdr[1]; s.dz = fhdr[2];
     s.firstx = fhdr[3]; s.firstz = fhdr[4];
     s.azi.resize(s.nrec); s.bazi.resize(s.nrec); s.dist.resize(s.nrec);
-    s.cent_time.resize(s.ncent); s.cent_w.resize(s.ncent);
+    bool ok = rd(f, s.azi.data(), 8, s.nrec) && rd(f, s.bazi.data(), 8, s.nrec)
+        && rd(f, s.dist.data(), 8, s.nrec);
+    int32_t ntap = 0;
+    ok = ok && rd(f, &ntap, 4, 1);
+    for (int i = 0; ok && i < ntap; ++i) {
+        Taper t;
+        int32_t irc;
+        ok = rd(f, &irc, 4, 1) && rd(f, t.x, 4, 4) && rd(f, t.y, 4, 4);
+        t.irc = irc;
+        s.tapers.push_back(t);
+    }
+    int32_t wl = 0;
+    ok = ok && rd(f, &wl, 4, 1);
+    s.workload = wl;
+    if (ok && wl == 0) {
+        int32_t nd = 0;
+        ok = rd(f, &s.edt, 8, 1) && rd(f, s.ref_params, 4, 14)
+            && rd(f, &s.nsweep, 4, 1) && rd(f, &nd, 4, 1);
+        for (int i = 0; ok && i < nd; ++i) {
+            std::vector<float> p(14);
+            ok = rd(f, p.data(), 4, 14);
+            s.dump_params.push_back(p);
+        }
+    } else if (ok) {
+        ok = rd(f, &s.edt, 8, 1) && rd(f, &s.ncent_tab, 4, 1);
+        size_t c = size_t(s.ncent_tab);
+        s.tab_north.resize(c); s.tab_east.resize(c);
+        s.tab_depth.resize(c); s.tab_time.resize(c); s.tab_m6.resize(c * 6);
+        ok = ok && rd(f, s.tab_north.data(), 4, c)
+            && rd(f, s.tab_east.data(), 4, c)
+            && rd(f, s.tab_depth.data(), 4, c)
+            && rd(f, s.tab_time.data(), 4, c)
+            && rd(f, s.tab_m6.data(), 4, c * 6);
+        int32_t hs = 0;
+        ok = ok && rd(f, &hs, 4, 1);
+        if (ok && hs) {
+            s.has_solve = true;
+            int32_t dims[4];
+            double g[6];
+            ok = rd(f, dims, 4, 4) && rd(f, g, 8, 6);
+            s.nfx = dims[0]; s.nfy = dims[1]; s.ncx = dims[2]; s.ncy = dims[3];
+            s.fdx = g[0]; s.fdy = g[1]; s.ffx = g[2]; s.ffy = g[3];
+            s.nuklx = g[4]; s.nukly = g[5];
+            size_t nf = size_t(s.nfx) * s.nfy;
+            s.fspeed.resize(nf);
+            s.finside.resize(nf);
+            ok = ok && rd(f, s.fspeed.data(), 4, nf)
+                && rd(f, s.finside.data(), 1, nf);
+        }
+    }
     size_t nn = size_t(s.nx) * s.nz * s.ng;
     s.itmin.resize(nn); s.nsamples.resize(nn);
     s.data.resize(nn * s.ntmax);
-    bool ok = std::fread(s.azi.data(), 8, s.nrec, f) == size_t(s.nrec)
-        && std::fread(s.bazi.data(), 8, s.nrec, f) == size_t(s.nrec)
-        && std::fread(s.dist.data(), 8, s.nrec, f) == size_t(s.nrec)
-        && std::fread(s.cent_time.data(), 4, s.ncent, f) == size_t(s.ncent)
-        && std::fread(s.cent_w.data(), 4, s.ncent, f) == size_t(s.ncent)
-        && std::fread(s.itmin.data(), 4, nn, f) == nn
-        && std::fread(s.nsamples.data(), 4, nn, f) == nn
-        && std::fread(s.data.data(), 4, nn * s.ntmax, f) == nn * s.ntmax;
+    ok = ok && rd(f, s.itmin.data(), 4, nn) && rd(f, s.nsamples.data(), 4, nn)
+        && rd(f, s.data.data(), 4, nn * s.ntmax);
     std::fclose(f);
     return ok;
 }
@@ -220,24 +307,50 @@ void diff_azidist(double dnorth, double deast, double azi0, double bazi0,
     azi = r == 0.0 ? azi0 : lam - M_PI - beta;
 }
 
-// sdr -> m6 (moment_tensor from strike/dip/rake, as psm_set_bilat feeds
-// make_weights; standard double-couple formula, Aki & Richards)
-void sdr_to_m6(double strike, double dip, double rake, double m0,
-               float m[6]) {
-    double ss = std::sin(strike), cs = std::cos(strike);
-    double s2s = std::sin(2 * strike), c2s = std::cos(2 * strike);
-    double sd = std::sin(dip), cd = std::cos(dip);
-    double s2d = std::sin(2 * dip), c2d = std::cos(2 * dip);
-    double sr = std::sin(rake), cr = std::cos(rake);
-    m[0] = float(-m0 * (sd * cr * s2s + s2d * sr * ss * ss));  // mnn
-    m[1] = float(m0 * (sd * cr * s2s - s2d * sr * cs * cs));   // mee
-    m[2] = float(m0 * s2d * sr);                               // mdd
-    m[3] = float(m0 * (sd * cr * c2s + 0.5 * s2d * sr * s2s)); // mne
-    m[4] = float(-m0 * (cd * cr * cs + c2d * sr * ss));        // mnd
-    m[5] = float(-m0 * (cd * cr * ss - c2d * sr * cs));        // med
+// init_euler (euler.f90:28-67)
+void init_euler(double alpha, double beta, double gamma, double r[3][3]) {
+    double ca = std::cos(alpha), cb = std::cos(beta), cg = std::cos(gamma);
+    double sa = std::sin(alpha), sb = std::sin(beta), sg = std::sin(gamma);
+    r[0][0] = cb * cg - ca * sb * sg;
+    r[0][1] = -cb * sg - ca * sb * cg;
+    r[0][2] = sa * sb;
+    r[1][0] = sb * cg + ca * cb * sg;
+    r[1][1] = -sb * sg + ca * cb * cg;
+    r[1][2] = -sa * cb;
+    r[2][0] = sa * sg;
+    r[2][1] = sa * cg;
+    r[2][2] = ca;
 }
 
-// l1norm_func (comparator.f90:639-648): f64 accumulation like the Fortran
+// m6 from strike/dip/rake: rot @ M_unrot @ rot^T with M_unrot =
+// [[0,0,-1],[0,0,0],[-1,0,0]] (psm moment-tensor construction; matches
+// sources/base.py mt_rot_from_sdr + m3_to_m6)
+void sdr_to_m6(double strike, double dip, double rake, double m0,
+               float m[6]) {
+    double r[3][3];
+    init_euler(dip, strike, -rake, r);
+    // mrot = r @ M @ r^T, M = [[0,0,-1],[0,0,0],[-1,0,0]]
+    // (r @ M)[i][j] = sum_k r[i][k] M[k][j]; M col0 = (0,0,-1), col2 = (-1,0,0)
+    double rm[3][3];
+    for (int i = 0; i < 3; ++i) {
+        rm[i][0] = -r[i][2];
+        rm[i][1] = 0.0;
+        rm[i][2] = -r[i][0];
+    }
+    double mr[3][3];
+    for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j)
+            mr[i][j] = rm[i][0] * r[j][0] + rm[i][1] * r[j][1]
+                + rm[i][2] * r[j][2];
+    m[0] = float(m0 * mr[0][0]);
+    m[1] = float(m0 * mr[1][1]);
+    m[2] = float(m0 * mr[2][2]);
+    m[3] = float(m0 * mr[0][1]);
+    m[4] = float(m0 * mr[0][2]);
+    m[5] = float(m0 * mr[1][2]);
+}
+
+// l1norm_func / l2norm_func (comparator.f90:639-676): f64 accumulation
 double l1_pair(const float* a, const float* b, int n, float dt) {
     double acc = 0.0;
     for (int i = 0; i < n; ++i) acc += std::fabs(double(a[i]) - double(b[i]));
@@ -250,11 +363,266 @@ double l1_one(const float* a, int n, float dt) {
     return dt * acc;
 }
 
+double l2_pair(const float* a, const float* b, int n, float dt) {
+    double acc = 0.0;
+    for (int i = 0; i < n; ++i) {
+        double d = double(a[i]) - double(b[i]);
+        acc += d * d;
+    }
+    return std::sqrt(dt * acc);
+}
+
+double l2_one(const float* a, int n, float dt) {
+    double acc = 0.0;
+    for (int i = 0; i < n; ++i) acc += double(a[i]) * double(a[i]);
+    return std::sqrt(dt * acc);
+}
+
+// ---------------------------------------------------------------------
+// psm_to_tdsm_table_bilat (source_bilat.f90:274-459): grid shape +
+// centroid table for the bilateral source
+// ---------------------------------------------------------------------
+
+struct Cent {
+    float north, east, depth, time;
+    float m6[6];
+};
+
+void bilat_shape(const float* p, double edt, int& nx, int& ny, int& nt) {
+    double length = double(p[9]) + double(p[10]);
+    double width = p[11], rupvel = p[12], risetime = p[13];
+    double maxdx = 0.5 * edt * rupvel, maxdy = edt * rupvel;
+    nx = int(std::floor(length / maxdx)) + 1;
+    if (nx <= 1) nx = 2;
+    if (length == 0.0) nx = 1;
+    ny = int(std::floor(width / maxdy)) + 1;
+    if (ny <= 1) ny = 2;
+    if (width == 0.0) ny = 1;
+    double dursf = length / nx / rupvel;
+    double durfull = risetime + dursf;
+    nt = int(std::floor(durfull / edt)) + 1;
+    if (nt <= 1) nt = 2;
+}
+
+// plf_integrate_and_centroid (piecewise_linear_function.f90:163-193) over
+// the trapezoid STF (source_bilat.f90:403-427)
+void stf_cells(double dursf, double risetime, int nt,
+               std::vector<float>& wt, std::vector<float>& toff) {
+    double lo = std::min(dursf, risetime), hi = std::max(dursf, risetime);
+    double safe_hi = hi > 0 ? hi : 1.0;
+    double xs[4] = {-(hi + lo) / 2, -(hi - lo) / 2, (hi - lo) / 2,
+                    (hi + lo) / 2};
+    double ys[4] = {0.0, 1.0 / safe_hi, 1.0 / safe_hi, 0.0};
+    double durfull = dursf + risetime;
+    double dtc = durfull / nt;
+    wt.resize(nt); toff.resize(nt);
+    for (int it = 0; it < nt; ++it) {
+        double ta = xs[0] + dtc * it, tb = xs[0] + dtc * (it + 1);
+        double area = 0.0, moment = 0.0;
+        for (int i = 0; i < 3; ++i) {
+            double x0 = xs[i], x1 = xs[i + 1], y0 = ys[i], y1 = ys[i + 1];
+            double a = std::max(ta, x0), b = std::min(tb, x1);
+            if (b <= a) continue;
+            double slope = x1 != x0 ? (y1 - y0) / (x1 - x0) : 0.0;
+            double ya = y0 + slope * (a - x0), yb = y0 + slope * (b - x0);
+            double ar = (ya + yb) * (b - a) / 2.0;
+            double ysum = ya + yb;
+            double cx = ysum != 0.0
+                ? (a * (2 * ya + yb) + b * (ya + 2 * yb)) / (3 * ysum)
+                : (a + b) / 2.0;
+            area += ar;
+            moment += ar * cx;
+        }
+        wt[it] = float(area);
+        toff[it] = float(area != 0.0 ? moment / area : (ta + tb) / 2.0);
+    }
+}
+
+std::vector<Cent> bilat_discretize(const float* p, double edt) {
+    int nx, ny, nt;
+    bilat_shape(p, edt, nx, ny, nt);
+    double time = p[0], north = p[1], east = p[2], depth = p[3], m0 = p[4];
+    double strike = p[5] * M_PI / 180.0, dip = p[6] * M_PI / 180.0;
+    double slip_rake = p[7] * M_PI / 180.0, rup_rake = p[8] * M_PI / 180.0;
+    double la = p[9], lb = p[10], width = p[11], rupvel = p[12],
+           risetime = p[13];
+    double length = la + lb;
+
+    double rot[3][3];
+    init_euler(dip, strike, -rup_rake, rot);
+    float m6[6];
+    sdr_to_m6(strike, dip, slip_rake, m0 / double(nx * ny), m6);
+
+    double dursf = length / nx / rupvel;
+    std::vector<float> wt, toff;
+    stf_cells(dursf, risetime, nt, wt, toff);
+
+    std::vector<Cent> out;
+    out.reserve(size_t(nx) * ny * nt);
+    for (int ix = 0; ix < nx; ++ix)
+        for (int iy = 0; iy < ny; ++iy) {
+            double gx = (2.0 * ix - nx + 1.0) / (2.0 * nx) * length;
+            double gy = (2.0 * iy - ny + 1.0) / (2.0 * ny) * width;
+            double tshift = std::fabs(length / 2.0 - lb + gx) / rupvel + time
+                - std::max(la, lb) / 2.0 / rupvel;
+            double rn = rot[0][0] * gx + rot[0][1] * gy + north;
+            double re = rot[1][0] * gx + rot[1][1] * gy + east;
+            double rd = rot[2][0] * gx + rot[2][1] * gy + depth;
+            for (int it = 0; it < nt; ++it) {
+                Cent c;
+                c.north = float(rn);
+                c.east = float(re);
+                c.depth = float(rd);
+                c.time = float(tshift) + toff[it];
+                for (int q = 0; q < 6; ++q) c.m6[q] = m6[q] * wt[it];
+                out.push_back(c);
+            }
+        }
+    return out;
+}
+
+// eikonal_solver_fmm (eikonal.f90:29-199): fast-marching arrival times on
+// the rupture fine grid, binary min-heap narrow band.  The reference runs
+// this (plus psm_downsample_grid) for EVERY eikonal model; the timed
+// replay below charges the same per-model cost.
+double fmm_and_downsample(const Store& s, std::vector<float>& times,
+                          std::vector<double>& csum, std::vector<double>& ccnt) {
+    const int nx = s.nfx, ny = s.nfy;
+    const double dx = s.fdx, dy = s.fdy;
+    const float inf = 3.4e37f;
+    times.assign(size_t(nx) * ny, inf);
+    std::vector<int8_t> state(size_t(nx) * ny, -1);  // FAR
+    int ix = std::min(std::max(int((s.nuklx - s.ffx) / dx), 0), nx - 1);
+    int iy = std::min(std::max(int((s.nukly - s.ffy) / dy), 0), ny - 1);
+    auto at = [&](int i, int j) -> float& { return times[size_t(i) * ny + j]; };
+    at(ix, iy) = 0.0f;
+    state[size_t(ix) * ny + iy] = 0;  // ALIVE
+
+    typedef std::pair<float, int> HN;  // (time, flat index)
+    std::vector<HN> heap;
+    auto push = [&](float t, int i, int j) {
+        heap.push_back({t, i * ny + j});
+        std::push_heap(heap.begin(), heap.end(),
+                       [](const HN& a, const HN& b) { return a.first > b.first; });
+    };
+    auto update = [&](int i, int j) {
+        if (state[size_t(i) * ny + j] == 0) return;
+        double f = s.fspeed[size_t(i) * ny + j];
+        double a = i > 0 ? at(i - 1, j) : inf;
+        double b = i < nx - 1 ? at(i + 1, j) : inf;
+        double c = j > 0 ? at(i, j - 1) : inf;
+        double d = j < ny - 1 ? at(i, j + 1) : inf;
+        double t = 0.0;
+        double aa = std::min(a, b), cc = std::min(c, d);
+        if (std::max(aa, cc) != double(inf)) {
+            double q = dx * dx * dy * dy
+                * (dx * dx + dy * dy - (aa - cc) * (aa - cc) * f * f);
+            if (q >= 0.0)
+                t = std::max(t, ((aa * dy * dy + cc * dx * dx) * f
+                                 + std::sqrt(q)) / (f * (dx * dx + dy * dy)));
+        }
+        if (std::min(c, d) == double(inf)) {
+            if (a < inf) t = std::max(t, a + dx / f);
+            if (b < inf) t = std::max(t, b + dx / f);
+        }
+        if (std::min(a, b) == double(inf)) {
+            if (c < inf) t = std::max(t, c + dy / f);
+            if (d < inf) t = std::max(t, d + dy / f);
+        }
+        if (t == 0.0) {  // fallback at sharp contrasts (eikonal.f90:176-183)
+            t = inf;
+            if (a < inf) t = std::min(t, a + dx / f);
+            if (b < inf) t = std::min(t, b + dx / f);
+            if (c < inf) t = std::min(t, c + dy / f);
+            if (d < inf) t = std::min(t, d + dy / f);
+        }
+        if (t != 0.0 && double(at(i, j)) != t) {
+            at(i, j) = float(t);
+            state[size_t(i) * ny + j] = 1;  // BAND
+            push(float(t), i, j);
+        }
+    };
+    const int ni[4] = {-1, 1, 0, 0}, nj[4] = {0, 0, -1, 1};
+    for (int k = 0; k < 4; ++k) {
+        int i = ix + ni[k], j = iy + nj[k];
+        if (i < 0 || i >= nx || j < 0 || j >= ny) continue;
+        float t0 = float((j == iy ? dx : dy) / s.fspeed[size_t(i) * ny + j]);
+        at(i, j) = t0;
+        state[size_t(i) * ny + j] = 1;
+        push(t0, i, j);
+    }
+    while (!heap.empty()) {
+        std::pop_heap(heap.begin(), heap.end(),
+                      [](const HN& a, const HN& b) { return a.first > b.first; });
+        HN top = heap.back();
+        heap.pop_back();
+        int fi = top.second, i = fi / ny, j = fi % ny;
+        if (state[size_t(fi)] == 0 || times[size_t(fi)] != top.first) continue;
+        state[size_t(fi)] = 0;
+        for (int k = 0; k < 4; ++k) {
+            int a = i + ni[k], b = j + nj[k];
+            if (a >= 0 && a < nx && b >= 0 && b < ny) update(a, b);
+        }
+    }
+    // psm_downsample_grid accumulation pass (source_eikonal.f90:519-601):
+    // per-coarse-cell mean arrival time over inside fine cells
+    csum.assign(size_t(s.ncx) * s.ncy, 0.0);
+    ccnt.assign(size_t(s.ncx) * s.ncy, 0.0);
+    double chk = 0.0;
+    for (int i = 0; i < nx; ++i)
+        for (int j = 0; j < ny; ++j) {
+            if (!s.finside[size_t(i) * ny + j]) continue;
+            double px = (i + 0.5) * dx, py = (j + 0.5) * dy;
+            int ci = std::min(int(px / (nx * dx) * s.ncx), s.ncx - 1);
+            int cj = std::min(int(py / (ny * dy) * s.ncy), s.ncy - 1);
+            csum[size_t(ci) * s.ncy + cj] += at(i, j);
+            ccnt[size_t(ci) * s.ncy + cj] += 1.0;
+        }
+    for (size_t k = 0; k < csum.size(); ++k)
+        if (ccnt[k] > 0) chk += csum[k] / ccnt[k];
+    return chk;
+}
+
+// plf_taper_array cosine weights (piecewise_linear_function.f90:195-237)
+void taper_weights(const Taper& t, int j0, int j1, float dt,
+                   std::vector<float>& w) {
+    int n = j1 - j0 + 1;
+    w.assign(size_t(n), 1.0f);
+    int ibeg0 = int(std::floor(t.x[0] / dt));
+    if (j0 <= ibeg0)
+        for (int j = j0; j <= std::min(ibeg0, j1); ++j) w[size_t(j - j0)] = 0.0f;
+    int ibegatleast = j0;
+    for (int i = 0; i < 3; ++i) {
+        int ibeg = std::max(int(std::floor(t.x[i] / dt)) + 1,
+                            std::max(j0, ibegatleast));
+        int iend = std::min(int(std::floor(t.x[i + 1] / dt)), j1);
+        for (int j = ibeg; j <= iend; ++j) {
+            double xi = double(j) * dt;
+            double val;
+            if (t.y[i + 1] != t.y[i]) {
+                double u = (xi - t.x[i]) / (t.x[i + 1] - t.x[i]);
+                val = t.y[i] + (t.y[i + 1] - t.y[i])
+                    * (0.5 - 0.5 * std::cos(M_PI * u));
+            } else {
+                val = t.y[i];
+            }
+            w[size_t(j - j0)] = float(val);
+        }
+        ibegatleast = iend + 1;
+    }
+    int iend0 = int(std::floor(t.x[3] / dt)) + 1;
+    for (int j = std::max(iend0, j0); j <= j1; ++j) w[size_t(j - j0)] = 0.0f;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
     const char* path = argc > 1 ? argv[1] : "/tmp/kiwi_denominator.bin";
     int nmodels = argc > 2 ? std::atoi(argv[2]) : 3610;
+    const char* dump_path = nullptr;
+    for (int i = 1; i < argc - 1; ++i)
+        if (!std::strcmp(argv[i], "--dump")) dump_path = argv[i + 1];
+
     Store s;
     if (!load(path, s)) {
         std::fprintf(stderr,
@@ -262,18 +630,34 @@ int main(int argc, char** argv) {
                      path);
         return 1;
     }
-    const int R = s.nrec, C = s.ncent, NS = s.nshift;
-    const int shift0 = -(NS - 1) / 2;  // -1..1 s at dt=0.1 -> -10..10
-    const double depth = 5000.0, m0 = 1e12;
-    const double dipr = 87.0 * M_PI / 180.0, raker = 164.0 * M_PI / 180.0;
+    const int R = s.nrec, NS = s.nshift;
+    const int shift0 = -(NS - 1) / 2;
+
+    // time-shift margin over the whole workload, so the probe covers every
+    // shifted span
+    double tmax = 0.0;
+    if (s.workload == 0) {
+        auto margin = [&](const float* p) {
+            double la = p[9], lb = p[10], v = std::max(double(p[12]), 1.0);
+            double m = std::fabs(double(p[0])) + (la + lb) / v
+                + double(p[13]) + 2.0 * s.edt;
+            tmax = std::max(tmax, m);
+        };
+        margin(s.ref_params);
+        for (auto& p : s.dump_params) margin(p.data());
+    } else {
+        for (float t : s.tab_time) tmax = std::max(tmax, std::fabs(double(t)));
+        tmax += 2.0 * s.edt;
+    }
+    int tmarg = int(std::ceil(tmax / s.dt)) + 2;
 
     // probe arrays (comparator.f90 t_probe): power-of-two span holding
     // refs and synthetics on a common absolute grid
     int glo = 1 << 30, ghi = -(1 << 30);
     for (size_t i = 0; i < s.itmin.size(); ++i) {
         if (s.nsamples[i] <= 0) continue;
-        glo = std::min(glo, int(s.itmin[i]) - NS);
-        ghi = std::max(ghi, int(s.itmin[i]) + int(s.nsamples[i]) + NS + 2);
+        glo = std::min(glo, int(s.itmin[i]) - NS - tmarg);
+        ghi = std::max(ghi, int(s.itmin[i]) + int(s.nsamples[i]) + NS + tmarg + 2);
     }
     int pl = 1;
     while (pl < 2 * (ghi - glo + 1)) pl <<= 1;
@@ -285,79 +669,142 @@ int main(int argc, char** argv) {
     for (auto& v : ref) v.assign(size_t(pl), 0.0f);
     for (auto& v : syn) v.assign(size_t(pl), 0.0f);
 
+    // per-rc taper weights over the probe span (cos), or empty
+    std::vector<std::vector<float>> tapw(R * 3);
+    for (auto& t : s.tapers)
+        if (t.irc >= 0 && t.irc < R * 3)
+            taper_weights(t, ps0, ps0 + pl - 1, s.dt, tapw[size_t(t.irc)]);
+
     Strip away, right, down;
     BilinBuf buf;
-    std::vector<double> misfits(size_t(R) * 3), norms(size_t(R) * 3);
+    std::vector<double> mis_l1(size_t(R) * 3), nrm_l1(size_t(R) * 3);
+    std::vector<double> mis_l2(size_t(R) * 3), nrm_l2(size_t(R) * 3);
     std::vector<int> fshift(R);
+    std::vector<float> trow(static_cast<size_t>(pl));
+    std::vector<float> trow2(static_cast<size_t>(pl));
 
-    auto run_model = [&](double strike_deg, bool as_ref) {
-        float m6[6];
-        sdr_to_m6(strike_deg * M_PI / 180.0, dipr, raker, m0, m6);
+    // synthesize one centroid-table model into ref or syn probes, then
+    // (for syn) the floating-l1 and plain-l2 misfits.
+    //
+    // extend_all: pre-extend each strip to its final span so every
+    // contribution's end-point repeat reaches the strip end.  The literal
+    // reference fills repeats only to the strip's CURRENT upper bound
+    // (sparse_trace.f90:700-704), which makes trailing samples depend on
+    // the order strips grow in; the JAX engine deliberately regularizes
+    // this (every contribution edge-extends over the full window), so the
+    // golden dump compares the regularized semantics.  Timed sweeps keep
+    // the literal reference behavior (extend_all=false).  See PARITY.md.
+    auto run_table = [&](const std::vector<Cent>& cents, bool as_ref,
+                         bool do_misfit, bool extend_all = false) {
         for (int ir = 0; ir < R; ++ir) {
             away.clear(); right.clear(); down.clear();
             double azi0 = s.azi[ir], bazi0 = s.bazi[ir], dist0 = s.dist[ir];
-            for (int ic = 0; ic < C; ++ic) {
+            if (extend_all) {
+                // final spans of the three strips over all contributions
+                int alo = 1 << 30, ahi = -(1 << 30);
+                int dlo = 1 << 30, dhi = -(1 << 30);
+                for (const Cent& c : cents) {
+                    double azi, bazi, dist;
+                    diff_azidist(c.north, c.east, azi0, bazi0, dist0,
+                                 azi, bazi, dist);
+                    int ix0 = std::max(0, std::min(
+                        int(std::floor((float(dist) - s.firstx) / s.dx)),
+                        s.nx - 2));
+                    int iz0 = std::max(0, std::min(
+                        int(std::floor((c.depth - s.firstz) / s.dz)),
+                        s.nz - 2));
+                    int ish = int(std::floor(c.time / s.dt));
+                    for (int a = 0; a < 2; ++a)
+                        for (int cc = 0; cc < 2; ++cc)
+                            for (int g = 0; g < s.ng; ++g) {
+                                int ti = s.t_itmin(ix0 + a, iz0 + cc, g);
+                                int tn = s.t_n(ix0 + a, iz0 + cc, g);
+                                int lo1 = ti + ish, hi1 = ti + tn + ish;
+                                bool vert = g >= 5 && g != 8;
+                                if (vert) {
+                                    dlo = std::min(dlo, lo1);
+                                    dhi = std::max(dhi, hi1);
+                                } else {
+                                    alo = std::min(alo, lo1);
+                                    ahi = std::max(ahi, hi1);
+                                }
+                            }
+                }
+                if (ahi >= alo) { away.extend(alo, ahi); right.extend(alo, ahi); }
+                if (dhi >= dlo) down.extend(dlo, dhi);
+            }
+            for (const Cent& c : cents) {
                 // per-centroid geodesy + weights + indices, every time,
                 // exactly like the reference loop (seismogram.f90:131-254)
                 double azi, bazi, dist;
-                diff_azidist(0.0, 0.0, azi0, bazi0, dist0, azi, bazi, dist);
+                diff_azidist(c.north, c.east, azi0, bazi0, dist0,
+                             azi, bazi, dist);
+                double lam = bazi - bazi0;  // seismogram.f90:195-204
+                float cl = float(std::cos(lam)), sl = float(std::sin(lam));
                 float f[6];
-                float mw[6];
-                for (int q = 0; q < 6; ++q) mw[q] = m6[q] * s.cent_w[ic];
-                make_weights(azi, mw, f);
+                make_weights(azi, c.m6, f);
                 // gfdb_get_indices_bilin (gfdb.f90:781-815)
                 int ix[2], iz[2];
                 ix[0] = int(std::floor((float(dist) - s.firstx) / s.dx));
-                iz[0] = int(std::floor((float(depth) - s.firstz) / s.dz));
+                iz[0] = int(std::floor((c.depth - s.firstz) / s.dz));
+                ix[0] = std::max(0, std::min(ix[0], s.nx - 2));
+                iz[0] = std::max(0, std::min(iz[0], s.nz - 2));
                 ix[1] = ix[0] + 1; iz[1] = iz[0] + 1;
                 float dix = (float(dist) - s.firstx - ix[0] * s.dx) / s.dx;
-                float diz = (float(depth) - s.firstz - iz[0] * s.dz) / s.dz;
-                float rshift = s.cent_time[ic] / s.dt;
-                // horizontal: components 1,2,3(,9) -> away; 4,5 -> right;
-                // vertical: 6,7,8(,10) -> down.  lambda == 0 for the point
-                // source, so accumulation goes straight to away/right
-                // (seismogram.f90:208-233's fast branch).
-                static const int g_aw[4] = {0, 1, 2, 8};
-                static const float* fw;
-                (void)fw;
-                const float f_aw[4] = {f[0], f[1], f[2], f[5]};
-                int n_aw = s.ng == 10 ? 4 : 3;
-                for (int q = 0; q < n_aw; ++q) {
-                    bilin_get(s, ix, iz, g_aw[q], dix, diz, buf);
-                    tma(buf, away, f_aw[q], rshift);
+                float diz = (c.depth - s.firstz - iz[0] * s.dz) / s.dz;
+                float rshift = c.time / s.dt;
+                // away/right get the horizontal GF components rotated by
+                // the per-centroid backazimuth difference lam
+                // (seismogram.f90:195-233); down is unrotated
+                static const int g_h[3] = {0, 1, 2};
+                const float f_h[3] = {f[0], f[1], f[2]};
+                for (int q = 0; q < 3; ++q) {
+                    bilin_get(s, ix, iz, g_h[q], dix, diz, buf);
+                    if (cl * f_h[q] != 0.0f) tma(buf, away, cl * f_h[q], rshift);
+                    if (sl * f_h[q] != 0.0f) tma(buf, right, sl * f_h[q], rshift);
                 }
                 for (int q = 0; q < 2; ++q) {
                     bilin_get(s, ix, iz, 3 + q, dix, diz, buf);
-                    tma(buf, right, f[3 + q], rshift);
+                    if (sl * f[3 + q] != 0.0f)
+                        tma(buf, away, -sl * f[3 + q], rshift);
+                    if (cl * f[3 + q] != 0.0f)
+                        tma(buf, right, cl * f[3 + q], rshift);
                 }
-                static const int g_dn[4] = {5, 6, 7, 9};
-                const float f_dn[4] = {f[0], f[1], f[2], f[5]};
-                int n_dn = s.ng == 10 ? 4 : 3;
-                for (int q = 0; q < n_dn; ++q) {
-                    bilin_get(s, ix, iz, g_dn[q], dix, diz, buf);
-                    tma(buf, down, f_dn[q], rshift);
+                static const int g_d[3] = {5, 6, 7};
+                for (int q = 0; q < 3; ++q) {
+                    bilin_get(s, ix, iz, g_d[q], dix, diz, buf);
+                    if (f_h[q] != 0.0f) tma(buf, down, f_h[q], rshift);
+                }
+                if (s.ng == 10) {
+                    bilin_get(s, ix, iz, 8, dix, diz, buf);
+                    if (cl * f[5] != 0.0f) tma(buf, away, cl * f[5], rshift);
+                    if (sl * f[5] != 0.0f) tma(buf, right, sl * f[5], rshift);
+                    bilin_get(s, ix, iz, 9, dix, diz, buf);
+                    if (f[5] != 0.0f) tma(buf, down, f[5], rshift);
                 }
             }
             // rotate (away, right) -> (north, east) (seismogram.f90:268-283)
             int lo = std::min(away.lo, right.lo);
             int hi = std::max(away.hi, right.hi);
+            if (away.hi < away.lo && right.hi >= right.lo) {
+                lo = right.lo; hi = right.hi;
+            } else if (right.hi < right.lo && away.hi >= away.lo) {
+                lo = away.lo; hi = away.hi;
+            }
             away.extend(lo, hi); right.extend(lo, hi);
-            float cl = float(std::cos(bazi0 + M_PI));
-            float sl = float(std::sin(bazi0 + M_PI));
+            float cb = float(std::cos(bazi0 + M_PI));
+            float sb = float(std::sin(bazi0 + M_PI));
             auto& tn = as_ref ? ref : syn;
             auto& tlo = as_ref ? ref_lo : syn_lo;
             auto& thi = as_ref ? ref_hi : syn_hi;
             // place on probes (comparator.f90 probe_set_array: zero + copy)
-            for (int comp = 0; comp < 3; ++comp) {
-                auto& row = tn[size_t(ir) * 3 + comp];
-                std::fill(row.begin(), row.end(), 0.0f);
-            }
+            for (int comp = 0; comp < 3; ++comp)
+                std::fill(tn[size_t(ir) * 3 + comp].begin(),
+                          tn[size_t(ir) * 3 + comp].end(), 0.0f);
             for (int i = lo; i <= hi; ++i) {
                 float a = away.at(i), rgt = right.at(i);
-                tn[size_t(ir) * 3 + 0][size_t(i - ps0)] =
-                    cl * a - sl * rgt;                       // north
-                tn[size_t(ir) * 3 + 1][size_t(i - ps0)] =
-                    cl * rgt + sl * a;                       // east
+                tn[size_t(ir) * 3 + 0][size_t(i - ps0)] = cb * a - sb * rgt;
+                tn[size_t(ir) * 3 + 1][size_t(i - ps0)] = cb * rgt + sb * a;
             }
             for (int i = down.lo; i <= down.hi; ++i)
                 tn[size_t(ir) * 3 + 2][size_t(i - ps0)] = down.at(i);
@@ -365,57 +812,171 @@ int main(int argc, char** argv) {
             tlo[size_t(ir) * 3 + 1] = lo; thi[size_t(ir) * 3 + 1] = hi;
             tlo[size_t(ir) * 3 + 2] = down.lo;
             thi[size_t(ir) * 3 + 2] = down.hi;
+            // probe extension: zero left of the dataspan, REPEATED EDGE
+            // value right of it (probe_extend_span, comparator.f90:320-324)
+            for (int comp = 0; comp < 3; ++comp) {
+                size_t rc = size_t(ir) * 3 + comp;
+                int h = thi[rc];
+                float ev = tn[rc][size_t(h - ps0)];
+                if (ev != 0.0f)
+                    for (int i = h + 1 - ps0; i < pl; ++i)
+                        tn[rc][size_t(i)] = ev;
+            }
 
-            if (as_ref) continue;
+            if (as_ref || !do_misfit) continue;
             // receiver_calculate_floating_misfits (receiver.f90:439-510):
             // per shift, per component, l1 misfit + ref norm; keep the
-            // shift minimizing the component sum
+            // shift minimizing the component sum.  Tapered rows integrate
+            // the taper-weighted arrays (taper applied after the shift,
+            // comparator.f90:1171-1263), over the whole probe (tapered
+            // arrays are zero outside the taper span).
             double best = 1e300;
             int ibest = 0;
-            double bm[3] = {0, 0, 0}, bn[3] = {0, 0, 0};
+            double bm[3] = {0, 0, 0};
+            double nsum[3] = {0, 0, 0};  // norm = MEAN over shifts
+                                         // (receiver.f90:501)
             for (int isf = 0; isf < NS; ++isf) {
                 int sft = shift0 + isf;
                 double tot = 0.0, cm[3], cn[3];
                 for (int comp = 0; comp < 3; ++comp) {
                     size_t rc = size_t(ir) * 3 + comp;
-                    int u1 = std::min(ref_lo[rc] + sft, syn_lo[rc]);
-                    int u2 = std::max(ref_hi[rc] + sft, syn_hi[rc]);
-                    // union span, like probes_norm_timedomain's
-                    // union(a%dataspan, b%dataspan)
-                    const float* a = &ref[rc][size_t(u1 - sft - ps0)];
-                    const float* b = &syn[rc][size_t(u1 - ps0)];
-                    cm[comp] = l1_pair(a, b, u2 - u1 + 1, s.dt);
-                    cn[comp] = l1_one(&ref[rc][size_t(ref_lo[rc] - ps0)],
-                                      ref_hi[rc] - ref_lo[rc] + 1, s.dt);
+                    const auto& tw = tapw[rc];
+                    if (!tw.empty()) {
+                        // taper applied to the (shifted, extended) rows
+                        // over the full probe (tapered rows vanish outside
+                        // the taper span)
+                        for (int j = 0; j < pl; ++j) {
+                            int src = std::max(0, std::min(j - sft, pl - 1));
+                            trow[size_t(j)] = ref[rc][size_t(src)]
+                                * tw[size_t(j)];
+                            trow2[size_t(j)] = syn[rc][size_t(j)]
+                                * tw[size_t(j)];
+                        }
+                        cm[comp] = l1_pair(trow.data(), trow2.data(), pl, s.dt);
+                        cn[comp] = l1_one(trow.data(), pl, s.dt);
+                    } else {
+                        // union span, like probes_norm_timedomain's
+                        // union(a%dataspan, b%dataspan); the probe rows
+                        // are pre-extended (zero left / edge right), so
+                        // the shifted ref is a direct offset read
+                        int u1 = std::min(ref_lo[rc] + sft, syn_lo[rc]);
+                        int u2 = std::max(ref_hi[rc] + sft, syn_hi[rc]);
+                        const float* a = &ref[rc][size_t(u1 - sft - ps0)];
+                        const float* b = &syn[rc][size_t(u1 - ps0)];
+                        cm[comp] = l1_pair(a, b, u2 - u1 + 1, s.dt);
+                        cn[comp] = l1_one(&ref[rc][size_t(ref_lo[rc] - ps0)],
+                                          ref_hi[rc] - ref_lo[rc] + 1, s.dt);
+                    }
                     tot += cm[comp];
+                    nsum[comp] += cn[comp];
                 }
                 if (tot < best) {
                     best = tot; ibest = sft;
-                    for (int q = 0; q < 3; ++q) { bm[q] = cm[q]; bn[q] = cn[q]; }
+                    for (int q = 0; q < 3; ++q) bm[q] = cm[q];
                 }
             }
             fshift[ir] = ibest;
             for (int q = 0; q < 3; ++q) {
-                misfits[size_t(ir) * 3 + q] = bm[q];
-                norms[size_t(ir) * 3 + q] = bn[q];
+                mis_l1[size_t(ir) * 3 + q] = bm[q];
+                nrm_l1[size_t(ir) * 3 + q] = nsum[q] / NS;
+            }
+            // plain l2 (no shift scan), same union-span semantics
+            for (int comp = 0; comp < 3; ++comp) {
+                size_t rc = size_t(ir) * 3 + comp;
+                const auto& tw = tapw[rc];
+                if (!tw.empty()) {
+                    for (int j = 0; j < pl; ++j) {
+                        trow[size_t(j)] = ref[rc][size_t(j)] * tw[size_t(j)];
+                        trow2[size_t(j)] = syn[rc][size_t(j)] * tw[size_t(j)];
+                    }
+                    mis_l2[rc] = l2_pair(trow.data(), trow2.data(), pl, s.dt);
+                    nrm_l2[rc] = l2_one(trow.data(), pl, s.dt);
+                } else {
+                    int u1 = std::min(ref_lo[rc], syn_lo[rc]);
+                    int u2 = std::max(ref_hi[rc], syn_hi[rc]);
+                    mis_l2[rc] = l2_pair(&ref[rc][size_t(u1 - ps0)],
+                                         &syn[rc][size_t(u1 - ps0)],
+                                         u2 - u1 + 1, s.dt);
+                    nrm_l2[rc] = l2_one(&ref[rc][size_t(ref_lo[rc] - ps0)],
+                                        ref_hi[rc] - ref_lo[rc] + 1, s.dt);
+                }
             }
         }
     };
 
-    run_model(91.0, true);  // set_synthetic_reference
+    // reference = base model (set_synthetic_reference)
+    std::vector<Cent> tab;
+    if (s.workload == 0) {
+        tab = bilat_discretize(s.ref_params, s.edt);
+    } else {
+        tab.resize(size_t(s.ncent_tab));
+        for (int i = 0; i < s.ncent_tab; ++i) {
+            tab[size_t(i)].north = s.tab_north[size_t(i)];
+            tab[size_t(i)].east = s.tab_east[size_t(i)];
+            tab[size_t(i)].depth = s.tab_depth[size_t(i)];
+            tab[size_t(i)].time = s.tab_time[size_t(i)];
+            for (int q = 0; q < 6; ++q)
+                tab[size_t(i)].m6[q] = s.tab_m6[size_t(i) * 6 + q];
+        }
+    }
+    run_table(tab, true, false, dump_path != nullptr);
 
+    if (dump_path) {
+        // golden dump: ref probes + per-dump-model syn probes, misfits
+        // (floating_l1 AND plain l2), norms, floating shifts
+        FILE* df = std::fopen(dump_path, "wb");
+        if (!df) { std::fprintf(stderr, "cannot write %s\n", dump_path); return 1; }
+        int32_t hdr[5] = {R, 3, pl, ps0, int32_t(s.dump_params.size())};
+        std::fwrite(hdr, 4, 5, df);
+        std::fwrite(&s.dt, 4, 1, df);
+        for (int rc = 0; rc < R * 3; ++rc)
+            std::fwrite(ref[size_t(rc)].data(), 4, size_t(pl), df);
+        std::fwrite(ref_lo.data(), 4, size_t(R * 3), df);
+        std::fwrite(ref_hi.data(), 4, size_t(R * 3), df);
+        for (auto& p : s.dump_params) {
+            auto t = bilat_discretize(p.data(), s.edt);
+            run_table(t, false, true, true);
+            for (int rc = 0; rc < R * 3; ++rc)
+                std::fwrite(syn[size_t(rc)].data(), 4, size_t(pl), df);
+            std::fwrite(syn_lo.data(), 4, size_t(R * 3), df);
+            std::fwrite(syn_hi.data(), 4, size_t(R * 3), df);
+            std::fwrite(mis_l1.data(), 8, size_t(R * 3), df);
+            std::fwrite(nrm_l1.data(), 8, size_t(R * 3), df);
+            std::fwrite(mis_l2.data(), 8, size_t(R * 3), df);
+            std::fwrite(nrm_l2.data(), 8, size_t(R * 3), df);
+            std::fwrite(fshift.data(), 4, size_t(R), df);
+        }
+        std::fclose(df);
+        std::printf("{\"dumped\": %d, \"pl\": %d}\n",
+                    int(s.dump_params.size()), pl);
+        return 0;
+    }
+
+    // timed sweep
+    std::vector<float> ftimes;
+    std::vector<double> csum, ccnt;
     auto t0 = std::chrono::steady_clock::now();
     double sink = 0.0;
     for (int i = 0; i < nmodels; ++i) {
-        double strike = 360.0 * double(i) / double(nmodels - 1);
-        run_model(strike, false);
-        for (int q = 0; q < R * 3; ++q) sink += misfits[q];
+        std::vector<Cent> t;
+        if (s.workload == 0) {
+            float p[14];
+            std::memcpy(p, s.ref_params, sizeof p);
+            p[5] = float(360.0 * double(i) / double(std::max(nmodels - 1, 1)));
+            t = bilat_discretize(p, s.edt);
+        } else {
+            if (s.has_solve)  // per-model FMM + downsample, like the reference
+                sink += fmm_and_downsample(s, ftimes, csum, ccnt);
+            t = tab;
+        }
+        run_table(t, false, true);
+        for (int q = 0; q < R * 3; ++q) sink += mis_l1[size_t(q)];
         for (int r = 0; r < R; ++r) sink += fshift[r];
     }
     auto t1 = std::chrono::steady_clock::now();
     double secs = std::chrono::duration<double>(t1 - t0).count();
     std::printf("{\"models\": %d, \"seconds\": %.3f, \"mps_per_core\": %.1f, "
-                "\"sink\": %.6g}\n",
-                nmodels, secs, nmodels / secs, sink);
+                "\"ncent\": %d, \"sink\": %.6g}\n",
+                nmodels, secs, nmodels / secs, int(tab.size()), sink);
     return 0;
 }

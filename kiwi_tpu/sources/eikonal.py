@@ -77,7 +77,8 @@ def _discretize_subfault_time(dursf, risetime, maxdt):
     return np.atleast_1d(w), np.atleast_1d(toff)
 
 
-def discretize_eikonal_host(p, effective_dt, ctx: EikonalContext, m6_unit, rotmat_rup):
+def discretize_eikonal_host(p, effective_dt, ctx: EikonalContext, m6_unit,
+                            rotmat_rup, solve_dump=None):
     """Shared host discretization.
 
     p: dict with keys time, north, east, depth, bord_shift_x/y, bord_radius,
@@ -143,6 +144,14 @@ def discretize_eikonal_host(p, effective_dt, ctx: EikonalContext, m6_unit, rotma
 
     times = eik.fmm_solve(speed_solver, delta, first, nukl[:2])
     times = np.where(speed == 0.0, -1.0, times)
+    if solve_dump is not None:
+        # expose the per-model solve problem (benchmark/prep_denominator.py
+        # ships it to the C++ denominator so the reference replay pays the
+        # same per-model FMM + downsample the engine pays)
+        solve_dump.update(
+            speed=speed_solver, inside=inside, delta=delta, first=first,
+            nukl=nukl[:2].copy(),
+        )
 
     # 3. coarse grid size (:617-638) and downsample (:519-601)
     maxd = 0.5 * effective_dt * minspeed
@@ -152,6 +161,8 @@ def discretize_eikonal_host(p, effective_dt, ctx: EikonalContext, m6_unit, rotma
 
     cdelta = np.where(np.array([nx, ny]) > 0, dims / np.array([nx, ny]), 1.0)
     cdelta = np.where(cdelta == 0.0, 1.0, cdelta)
+    if solve_dump is not None:
+        solve_dump["coarse"] = (nx, ny)
 
     ctimes = np.full((nx, ny), -1.0)
     cspeedinv = np.zeros((nx, ny))
