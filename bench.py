@@ -413,6 +413,24 @@ def _check_float_scan(log):
         os.environ["KIWI_FLOAT_SCAN"] = "0"
 
 
+def bench_mini(log):
+    """mini.inp through the text protocol (benchmark/run_mini.py): the one
+    scripted session the reference ships, timed warm (8 finite syntheses +
+    seismogram file output), as VERDICT r3 asked to track."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmark"))
+    import run_mini
+
+    cwd = os.getcwd()
+    try:
+        r = run_mini.run("/tmp/kiwi_mini_bench")
+    finally:
+        os.chdir(cwd)
+    log(f"  mini.inp protocol replay: warm {r['elapsed']:.2f}s for "
+        f"{r['n_synth'] - 1} syntheses (compile+setup {r['t_warm']:.0f}s)")
+    return r["elapsed"]
+
+
 def main():
     def log(msg):
         print(msg, file=sys.stderr, flush=True)
@@ -433,6 +451,11 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"  finite-long bench failed: {e}")
         long_mps = long_mps_xla = long_nt = 0
+    try:
+        mini_seconds = bench_mini(log)
+    except Exception as e:  # noqa: BLE001
+        log(f"  mini.inp bench failed: {e}")
+        mini_seconds = 0.0
 
     print(json.dumps({
         "metric": "kiwibench_syntheseis_mps",
@@ -448,6 +471,7 @@ def main():
         "finite_long_mps": round(float(long_mps), 1),
         "finite_long_xla_mps": round(float(long_mps_xla), 1),
         "finite_long_nt_ext": int(long_nt),
+        "mini_inp_seconds": round(float(mini_seconds), 3),
         **roofline,
     }))
 

@@ -17,8 +17,9 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(HERE))
 
 
-def main():
-    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/kiwi_mini"
+def run(workdir):
+    """Set up the workdir and replay mini.inp; returns timing dict.
+    NOTE: chdirs into workdir (protocol file outputs are relative)."""
     os.makedirs(workdir, exist_ok=True)
 
     from kiwi_tpu import geo
@@ -68,11 +69,19 @@ def main():
     noks = [l for l in answers.splitlines() if ": nok" in l]
     assert not noks, noks
     n_synth = answers.count("output_seismograms: ok")
+    return {"t_warm": t_warm, "elapsed": elapsed, "n_synth": n_synth,
+            "answers": answers}
+
+
+def main():
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/kiwi_mini"
+    r = run(workdir)
+    t_warm, elapsed, n_synth = r["t_warm"], r["elapsed"], r["n_synth"]
     print(f"warmup (setup + compile + 1 synthesis): {t_warm:.1f}s", file=sys.stderr)
     print(f"{n_synth - 1} further syntheses + file output: {elapsed:.2f}s "
           f"({(n_synth - 1) / elapsed:.1f} models/s through the text protocol)",
           file=sys.stderr)
-    print(answers)
+    print(r["answers"])
 
 
 if __name__ == "__main__":

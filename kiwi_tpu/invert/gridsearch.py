@@ -109,6 +109,33 @@ class MisfitGridStats:
             f"[{self.percentile16:.3g}{lw}, {self.percentile84:.3g} {uw}])"
         )
 
+    def as_xml(self):
+        """XML report fragment (gridsearch.py:84-98): best value + 68%
+        confidence interval with out-of-grid warnings."""
+        return (
+            "<parameter>\n"
+            f"    <name>{self.paramname.title()}</name>\n"
+            f"    <value>{self.best:e}</value>\n"
+            "    <confidenceinterval>\n"
+            "        <interval>68</interval>\n"
+            f"        <low>{self.percentile16:e}</low>\n"
+            f"        <high>{self.percentile84:e}</high>\n"
+            f"        <low_unclear>{int(self.percentile16_warn)}</low_unclear>\n"
+            f"        <high_unclear>{int(self.percentile84_warn)}</high_unclear>\n"
+            "    </confidenceinterval>\n"
+            "</parameter>"
+        )
+
+    def converted(self, paramname, function):
+        """Re-derive the stats under a unit conversion
+        (gridsearch.py:100-108): apply `function` to the best value, the
+        bootstrap distribution, and the tested values, then recompute."""
+        tested = (None if self.tested_values is None
+                  else function(np.asarray(self.tested_values)))
+        return MisfitGridStats(paramname, function(self.best),
+                               function(self.distribution),
+                               tested_values=tested)
+
 
 class MisfitGrid:
     """Brute-force grid search with builtin bootstrapping

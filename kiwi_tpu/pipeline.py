@@ -209,6 +209,67 @@ class ParamTuner(Step):
         return best, stats
 
 
+class ExtConfigurator(Step):
+    """Derive the finite-extension (eikonal) search configuration from the
+    point-source results (inversion.py:823-864): retune the band-pass
+    filter to the found rise time, generate bord_radius / nukl_shift
+    search ranges scaled by size_factor * rise_time, and bound the
+    constraining planes by twice the found depth."""
+
+    def __init__(self, workdir, name="extconfigurator",
+                 generate=("filter", "constraining_planes",
+                           "bord_radius_range", "nukl_shift_x_range",
+                           "nukl_shift_y_range"),
+                 frequency_factor=2.0, size_factor=4000.0, steps=5.0):
+        super().__init__(workdir, name)
+        self.generate = set(generate)
+        self.frequency_factor = frequency_factor
+        self.size_factor = size_factor
+        self.steps = steps
+
+    def work(self, engine=None):
+        self.pre_work()
+        ic = self.in_config
+        oc = self.out_config
+        rise_time = float(ic["rise_time"])
+        depth = float(ic["depth"])
+
+        if "filter" in self.generate and "filter" in ic:
+            # move the filter's upper corner to frequency_factor / rise
+            # time (inversion.py:843-847); the filter is a 4-point PLF
+            filt = ic["filter"]
+            if hasattr(filt, "x"):
+                x = np.asarray(filt.x, np.float64).copy()
+                x[2] = self.frequency_factor / rise_time
+                x[3] = self.frequency_factor * 1.5 / rise_time
+                oc["filter"] = type(filt)(x, np.asarray(filt.y))
+            else:
+                x, y = (np.asarray(filt[0], np.float64).copy(),
+                        np.asarray(filt[1], np.float64))
+                x[2] = self.frequency_factor / rise_time
+                x[3] = self.frequency_factor * 1.5 / rise_time
+                oc["filter"] = (x, y)
+
+        maxradius = self.size_factor * rise_time
+        step = maxradius / self.steps
+        if "bord_radius_range" in self.generate:
+            oc["bord_radius_range"] = (0.0, maxradius, step)
+        if "nukl_shift_x_range" in self.generate:
+            oc["nukl_shift_x_range"] = (-maxradius, maxradius, step)
+        if "nukl_shift_y_range" in self.generate:
+            oc["nukl_shift_y_range"] = (-maxradius, maxradius, step)
+        if "constraining_planes" in self.generate and "constraining_planes" in ic:
+            cp = ic["constraining_planes"]
+            oc["constraining_planes"] = [
+                ((0.0, 0.0, cp[0][0][2]), (0.0, 0.0, -1.0)),
+                ((0.0, 0.0, min(depth * 2.0, cp[1][0][2])), (0.0, 0.0, 1.0)),
+            ]
+        for k, v in oc.items():
+            self.result(v, k)
+        self.post_work()
+        return dict(oc)
+
+
 class EnduringPointSource(Step):
     """Point-source (moment tensor) inversion sweep: sdr + moment tuning,
     the reference's EnduringPointSource in miniature."""

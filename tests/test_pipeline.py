@@ -263,3 +263,53 @@ def test_enduring_point_source_and_traceplotter(tmp_path, engine):
     import os as _os
     for f in figs:
         assert _os.path.exists(f) and _os.path.getsize(f) > 0
+
+
+def test_ext_configurator(tmp_path):
+    """ExtConfigurator (inversion.py:823-864): filter corners retuned to
+    the found rise time, eikonal search ranges scaled by
+    size_factor * rise_time, constraining planes bounded by 2 * depth."""
+    from kiwi_tpu.pipeline import ExtConfigurator
+    from kiwi_tpu.plf import PLF
+
+    ec = ExtConfigurator(str(tmp_path), frequency_factor=2.0,
+                         size_factor=4000.0, steps=5.0)
+    ec.in_config = {
+        "rise_time": 0.5,
+        "depth": 1000.0,
+        "filter": PLF([0.05, 0.1, 2.0, 4.0], [0.0, 1.0, 1.0, 0.0]),
+        "constraining_planes": [((0.0, 0.0, 0.0), (0.0, 0.0, -1.0)),
+                                ((0.0, 0.0, 30000.0), (0.0, 0.0, 1.0))],
+    }
+    out = ec.work()
+    f = out["filter"]
+    np.testing.assert_allclose(f.x[2], 4.0)   # 2.0 / 0.5
+    np.testing.assert_allclose(f.x[3], 6.0)   # 3.0 / 0.5
+    assert out["bord_radius_range"] == (0.0, 2000.0, 400.0)
+    assert out["nukl_shift_x_range"] == (-2000.0, 2000.0, 400.0)
+    assert out["nukl_shift_y_range"] == (-2000.0, 2000.0, 400.0)
+    # depth*2 = 2000 < 30000 -> the lower plane tightens to 2000
+    assert out["constraining_planes"][1][0][2] == 2000.0
+    assert out["constraining_planes"][0][1] == (0.0, 0.0, -1.0)
+
+
+def test_misfit_grid_stats_xml_and_converted():
+    """MisfitGridStats.as_xml (gridsearch.py:84-98) + converted unit
+    re-derivation (gridsearch.py:100-108)."""
+    from kiwi_tpu.invert.gridsearch import MisfitGridStats
+
+    rng = np.random.default_rng(3)
+    dist = rng.normal(5000.0, 300.0, 400)
+    st = MisfitGridStats("depth", 5000.0, dist,
+                         tested_values=np.linspace(4000.0, 6000.0, 11))
+    xml = st.as_xml()
+    assert "<name>Depth</name>" in xml
+    assert f"<value>{5000.0:e}</value>" in xml
+    assert "<interval>68</interval>" in xml
+    assert "<low_unclear>0</low_unclear>" in xml
+
+    km = st.converted("depth-km", lambda v: np.asarray(v) / 1000.0)
+    np.testing.assert_allclose(km.best, 5.0)
+    np.testing.assert_allclose(km.percentile84, st.percentile84 / 1000.0,
+                               rtol=1e-3)
+    assert km.percentile16_warn == st.percentile16_warn
