@@ -9,8 +9,9 @@ Differences from the reference, by design:
 * probe spans are unified across receivers/components per configuration (the
   reference grows each probe pair's pow2 span dynamically,
   comparator.f90:464-486; values of time-domain norms are unaffected because
-  norms are restricted to data/taper spans; amplitude-spectrum norms see a
-  different df but converge to the same continuous-integral value).
+  norms are restricted to data/taper spans; amplitude-spectrum norms
+  reproduce the per-pair pow2 spans and df EXACTLY via masked extended-grid
+  FFTs -- see ampspec_pair_misfits).
 * per-source dynamic spans are those of a fresh engine session (the
   reference's spans can only grow within a session, making misfits weakly
   order-dependent across a sweep; we evaluate each source independently).
@@ -112,6 +113,8 @@ class MisfitSetup:
         self.taper_hi = np.full(nrc, static.ps0 + pl - 1, dtype=np.int32)
         self.filter_w = np.ones((nrc, nf), dtype=np.float32)
         self.has_filter = np.zeros(nrc, dtype=bool)
+        self.taper_plfs = {}
+        self.filter_plfs = {}
         self.syn_factor = np.ones(nrc, dtype=np.float32)
         self.enabled = np.ones(nrc, dtype=bool)
         # per-row floating shift ranges (samples); defaults allow the whole
@@ -154,6 +157,7 @@ class MisfitSetup:
         self.taper_lo[irc] = max(dlo, span[0])
         self.taper_hi[irc] = min(dhi, span[1])
         self.has_taper[irc] = True
+        self.taper_plfs[irc] = taper
 
     def set_filter(self, irc, filt: PLF):
         """Spectral filter on rfft bins, coordinate k*df
@@ -163,6 +167,7 @@ class MisfitSetup:
             np.float32
         )
         self.has_filter[irc] = True
+        self.filter_plfs[irc] = filt
 
     def device(self):
         # Amplitude normalization: every norm runs on ref/s0 and
@@ -178,6 +183,23 @@ class MisfitSetup:
         s0 = float(np.abs(self.ref).max())
         if not np.isfinite(s0) or s0 == 0.0:
             s0 = 1.0
+        # Extended-grid weights for the exact per-pair ampspec path (see
+        # ampspec_pair_misfits): pair spans can stick out of the unified
+        # probe span by up to pl/2 on either side (allowed_span centers its
+        # pow2 padding, comparator.f90:1092-1109), so amplitude-spectrum
+        # norms run on the 2x grid [ps0-pl/2, ps0+3*pl/2) which provably
+        # contains every pair span; tapers and filters are re-evaluated
+        # there.  ~[RC, 3*PL] f32 extra -- negligible next to GF windows.
+        ps0, pl, dt = self.static.ps0, self.static.pl, self.static.dt
+        aps0, apl = ps0 - pl // 2, 2 * pl
+        anf = apl // 2 + 1
+        adf = 1.0 / (apl * dt)
+        amp_taper_w = np.ones((self.nrc, apl), dtype=np.float32)
+        for irc, plf in self.taper_plfs.items():
+            amp_taper_w[irc] = plf.taper_weights((aps0, aps0 + apl - 1), dt, ip="cos")
+        amp_filter_w = np.ones((self.nrc, anf), dtype=np.float32)
+        for irc, plf in self.filter_plfs.items():
+            amp_filter_w[irc] = plf.taper_weights((0, anf - 1), adf, ip="cos")
         return {
             "amp_scale": jnp.float32(s0),
             "ref": jnp.asarray(self.ref / np.float32(s0)),
@@ -195,6 +217,8 @@ class MisfitSetup:
             "receiver_ids": jnp.asarray(self.receiver_ids),
             "shift_lo": jnp.asarray(self.shift_lo),
             "shift_hi": jnp.asarray(self.shift_hi),
+            "amp_taper_w": jnp.asarray(amp_taper_w),
+            "amp_filter_w": jnp.asarray(amp_filter_w),
         }
 
 
@@ -332,6 +356,102 @@ def ampspec_norms(ctx, ref_amp, syn_amp, method, st: ProbeStatic):
     elif method == AMPSPEC_L1NORM:
         m = df * jnp.sum(jnp.abs(diff).astype(ACCUM), axis=-1)
         n = df * jnp.sum(jnp.abs(ref_amp).astype(ACCUM), axis=-1)
+    else:
+        raise ValueError(f"unsupported frequency-domain method {method}")
+    return m.astype(F32), n.astype(F32)
+
+
+def _next_pow2_i32(x):
+    """Trace-safe next power of two for positive int32 (bit smear)."""
+    y = jnp.maximum(x, 1) - 1
+    y = y | (y >> 1)
+    y = y | (y >> 2)
+    y = y | (y >> 4)
+    y = y | (y >> 8)
+    y = y | (y >> 16)
+    return y + 1
+
+
+def ampspec_pair_misfits(ctx, syn, syn_lo, syn_hi, method, st: ProbeStatic):
+    """Exact per-pair amplitude-spectrum misfits and reference norm factors.
+
+    The reference evaluates ampspec norms after growing each (ref, syn)
+    probe pair onto its own pow2 span (probes_adjust_spans,
+    comparator.f90:464-486: ntrans = next_pow2(max(len(union(dataspans)),
+    2*max(len_ref, len_syn))), centered on the union), FFTs the tapered
+    (else raw zero-left/repeat-right) content over that span
+    (update_spectrum, comparator.f90:1186-1215), and integrates with
+    df = 1/(ntrans*dt).  The engine's probes live on ONE unified span, so
+    this reconstructs the per-pair semantics exactly on a 2x extended grid:
+
+    * amplitude spectra are invariant to circular time shifts, and a
+      signal supported on one contiguous ntrans-length window folds into
+      period ntrans as a pure circular shift -- so |FFT_apl(x * pairmask)|
+      subsampled at stride m = apl // ntrans equals the pair's own
+      |FFT_ntrans| exactly;
+    * pair bin k' sits at frequency k'/(ntrans*dt) = (k'*m)*adf, i.e. pair
+      bins coincide with extended-grid bins, so the PLF filter weights
+      evaluated on the extended grid (ctx['amp_filter_w']) agree with the
+      reference's per-pair evaluation (plf_taper_array is a pure function
+      of the bin coordinate within each segment).
+
+    syn: probe-placed synthetic content [..., RC, PL] (moment applied,
+    untapered); syn_lo/syn_hi: [..., RC] absolute data spans.  Handles
+    leading batch dims by broadcasting.  Returns (misfit, norm) shaped
+    like syn_lo.
+
+    End-repeat caveat: right of syn_hi the engine's windows hold the raw
+    accumulation (usually zero), where the reference would repeat the
+    strip's trailing sample; this is the same order-independent
+    end-repeat regularization already recorded for the time-domain path
+    (see tests/test_golden_oracle.py).  Tapered rows are unaffected.
+    """
+    ps0, pl, dt = st.ps0, st.pl, st.dt
+    aps0, apl = ps0 - pl // 2, 2 * pl
+    ref = ctx["ref"]
+    ref_lo, ref_hi = ctx["ref_lo"], ctx["ref_hi"]
+
+    # per-pair span (probes_adjust_spans + allowed_span)
+    u_lo = jnp.minimum(ref_lo, syn_lo)
+    u_hi = jnp.maximum(ref_hi, syn_hi)
+    ulen = u_hi - u_lo + 1
+    minlen = 2 * jnp.maximum(ref_hi - ref_lo + 1, syn_hi - syn_lo + 1)
+    ntrans = jnp.minimum(_next_pow2_i32(jnp.maximum(ulen, minlen)), apl)
+    pair_lo = u_lo - (ntrans - ulen) // 2
+
+    j = aps0 + jnp.arange(apl)  # absolute extended-grid indices
+
+    def extend(arr):
+        # place probe content on the extended grid: zeros left of the probe
+        # span, the probe content, its (repeat-right) last value beyond
+        rel = jnp.clip(j - ps0, 0, pl - 1)
+        out = jnp.take(arr, rel, axis=-1)
+        return jnp.where(j - ps0 < 0, 0.0, out)
+
+    def tapered_ext(arr):
+        ext = extend(arr)
+        return jnp.where(ctx["has_taper"][..., None], ext * ctx["amp_taper_w"], ext)
+
+    pmask = (j >= pair_lo[..., None]) & (j <= (pair_lo + ntrans - 1)[..., None])
+    amp_r = jnp.abs(jnp.fft.rfft(tapered_ext(ref) * pmask, axis=-1)).astype(F32)
+    amp_s = jnp.abs(jnp.fft.rfft(tapered_ext(syn) * pmask, axis=-1)).astype(F32)
+    use_f = ctx["has_filter"][..., None]
+    amp_r = jnp.where(use_f, amp_r * ctx["amp_filter_w"], amp_r)
+    amp_s = jnp.where(use_f, amp_s * ctx["amp_filter_w"], amp_s)
+
+    # pair bins = extended bins at stride m; df of the pair span
+    k = jnp.arange(apl // 2 + 1)
+    stride = apl // ntrans
+    binmask = (k % stride[..., None]) == 0
+    df = 1.0 / (ntrans.astype(ACCUM) * ACCUM(dt))
+    fb = ctx["syn_factor"][..., None]
+    diff = amp_r - fb * amp_s
+    if method == AMPSPEC_L2NORM:
+        m = gsqrt(df * jnp.sum((diff * diff).astype(ACCUM) * binmask, axis=-1))
+        n = jnp.sqrt(df * jnp.sum((amp_r * amp_r).astype(ACCUM) * binmask, axis=-1))
+    elif method == AMPSPEC_L1NORM:
+        m = df * jnp.sum(jnp.abs(diff).astype(ACCUM) * binmask, axis=-1)
+        n = df * jnp.sum(jnp.abs(amp_r).astype(ACCUM) * binmask, axis=-1)
     else:
         raise ValueError(f"unsupported frequency-domain method {method}")
     return m.astype(F32), n.astype(F32)
@@ -541,7 +661,14 @@ def evaluate_misfits(
         syn_hi = syn_hi + fold_nshift_max
 
     syn = place_on_probe(syn_traces, syn_it0, st) * jnp.float32(moment)
-    use_fft = any_filter or method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM)
+
+    if method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM):
+        m, n = ampspec_pair_misfits(ctx, syn, syn_lo, syn_hi, method, st)
+        m = jnp.where(ctx["enabled"], m, 0.0)
+        n = jnp.where(ctx["enabled"], n, 0.0)
+        return _unscale(m), _unscale(n), jnp.zeros((nrec,), dtype=I32)
+
+    use_fft = any_filter
     tap_s, filt_s, amp_s, ampf_s = processed_arrays(ctx, syn, st, use_fft=use_fft)
 
     # static slice bounds within the probe for the time-domain sums
@@ -594,18 +721,6 @@ def evaluate_misfits(
         return _unscale(m), _unscale(rctx["norm"]), shift_sel
 
     zero_shift = jnp.zeros((nrec,), dtype=I32)
-    if method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM):
-        use_f = ctx["has_filter"][..., None]
-        syn_amp = jnp.where(use_f, ampf_s, amp_s)
-        df = ACCUM(st.df)
-        diff = rctx["ref_amp"] - ctx["syn_factor"][..., None] * syn_amp
-        if method == AMPSPEC_L2NORM:
-            m = gsqrt(df * jnp.sum((diff * diff).astype(ACCUM), axis=-1))
-        else:
-            m = df * jnp.sum(jnp.abs(diff).astype(ACCUM), axis=-1)
-        m = jnp.where(ctx["enabled"], m.astype(F32), 0.0)
-        return _unscale(m), _unscale(rctx["norm"]), zero_shift
-
     syn_proc = jnp.where(ctx["has_filter"][..., None], filt_s, tap_s)
     lo, hi = norm_spans(ctx, syn_lo, syn_hi, st)
     j = st.ps0 + i0 + jnp.arange(i1 - i0)

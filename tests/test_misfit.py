@@ -333,3 +333,117 @@ def test_floating_batch_blocked_variant(monkeypatch):
         monkeypatch.undo()
         np.testing.assert_allclose(blk, res, rtol=2e-6,
                                    atol=np.abs(res).max() * 2e-6)
+
+
+# -- exact per-pair ampspec semantics -----------------------------------------
+
+
+def _ampspec_reference_host(ref, ref_it0, syn_row, syn_it0, dt, method,
+                            taper=None, filt=None, syn_factor=1.0, moment=1.0):
+    """Independent host-side transliteration of the reference's per-pair
+    amplitude-spectrum norm (probes_adjust_spans comparator.f90:464-486,
+    update_spectrum :1186-1215, l1/l2norm_func :627-676), in float64."""
+    ref = np.asarray(ref, np.float64)
+    syn_row = np.asarray(syn_row, np.float64) * moment
+    a_lo, a_hi = ref_it0, ref_it0 + len(ref) - 1
+    b_lo, b_hi = syn_it0, syn_it0 + len(syn_row) - 1
+    u_lo, u_hi = min(a_lo, b_lo), max(a_hi, b_hi)
+    ulen = u_hi - u_lo + 1
+    minlen = 2 * max(len(ref), len(syn_row))
+    ntrans = 1 << int(np.ceil(np.log2(max(ulen, minlen))))
+    p_lo = u_lo - (ntrans - ulen) // 2
+
+    def content(data, lo, hi):
+        idx = np.arange(p_lo, p_lo + ntrans)
+        vals = data[np.clip(idx - lo, 0, hi - lo)]
+        return np.where(idx < lo, 0.0, vals)
+
+    a = content(ref, a_lo, a_hi)
+    b = content(syn_row, b_lo, b_hi)
+    if taper is not None:
+        w = taper.taper_weights((p_lo, p_lo + ntrans - 1), dt, ip="cos")
+        a = a * w
+        b = b * w
+    amp_a = np.abs(np.fft.rfft(a))
+    amp_b = np.abs(np.fft.rfft(b))
+    df = 1.0 / (ntrans * dt)
+    if filt is not None:
+        fw = filt.taper_weights((0, ntrans // 2), df, ip="cos")
+        amp_a = amp_a * fw
+        amp_b = amp_b * fw
+    d = amp_a - syn_factor * amp_b
+    if method == mf.AMPSPEC_L2NORM:
+        return np.sqrt(df * np.sum(d * d)), np.sqrt(df * np.sum(amp_a * amp_a))
+    return df * np.sum(np.abs(d)), df * np.sum(np.abs(amp_a))
+
+
+def test_ampspec_per_pair_parity_exact():
+    """Device ampspec norms must reproduce the reference's per-pair grown
+    pow2 spans and df exactly (VERDICT r3 item 5), on rows whose pair spans
+    and ntrans all differ, with tapers and filters in play."""
+    dt = 0.5
+    setup, st = make_setup(nrc=4, ps0=-10, pl=256, dt=dt,
+                           receiver_ids=[0, 1, 2, 3])
+    rng = np.random.default_rng(11)
+
+    refs = {
+        0: (rng.normal(size=30).astype(np.float32), 5),
+        1: (rng.normal(size=90).astype(np.float32), -5),
+        2: (rng.normal(size=17).astype(np.float32), 40),
+        3: (rng.normal(size=60).astype(np.float32), 0),
+    }
+    for irc, (vals, it0) in refs.items():
+        setup.set_ref(irc, vals, it0)
+
+    taper1 = PLF([-2.0, 3.0, 30.0, 41.0], [0.0, 1.0, 1.0, 0.0])
+    taper3 = PLF([1.0, 4.0, 20.0, 28.0], [0.0, 1.0, 1.0, 0.0])
+    setup.set_taper(1, taper1)
+    setup.set_taper(3, taper3)
+    filt2 = PLF([0.02, 0.08, 0.5, 0.8], [0.0, 1.0, 1.0, 0.0])
+    filt3 = PLF([0.0, 0.0, 0.3, 0.6], [0.0, 1.0, 1.0, 0.0])
+    setup.set_filter(2, filt2)
+    setup.set_filter(3, filt3)
+    setup.syn_factor[2] = 0.8
+
+    # synthetic rows: window at it0=0, len 80; per-row physical spans with
+    # constant tails up to the window end so the probe's repeat-right equals
+    # the reference's strip end-repeat
+    nt = 80
+    syn = rng.normal(size=(4, nt)).astype(np.float32)
+    lo = np.array([3, 0, 10, 2], dtype=np.int64)
+    hi = np.array([nt - 1, 70, 60, nt - 1], dtype=np.int64)
+    for r in range(4):
+        syn[r, : lo[r]] = 0.0
+        syn[r, hi[r]:] = syn[r, hi[r]]
+    moment = 2.5
+
+    tapers = {1: taper1, 3: taper3}
+    filts = {2: filt2, 3: filt3}
+    for method in (mf.AMPSPEC_L1NORM, mf.AMPSPEC_L2NORM):
+        m, n, _ = _eval(setup, st, syn, 0, lo, hi, method, moment=moment)
+        for irc in range(4):
+            vals, it0 = refs[irc]
+            em, en = _ampspec_reference_host(
+                vals, it0, syn[irc, lo[irc]: hi[irc] + 1], int(lo[irc]), dt,
+                method, taper=tapers.get(irc), filt=filts.get(irc),
+                syn_factor=float(setup.syn_factor[irc]), moment=moment,
+            )
+            assert abs(float(m[irc]) - em) <= 1e-5 * max(em, en), (method, irc)
+            assert abs(float(n[irc]) - en) <= 1e-5 * en, (method, irc)
+
+
+def test_ampspec_pair_span_outside_probe_span():
+    """A short pair centered near the probe edge makes the pair span stick
+    out of the unified span; the extended grid must still be exact."""
+    dt = 1.0
+    setup, st = make_setup(nrc=1, ps0=0, pl=128, dt=dt, receiver_ids=[0])
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=12).astype(np.float32)
+    setup.set_ref(0, vals, 0)
+    nt = 16
+    syn = rng.normal(size=(1, nt)).astype(np.float32)
+    syn[0, -1] = syn[0, -2]
+    m, n, _ = _eval(setup, st, syn, 0, [0], [nt - 1], mf.AMPSPEC_L1NORM)
+    em, en = _ampspec_reference_host(vals, 0, syn[0], 0, dt, mf.AMPSPEC_L1NORM)
+    assert abs(float(m[0]) - em) <= 1e-5 * max(em, en)
+    assert abs(float(n[0]) - en) <= 1e-5 * en
