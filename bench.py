@@ -137,19 +137,15 @@ def bench_point(eng, log):
 
     nstrikes = 3610
     strikes = np.linspace(0.0, 360.0, nstrikes).astype(np.float32)
-    # one 4096-row dispatch per sweep: small chunks underfill the chip
-    # (512-row chunks measured 40% slower than one batched dispatch even
-    # with the tunnel round trip amortized)
-    chunk = 4096
 
     def dispatch(sl):
-        if len(sl) < chunk:
-            sl = np.concatenate([sl, np.full(chunk - len(sl), sl[-1], np.float32)])
         # fused on-device sweep: the batch is tiled inside the jit, the
         # global-misfit reduction rides the same program, and the host
-        # ships/receives 4096 floats per dispatch (round 4: the old
+        # ships/receives 3610 floats per dispatch (round 4: the old
         # host-built batch path issued slower than the device computed;
-        # measured 410k -> 1.0M+ MPS on the same chip/day)
+        # measured 410k -> 1.0M+ MPS on the same chip/day).  The jit
+        # specializes to n=3610 -- every row dispatched is a row counted
+        # (the old path padded to a 4096-row compiled shape, donating 12%)
         return eng.sweep_global_misfits(base, 5, sl)
 
     # 8 sweep replicas in flight: the sweep is ONE dispatch (3610 <= 4096),
