@@ -365,12 +365,14 @@ def bench_eikonal(eng, log):
     eng.set_source_params("eikonal", p)
     eng.set_synthetic_reference()
 
-    # grid searches sweep hundreds of ruptures per round; B=96 amortizes
-    # the fast-sweeping solver's sequential diagonal steps over the batch
-    # (B=32 measured 118 MPS, B=96 277 MPS -- the solve is latency-bound,
-    # not throughput-bound).  4 batches in flight so the ~40 ms host-side
-    # polygon prep of batch i+1 overlaps batch i's device work
-    B = int(os.environ.get("KIWI_BENCH_EIK_B", "96"))
+    # grid searches sweep hundreds of ruptures per round; large B amortizes
+    # the fast-sweeping solver's sequential diagonal steps and the
+    # window-kernel per-chunk fixed cost over the batch (measured on one
+    # chip/day: B=96 965 MPS, 192 1044, 384 1198, 768 1084 -- the decline
+    # past 384 is host prep no longer hiding behind device work).  4
+    # batches in flight so the host-side polygon prep of batch i+1
+    # overlaps batch i's device work
+    B = int(os.environ.get("KIWI_BENCH_EIK_B", "384"))
     nbatches = 4
 
     def dispatch(radii):
