@@ -159,6 +159,21 @@ def bench_point(eng, log):
     best = float(strikes[int(np.argmin(g))])
     log(f"  point sweep: best strike {best:.1f} (true 91.0), MPS {mps:.0f}")
     assert abs(best - 91.0) < 1.0
+
+    # TPU-gated value assertion: the fused shared-kinematics sweep vs the
+    # independent per-source forward.  Guards the f32-exactness of the
+    # shared path's contractions on real hardware (an unpinned einsum
+    # routes f32 through one bf16 MXU pass: measured 2.7e-3 rel err,
+    # invisible to the CPU test suite)
+    pb = np.tile(base, (16, 1))
+    pb[:, 5] = strikes[:16]
+    g_b = np.asarray(eng.global_misfits_for_source_batch(pb))
+    g_s = np.asarray(eng.sweep_global_misfits(base, 5, strikes[:16]))
+    err = float(np.abs(g_s - g_b).max()) / max(float(np.abs(g_b).max()), 1e-30)
+    log(f"  sweep-vs-batch parity: rel err {err:.2e}")
+    assert err < 1e-5, (
+        f"fused sweep disagrees with the per-source forward on TPU: "
+        f"{err:.3e} (tolerance 1e-5)")
     return mps
 
 

@@ -142,6 +142,21 @@ def main():
     t_ng = timeit(no_g, cb, mts, rts)
     log(f"6. synth+eval (no reduction): {t_ng*1e3:8.3f} ms")
 
+    # 7. the fused front half alone (tile + disc + shared synthesis):
+    # same fusion context as the full program, so (full - this) is the
+    # trustworthy in-program eval+reduction cost
+    @jax.jit
+    def front(vals):
+        pb = jnp.tile(jnp.asarray(base)[None, :], (n, 1))
+        pb = pb.at[:, 5].set(vals)
+        cb = jax.vmap(lambda p: model.discretize(p, edt, shape))(pb)
+        syn_rc, lo_rc, hi_rc = plan["shared_synth_raw"](cb)
+        return syn_rc.sum() + lo_rc.sum() + hi_rc.sum()
+
+    t_front = timeit(front, vj)
+    log(f"7. fused disc+synth front:    {t_front*1e3:8.3f} ms "
+        f"(=> in-program eval ~ {(t_full-t_front)*1e3:.3f} ms)")
+
 
 if __name__ == "__main__":
     main()

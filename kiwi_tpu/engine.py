@@ -395,6 +395,19 @@ class Engine:
         span_idx_j = jnp.asarray(span_of_chan[rc_chan])
         span_tab_xla = jax.jit(synth.span_tables, static_argnums=2)(gfi, gfn, cfg)
 
+        # uniform rc layout (every receiver contributes the same number of
+        # rows, rec-major): the shared-kinematics forward can then fold the
+        # backazimuth rotation into the moment weights and emit syn_rc by a
+        # reshape -- no 5-channel canon materialization, no gather
+        rc_k = len(rc_rec) // max(nrec, 1)
+        rc_uniform = (
+            nrec > 0 and len(rc_rec) % nrec == 0
+            and (rc_rec == np.repeat(np.arange(nrec), rc_k)).all()
+        )
+        if rc_uniform:
+            rc_chan_rk = jnp.asarray(rc_chan.reshape(nrec, rc_k))
+            rc_sign_rk = jnp.asarray(rc_sign.reshape(nrec, rc_k))
+
         # batched floating-shift scan kernel (ops/float_scan.py): one pass
         # over each synthetic instead of S = 2*nshift+1 HBM re-reads.  Only
         # for no-filter plans (its mask-free tail decomposition needs
@@ -520,6 +533,70 @@ class Engine:
             cent0 = {k: v[0] for k, v in cbatch.items()}
             mb = cbatch["m"]  # [B, C, 6]
 
+            if rc_uniform:
+                # fold the backazimuth rotation + component signs into the
+                # weights: the synthesis is linear in the (a, r, d) channel
+                # axis, so syn[b, k] = sum_o R[k, o] * ard[b, o] commutes
+                # with the moment contraction.  The [R, B, 5, nt] canon of
+                # the general path (~90 MB per 4096-row sweep) is never
+                # materialized and the rc gather becomes a reshape.
+                def per_rec(rec, chan_k, sign_k):
+                    kin = synth._centroid_kinematics(cfg, rec, cent0)
+                    v = synth.values_matrix(
+                        ext, cfg, kin, group_size=group_size)
+                    lo_, hi_ = synth.physical_spans(gfi, gfn, cfg, kin)
+                    wv = jax.vmap(
+                        lambda m6: synth.weights_from_angles(kin, m6, cfg.ng)
+                    )(mb)  # [B, C, 3, ng]
+                    wv = jnp.where(
+                        kin["valid"][None, :, None, None], wv, 0.0)
+                    cl = jnp.cos(rec["bazi"] + jnp.pi).astype(jnp.float32)
+                    sl = jnp.sin(rec["bazi"] + jnp.pi).astype(jnp.float32)
+                    one = jnp.float32(1.0)
+                    zero = jnp.float32(0.0)
+                    basis = jnp.stack([
+                        jnp.stack([one, zero, zero]),    # away
+                        jnp.stack([zero, one, zero]),    # right
+                        jnp.stack([zero, zero, one]),    # down
+                        jnp.stack([cl, -sl, zero]),      # north
+                        jnp.stack([sl, cl, zero]),       # east
+                    ])  # [5, 3] (synth.ard_to_components semantics)
+                    rot = basis[chan_k] * sign_k[:, None]  # [K, 3]
+                    wk = jnp.einsum("ko,bcog->bkcg", rot, wv,
+                                    precision=synth.HIGHEST)
+                    cc, gg = wk.shape[2], wk.shape[3]
+                    # f32-exact contraction.  The MXU default routes f32
+                    # through one bf16 pass (measured 2.7e-3 rel err --
+                    # breaks the 1e-5 parity bar; invisible to the
+                    # CPU-only oracle tests) and HIGHEST costs 6 passes on
+                    # a K=C*ng-skinny matmul.  With few terms the unrolled
+                    # broadcast-FMA chain fuses into ONE exact VPU kernel;
+                    # large-C shared plans take the HIGHEST matmul.
+                    if cc * gg <= 64:
+                        w2 = wk.reshape(*wk.shape[:2], cc * gg)
+                        v2 = v.reshape(cc * gg, -1)
+                        syn_k = w2[:, :, 0, None] * v2[0][None, None, :]
+                        for t in range(1, cc * gg):
+                            syn_k = syn_k + (w2[:, :, t, None]
+                                             * v2[t][None, None, :])
+                    else:
+                        bsz, k = wk.shape[0], wk.shape[1]
+                        syn_k = jnp.matmul(
+                            wk.reshape(bsz * k, -1),
+                            v.reshape(cc * gg, -1),
+                            precision=synth.HIGHEST,
+                        ).reshape(bsz, k, -1)  # [B, K, nt_out]
+                    return syn_k, lo_, hi_
+
+                syn_all, los, his = jax.vmap(per_rec)(
+                    recs, rc_chan_rk, rc_sign_rk)  # [R, B, K, nt], [R, 3]
+                bsz = syn_all.shape[1]
+                syn_rc = syn_all.transpose(1, 0, 2, 3).reshape(
+                    bsz, nrec * rc_k, -1)  # [B, RC, nt]
+                lo_rc = los[rc_rec_j, span_idx_j]  # [RC], batch-shared
+                hi_rc = his[rc_rec_j, span_idx_j]
+                return syn_rc, lo_rc, hi_rc
+
             def per_rec(rec):
                 kin = synth._centroid_kinematics(cfg, rec, cent0)
                 v = synth.values_matrix(ext, cfg, kin, group_size=group_size)
@@ -528,7 +605,10 @@ class Engine:
                     lambda m6: synth.weights_from_angles(kin, m6, cfg.ng)
                 )(mb)  # [B, C, 3, ng]
                 wv = jnp.where(kin["valid"][None, :, None, None], wv, 0.0)
-                ard_b = jnp.einsum("bcog,cgt->bot", wv, v)  # [B, 3, nt_out]
+                # HIGHEST: see the uniform branch (bf16 single-pass default
+                # measured 2.7e-3 rel err against the parity bar)
+                ard_b = jnp.einsum("bcog,cgt->bot", wv, v,
+                                   precision=synth.HIGHEST)  # [B, 3, nt_out]
                 canon = jax.vmap(
                     lambda a: synth.ard_to_components(a, rec["bazi"], (1, 2, 3, 4, 5))
                 )(ard_b)  # [B, 5, nt_out]

@@ -512,7 +512,11 @@ def build_plan(engine, mesh, axis="r", source_axis="auto"):
                         lambda m6: synth.weights_from_angles(kin, m6, cfg.ng)
                     )(mb)  # [B, C, 3, ng]
                     wv = jnp.where(kin["valid"][None, :, None, None], wv, 0.0)
-                    ard_b = jnp.einsum("bcog,cgt->bot", wv, v)
+                    # HIGHEST: the unpinned default routes f32 through one
+                    # bf16 MXU pass on TPU -- measured 2.7e-3 rel err
+                    # against the 1e-5 parity bar (engine.py shared path)
+                    ard_b = jnp.einsum("bcog,cgt->bot", wv, v,
+                                       precision=synth.HIGHEST)
                     canon = jax.vmap(
                         lambda a: synth.ard_to_components(
                             a, rec["bazi"], (1, 2, 3, 4, 5))

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,7 +96,10 @@ def discretize(params, effective_dt, shape):
         - jnp.maximum(length_a, length_b) / 2.0 / rupvel
     )
     pts = jnp.stack([gxm, gym, jnp.zeros_like(gxm)], axis=-1)  # [nx, ny, 3]
-    rot = jnp.einsum("ij,xyj->xyi", rotmat_rup, pts)
+    # HIGHEST: the unpinned default can route f32 through one bf16 MXU
+    # pass on TPU (2.7e-3 rel err) -- centroid POSITIONS must stay exact
+    rot = jnp.einsum("ij,xyj->xyi", rotmat_rup, pts,
+                     precision=jax.lax.Precision.HIGHEST)
     gn = rot[..., 0] + north
     ge = rot[..., 1] + east
     gd = rot[..., 2] + depth

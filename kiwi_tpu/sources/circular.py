@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,7 +93,9 @@ def discretize(params, effective_dt, shape):
     inside = r <= radius
 
     pts = jnp.stack([gxm, gym, jnp.zeros_like(gxm)], axis=-1)
-    rot = jnp.einsum("ij,xyj->xyi", rotmat_rup, pts)
+    # HIGHEST: positions must stay f32-exact (see bilat.py discretize)
+    rot = jnp.einsum("ij,xyj->xyi", rotmat_rup, pts,
+                     precision=jax.lax.Precision.HIGHEST)
     gn = rot[..., 0] + north
     ge = rot[..., 1] + east
     gd = rot[..., 2] + depth

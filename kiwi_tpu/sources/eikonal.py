@@ -689,7 +689,9 @@ def make_device_discretizer(static, effective_dt, ctx: EikonalContext,
         PX, PY = jnp.meshgrid(px, py, indexing="ij")
         inbounds = (jnp.arange(nfx)[:, None] < nd[0]) & (jnp.arange(nfy)[None, :] < nd[1])
         pts_rc = jnp.stack([PX, PY, jnp.zeros_like(PX)], axis=-1)
-        pts = jnp.einsum("ij,xyj->xyi", rot, pts_rc) + center
+        # HIGHEST: positions must stay f32-exact (see bilat.py discretize)
+        pts = jnp.einsum("ij,xyj->xyi", rot, pts_rc,
+                         precision=jax.lax.Precision.HIGHEST) + center
 
         rvec = pts - a["ccenter"].astype(jnp.float32)
         inside = jnp.sqrt((rvec**2).sum(-1)) <= a["radius"].astype(jnp.float32)
