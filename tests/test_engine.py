@@ -451,3 +451,50 @@ def test_tiny_amplitude_misfits_do_not_underflow(engine):
     m, n = np.asarray(m), np.asarray(n)
     assert 0.0 < np.abs(m).max() < 1e-12
     assert 0.0 < np.abs(n).max() < 1e-12
+
+
+def test_shared_forward_nonuniform_components(store):
+    """Mixed per-receiver component sets give a NON-uniform rc layout: the
+    shared-kinematics forward must take the general (canon) branch and
+    still match per-row general-path evaluations.  Guards the round-4
+    rotation-fold gating (engine.py rc_uniform)."""
+    eng = Engine(store)
+    olat, olon = 30.0, 70.0
+    comps = ["ned", "d", "ne"]
+    recs = []
+    for (d, az), c in zip([(1500.0, 0.0), (2300.0, 1.2), (3100.0, -2.0)],
+                          comps):
+        la, lo = geo.ne_to_latlon(
+            np.radians(olat), np.radians(olon), d * np.cos(az), d * np.sin(az)
+        )
+        recs.append(Receiver(np.degrees(float(la)), np.degrees(float(lo)), c))
+    eng.set_receivers(recs)
+    eng.set_source_location(olat, olon, 0.0)
+    eng.set_effective_dt(0.1)
+    eng.set_local_interpolation(True)
+    eng.set_misfit_method("floating_l1norm")
+    eng.set_floating_shiftrange(-0.4, 0.4)
+    eng.set_source_params("bilateral", BILAT)
+    eng.set_synthetic_reference()
+
+    batch = np.tile(BILAT, (5, 1))
+    batch[:, 7] = np.linspace(0.0, 300.0, 5).astype(np.float32)  # slip-rake
+    batch[:, 4] = np.linspace(0.5e12, 2e12, 5).astype(np.float32)
+    m1, n1, fs1 = eng.misfits_for_source_batch(batch)  # shared path
+    assert m1.shape[1] == 3 + 1 + 2  # ned + d + ne rows
+    for i in (0, 2, 4):
+        m_i, n_i, fs_i = eng.misfits_for_source_batch(batch[i][None, :])
+        scale = max(float(np.abs(np.asarray(m_i)).max()), 1e-30)
+        np.testing.assert_allclose(np.asarray(m1)[i], np.asarray(m_i)[0],
+                                   atol=scale * 1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(n1)[i], np.asarray(n_i)[0],
+                                   atol=scale * 1e-5, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(fs1)[i], np.asarray(fs_i)[0])
+
+    # and the fused sweep on the same non-uniform layout (one column only)
+    sweep_batch = np.tile(BILAT, (5, 1))
+    sweep_batch[:, 7] = batch[:, 7]
+    g_s = np.asarray(eng.sweep_global_misfits(BILAT, 7, sweep_batch[:, 7]))
+    g_b = np.asarray(eng.global_misfits_for_source_batch(sweep_batch))
+    np.testing.assert_allclose(g_s, g_b, rtol=1e-5,
+                               atol=float(np.abs(g_b).max()) * 1e-5)
