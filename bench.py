@@ -149,7 +149,7 @@ def bench_point(eng, log):
         # (the old path padded to a 4096-row compiled shape, donating 12%)
         return eng.sweep_global_misfits(base, 5, sl)
 
-    # 8 sweep replicas in flight: the sweep is ONE dispatch (3610 <= 4096),
+    # 16 sweep replicas in flight: the sweep is ONE dispatch (3610 rows),
     # so a single replica would time host-issue + device + a full tunnel
     # round trip (~25 ms) against a ~5 ms device program; sustained grid
     # searches pipeline dispatches, so the bench does too

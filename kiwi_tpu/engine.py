@@ -1046,7 +1046,11 @@ class Engine:
         # rows, stats, plan key) costs ~2 ms -- comparable to the whole
         # device program -- so skip it when a previous dispatch already
         # planned a covering value range
-        mkey = (self.source_type, col, n, base.tobytes())
+        # effective_dt is in the key because set_effective_dt (alone among
+        # the setters) does not invalidate the plan -- `hit[0] is
+        # self._plan` would otherwise still pass and replay the old dt's
+        # discretization
+        mkey = (self.source_type, col, n, self.effective_dt, base.tobytes())
         memo = self._sweep_memo
         hit = memo.get(mkey)
         if hit is not None and hit[0] is self._plan and (
@@ -1096,6 +1100,16 @@ class Engine:
         shared = (model.shared_kin_check is not None
                   and model.shared_kin_check(pb3))
         if not shared and plan.get("max_chunk") and plan["max_chunk"] < n:
+            return fallback()
+        # HBM-budget guard: the fused sweep runs all n rows in ONE device
+        # program, skipping the memory_budget chunking the batch path
+        # applies.  Non-shared XLA plans materialize per-source transients
+        # (per_source_bytes models them); shared plans are far lighter
+        # (weights + [B, RC, nt] traces), so only a generous row cap
+        # applies there.
+        if not shared and plan["per_source_bytes"] * n > self.memory_budget:
+            return fallback()
+        if shared and n > 65536:
             return fallback()
         key = (self.source_type, shape, self.effective_dt, col, n, shared)
         sweeps = plan.setdefault("sweep", {})

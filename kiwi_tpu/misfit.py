@@ -184,14 +184,15 @@ class MisfitSetup:
         if not np.isfinite(s0) or s0 == 0.0:
             s0 = 1.0
         # Extended-grid weights for the exact per-pair ampspec path (see
-        # ampspec_pair_misfits): pair spans can stick out of the unified
-        # probe span by up to pl/2 on either side (allowed_span centers its
-        # pow2 padding, comparator.f90:1092-1109), so amplitude-spectrum
-        # norms run on the 2x grid [ps0-pl/2, ps0+3*pl/2) which provably
-        # contains every pair span; tapers and filters are re-evaluated
-        # there.  ~[RC, 3*PL] f32 extra -- negligible next to GF windows.
+        # ampspec_pair_misfits / amp_grid): pair windows are centered pow2
+        # spans that can stick out of the unified probe span (allowed_span
+        # centers its pow2 padding, comparator.f90:1092-1109), so
+        # amplitude-spectrum norms run on the 4*next_pow2(pl) grid which
+        # provably contains every physical pair window; tapers and filters
+        # are re-evaluated there.  ~[RC, 4*P] f32 extra -- negligible next
+        # to GF windows.
         ps0, pl, dt = self.static.ps0, self.static.pl, self.static.dt
-        aps0, apl = ps0 - pl // 2, 2 * pl
+        aps0, apl, _ncap = amp_grid(ps0, pl)
         anf = apl // 2 + 1
         adf = 1.0 / (apl * dt)
         amp_taper_w = np.ones((self.nrc, apl), dtype=np.float32)
@@ -342,25 +343,6 @@ def pair_norms(ctx, ref_arr, syn_arr, mask, method, st: ProbeStatic):
     return m.astype(F32), n.astype(F32)
 
 
-def ampspec_norms(ctx, ref_amp, syn_amp, method, st: ProbeStatic):
-    """Frequency-domain norms over all rfft bins with dt := df
-    (probes_norm_frequencydomain, comparator.f90:861-909).  Accumulates in
-    ACCUM (f32 tree reductions) like the time-domain norms -- device f64
-    sums are emulated on TPU and an order of magnitude slower."""
-    df = ACCUM(st.df)
-    fb = ctx["syn_factor"][..., None]
-    diff = ref_amp - fb * syn_amp
-    if method == AMPSPEC_L2NORM:
-        m = gsqrt(df * jnp.sum((diff * diff).astype(ACCUM), axis=-1))
-        n = jnp.sqrt(df * jnp.sum((ref_amp * ref_amp).astype(ACCUM), axis=-1))
-    elif method == AMPSPEC_L1NORM:
-        m = df * jnp.sum(jnp.abs(diff).astype(ACCUM), axis=-1)
-        n = df * jnp.sum(jnp.abs(ref_amp).astype(ACCUM), axis=-1)
-    else:
-        raise ValueError(f"unsupported frequency-domain method {method}")
-    return m.astype(F32), n.astype(F32)
-
-
 def _next_pow2_i32(x):
     """Trace-safe next power of two for positive int32 (bit smear)."""
     y = jnp.maximum(x, 1) - 1
@@ -370,6 +352,38 @@ def _next_pow2_i32(x):
     y = y | (y >> 8)
     y = y | (y >> 16)
     return y + 1
+
+
+def uniform_rec_major(rids, nrec):
+    """k if the rc rows are rec-major with k rows per receiver
+    (rids == repeat(arange(nrec), k)), else None.  The single definition
+    of 'uniform layout' shared by the synthesis rotation fold
+    (engine.py) and the float-scan per-receiver epilogue below."""
+    rids = np.asarray(rids)
+    if nrec <= 0 or rids.shape[0] % nrec:
+        return None
+    k = rids.shape[0] // nrec
+    return k if (rids == np.repeat(np.arange(nrec), k)).all() else None
+
+
+def amp_grid(ps0, pl):
+    """Extended-grid geometry (aps0, apl, ntrans_cap) for the exact
+    per-pair ampspec path.
+
+    With P = next_pow2(pl): apl = 4P, so every pow2 pair length up to the
+    cap 2P divides apl (pair bins coincide with grid bins at stride
+    apl // ntrans), and the margins ((4P - pl) // 2 >= 1.5P per side)
+    contain the worst centered window: data spans live within the probe
+    +- fold widening (<= P/2 in any physical plan, since the probe is
+    sized to 2x the longest content), so ntrans <= next_pow2(pl + 4*fold)
+    <= 2P and the centered window overhangs the union span by at most P
+    per side.  A 2x grid (the first implementation) did NOT contain
+    pairs longer than pl/2 placed off-center -- their repeat-right
+    content was silently truncated (measured 2.7e-2 norm error on a
+    right-aligned fold-widened span)."""
+    p2 = 1 << (int(pl) - 1).bit_length()
+    apl = 4 * p2
+    return ps0 - (apl - pl) // 2, apl, 2 * p2
 
 
 def ampspec_pair_misfits(ctx, syn, syn_lo, syn_hi, method, st: ProbeStatic):
@@ -382,7 +396,9 @@ def ampspec_pair_misfits(ctx, syn, syn_lo, syn_hi, method, st: ProbeStatic):
     (else raw zero-left/repeat-right) content over that span
     (update_spectrum, comparator.f90:1186-1215), and integrates with
     df = 1/(ntrans*dt).  The engine's probes live on ONE unified span, so
-    this reconstructs the per-pair semantics exactly on a 2x extended grid:
+    this reconstructs the per-pair semantics exactly on the extended grid
+    of amp_grid (4*next_pow2(pl) samples -- wide enough for every
+    physical pair window; see amp_grid's bound):
 
     * amplitude spectra are invariant to circular time shifts, and a
       signal supported on one contiguous ntrans-length window folds into
@@ -407,7 +423,7 @@ def ampspec_pair_misfits(ctx, syn, syn_lo, syn_hi, method, st: ProbeStatic):
     (see tests/test_golden_oracle.py).  Tapered rows are unaffected.
     """
     ps0, pl, dt = st.ps0, st.pl, st.dt
-    aps0, apl = ps0 - pl // 2, 2 * pl
+    aps0, apl, ncap = amp_grid(ps0, pl)
     ref = ctx["ref"]
     ref_lo, ref_hi = ctx["ref_lo"], ctx["ref_hi"]
 
@@ -416,7 +432,7 @@ def ampspec_pair_misfits(ctx, syn, syn_lo, syn_hi, method, st: ProbeStatic):
     u_hi = jnp.maximum(ref_hi, syn_hi)
     ulen = u_hi - u_lo + 1
     minlen = 2 * jnp.maximum(ref_hi - ref_lo + 1, syn_hi - syn_lo + 1)
-    ntrans = jnp.minimum(_next_pow2_i32(jnp.maximum(ulen, minlen)), apl)
+    ntrans = jnp.minimum(_next_pow2_i32(jnp.maximum(ulen, minlen)), ncap)
     pair_lo = u_lo - (ntrans - ulen) // 2
 
     j = aps0 + jnp.arange(apl)  # absolute extended-grid indices
@@ -580,22 +596,14 @@ def _prc_jit(ctx, method, s1, s2, use_fft, ps0, pl, dt):
             "norm": jnp.where(ctx["enabled"], norm, 0.0),
         }
 
-    tap_r, filt_r, amp_r, ampf_r = processed_arrays(
-        ctx, ctx["ref"], st, use_fft=use_fft or method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM)
-    )
     if method in (AMPSPEC_L2NORM, AMPSPEC_L1NORM):
-        use_f = ctx["has_filter"][..., None]
-        ref_amp = jnp.where(use_f, ampf_r, amp_r)
-        df = ACCUM(st.df)
-        if method == AMPSPEC_L2NORM:
-            norm = jnp.sqrt(df * jnp.sum((ref_amp * ref_amp).astype(ACCUM), axis=-1))
-        else:
-            norm = df * jnp.sum(jnp.abs(ref_amp).astype(ACCUM), axis=-1)
-        return {
-            "ref_amp": ref_amp,
-            "norm": jnp.where(ctx["enabled"], norm.astype(F32), 0.0),
-        }
+        # ampspec norms are computed per-pair at eval time on the exact
+        # extended grid (ampspec_pair_misfits); no unified-span reference
+        # context exists for them
+        return {}
 
+    tap_r, filt_r, _amp_r, _ampf_r = processed_arrays(
+        ctx, ctx["ref"], st, use_fft=use_fft)
     ref_proc = jnp.where(ctx["has_filter"][..., None], filt_r, tap_r)
     nlo, nhi = ref_norm_spans(ctx, st)
     norm = _ref_norm(ref_proc, _span_mask(nlo, nhi, st), method, st)
@@ -837,13 +845,10 @@ def evaluate_misfits_floating_batch(
     # with ctx closed over), so host-side layout decisions are free
     rids = np.asarray(ctx["receiver_ids"])
     msq = ms**2 if base == L2NORM else ms  # [S, B, RC]
-    counts = np.bincount(rids, minlength=nrec)
-    uniform = (
-        counts.min() == counts.max()
-        and (rids == np.repeat(np.arange(nrec), counts[0])).all()
-    )
+    ku = uniform_rec_major(rids, nrec)
+    uniform = ku is not None
     if uniform:
-        per_rec = msq.reshape(S, B, nrec, int(counts[0])).sum(axis=-1)
+        per_rec = msq.reshape(S, B, nrec, ku).sum(axis=-1)
     else:
         per_rec = jnp.zeros((S, B, nrec), ACCUM).at[:, :, rids].add(msq)
     per_rec = jnp.where(allowed[:, None, :], per_rec, jnp.inf)
@@ -856,7 +861,7 @@ def evaluate_misfits_floating_batch(
         jnp.where(sel_r, rctx["shifts"][:, None, None], 0), axis=0
     ).astype(rctx["shifts"].dtype)
     if uniform:
-        sel_rc = jnp.repeat(sel_r, int(counts[0]), axis=2, total_repeat_length=RC)
+        sel_rc = jnp.repeat(sel_r, ku, axis=2, total_repeat_length=RC)
     else:
         sel_rc = sel_r[:, :, rids]
     m = jnp.sum(jnp.where(sel_rc, ms, 0.0), axis=0)  # [B, RC]

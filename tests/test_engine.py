@@ -498,3 +498,25 @@ def test_shared_forward_nonuniform_components(store):
     g_b = np.asarray(eng.global_misfits_for_source_batch(sweep_batch))
     np.testing.assert_allclose(g_s, g_b, rtol=1e-5,
                                atol=float(np.abs(g_b).max()) * 1e-5)
+
+
+def test_sweep_memo_not_stale_after_set_effective_dt(engine):
+    """set_effective_dt (alone among setters) does not invalidate the plan;
+    the sweep memo must still re-discretize at the new dt (round-4 review
+    finding: the memo key omitted effective_dt and replayed the old
+    discretization)."""
+    engine.set_misfit_method("l2norm")
+    engine.set_source_params("bilateral", BILAT)
+    engine.set_synthetic_reference()
+    vals = np.linspace(60.0, 120.0, 5).astype(np.float32)
+    g1 = np.asarray(engine.sweep_global_misfits(BILAT, 5, vals))
+    engine.set_effective_dt(0.2)  # coarser source discretization grid
+    g2 = np.asarray(engine.sweep_global_misfits(BILAT, 5, vals))
+    pb = np.tile(BILAT, (5, 1))
+    pb[:, 5] = vals
+    g2_ref = np.asarray(engine.global_misfits_for_source_batch(pb))
+    np.testing.assert_allclose(g2, g2_ref, rtol=1e-5,
+                               atol=float(np.abs(g2_ref).max()) * 1e-5)
+    # the dt change must actually have changed the answers (guards against
+    # a vacuous assertion if the grids coincide)
+    assert not np.allclose(g1, g2, rtol=1e-4)

@@ -447,3 +447,26 @@ def test_ampspec_pair_span_outside_probe_span():
     em, en = _ampspec_reference_host(vals, 0, syn[0], 0, dt, mf.AMPSPEC_L1NORM)
     assert abs(float(m[0]) - em) <= 1e-5 * max(em, en)
     assert abs(float(n[0]) - en) <= 1e-5 * en
+
+
+def test_ampspec_long_offcenter_pair_fits_grid():
+    """A pair LONGER than pl/2 placed off-center (right-aligned spans whose
+    centered pow2 window overhangs the probe) must not be truncated by the
+    extended grid (round-4 review finding: the first 2x grid silently cut
+    the repeat-right content, 2.7e-2 norm error)."""
+    dt = 1.0
+    setup, st = make_setup(nrc=1, ps0=0, pl=128, dt=dt, receiver_ids=[0])
+    rng = np.random.default_rng(13)
+    # ref len 60 right-aligned in the probe; nonzero trailing samples so
+    # the repeat-right content beyond the window matters
+    vals = rng.normal(size=60).astype(np.float32)
+    setup.set_ref(0, vals, 68)
+    # syn span len 70 right-aligned (e.g. fold-widened past pl/2)
+    nt = 70
+    syn = rng.normal(size=(1, nt)).astype(np.float32)
+    syn[0, -1] = 1.7  # nonzero end-repeat
+    for method in (mf.AMPSPEC_L1NORM, mf.AMPSPEC_L2NORM):
+        m, n, _ = _eval(setup, st, syn, 58, [58], [127], method)
+        em, en = _ampspec_reference_host(vals, 68, syn[0], 58, dt, method)
+        assert abs(float(m[0]) - em) <= 1e-5 * max(em, en), (method, m, em)
+        assert abs(float(n[0]) - en) <= 1e-5 * en, (method, n, en)
