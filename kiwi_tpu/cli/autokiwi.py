@@ -26,6 +26,7 @@ or a callable returning Event objects; a custom network fetcher drops in as
 
 from __future__ import annotations
 
+import calendar
 import dataclasses
 import glob
 import logging
@@ -305,7 +306,10 @@ def main(argv=None):
         which = opts.args[0] if opts.args else "first"
         specific = None
         if opts.specific:
-            specific = time_mod.mktime(
+            # UTC, not local: catalog event times are UTC epochs and the
+            # seismological convention is to quote event times in UTC
+            # (mktime would shift the target by the host's TZ offset)
+            specific = calendar.timegm(
                 time_mod.strptime(opts.specific, "%Y-%m-%d %H:%M:%S")
             )
         event_names = pull(pull_config, which=which, force=opts.force,

@@ -282,8 +282,17 @@ def gfdb_downsample(argv=None):
                 # align to the coarse grid: pad to a multiple-of-q start
                 pre = it0 % q
                 vv = np.concatenate([np.zeros(pre, np.float32), v])
-                y = signal.lfilter(b, a, vv)[4::q]
-                builder.put_trace(ix, iz, ig, y.astype(np.float32), (it0 - pre) // q + 1)
+                # keep-phase: the smallest multiple of q >= the filter
+                # half-order 4 (the reference keeps [4::q] and lets the
+                # store round the resulting off-grid start time,
+                # scripts/gfdb_downsample:96-97; starting ON the coarse
+                # grid keeps the label exact for every q -- the old
+                # fixed [4::q] start mislabeled any q != 4 by q-4 fine
+                # samples)
+                j0 = q * (-(-4 // q))
+                y = signal.lfilter(b, a, vv)[j0::q]
+                builder.put_trace(ix, iz, ig, y.astype(np.float32),
+                                  (it0 - pre + j0) // q)
     _save_store(builder.build(), argv[1])
 
 

@@ -37,14 +37,40 @@ def work(datadir, gfdb_path, workdir, **opts):
     engine.set_misfit_method(misfit)
 
     base = Source(sourcetype)
+    # reject typos instead of silently ignoring them (a dropped option
+    # means an inversion quietly ran with defaults)
+    known = {"components", "effective_dt", "sourcetype", "misfit",
+             "shiftrange", "grid_step_deg", "bootstrap_iterations", "taper"}
+    unknown = [k for k in opts if k not in known and k not in base.keys()]
+    if unknown:
+        raise ValueError(
+            f"unknown option(s) {unknown}; valid: {sorted(known)} "
+            f"or source params {list(base.keys())}")
     # point-source stages: start with zero spatial extent unless configured
     for k in ("length-a", "length-b", "width", "bord-radius", "radius"):
         if k in base.keys():
             base[k] = 0.0
     for k, v in opts.items():
+        if k in known:
+            continue
         if k in base.keys():
             base[k] = float(v)
     engine.set_source_params(sourcetype, base.params)
+
+    # taper=P,S,-10,0,40,50: phase names then the 4 offsets -- misfit
+    # windows positioned by phase arrivals at each receiver's distance
+    # (the option was documented but silently dropped before round 4)
+    if "taper" in opts:
+        from ..phases import Taper, apply_taper_to_engine
+
+        w = opts["taper"].split(",")
+        if len(w) < 5:
+            raise ValueError(
+                "taper= needs phase name(s) followed by 4 offsets, e.g. "
+                "taper=P,S,-10,0,40,50")
+        taper = Taper(phases=tuple(w[:-4]), offsets=[float(x) for x in w[-4:]])
+        apply_taper_to_engine(engine, taper)
+
     step_deg = float(opts.get("grid_step_deg", 10.0))
     nboot = int(opts.get("bootstrap_iterations", 100))
 

@@ -108,26 +108,12 @@ class MinimizerServer:
 
     def do_set_ref_seismograms(self, args):
         fnbase, fmt = args.split()
-        eng = self.engine
-        dt = eng.store.dt
-        for irec, rec in enumerate(eng.receivers):
-            if not rec.enabled:
-                continue
-            for c in rec.components:
-                fn = f"{fnbase}-{irec + 1}-{c}.{fmt}"
-                data, toffset, deltat = readseismogram(fn, fmt)
-                if abs(deltat - dt) > dt / 10000.0:
-                    raise ValueError(
-                        f"sampling rate in {fn} is {deltat} but required is {dt}"
-                    )
-                rel = toffset - eng.ref_time
-                if abs(rel) > 3600.0 * 24 * 7:
-                    raise ValueError(
-                        "origin time and seismogram starting time differ by more "
-                        f"than 7 days (file {fn})"
-                    )
-                itmin = int(fnint(np.float32(rel) / np.float32(dt))) + 1
-                eng.set_ref_seismogram(irec, c, data, itmin)
+        from ..dataset import load_ref_seismograms
+
+        # one shared implementation of the file->engine itmin conversion
+        # (see dataset.load_ref_seismograms: 0-based, no Fortran +1);
+        # missing files for enabled receivers raise, as the reference does
+        load_ref_seismograms(self.engine, fnbase, fmt)
         return ""
 
     def do_set_source_location(self, args):
@@ -267,7 +253,7 @@ class MinimizerServer:
                 continue
             values, itmin = traces[irc]
             fn = f"{fnbase}-{irec + 1}-{c}.{fmt}"
-            toffset = self.engine.ref_time + (itmin - 1) * dt
+            toffset = self.engine.ref_time + itmin * dt
             writeseismogram(
                 fn, fmt, values, toffset, dt,
                 network="", station=str(irec + 1), location="",

@@ -128,9 +128,23 @@ def standard_setup(
     return eng
 
 
-def load_ref_seismograms(engine, stem, fmt="mseed"):
+def load_ref_seismograms(engine, stem, fmt="mseed", missing_ok=False):
     """Read reference-<i>-<c>.<fmt> into the engine
-    (receiver_set_ref_seismogram, receiver.f90:746-801)."""
+    (receiver_set_ref_seismogram, receiver.f90:746-801).
+
+    File toffset is the physical time of the FIRST sample (reference
+    writers: receiver.f90:647 reftime+(span(1)-1)*dt with 1-based strip
+    indices; table format seismogram_io.f90:134).  The engine's itmin is
+    0-based (time = itmin*dt, engine.set_ref_seismogram), so the
+    conversion is itmin = nint((toffset - ref_time)/dt) -- NO +1 (an
+    earlier version copied the Fortran ibeg+1 strip-index idiom here,
+    placing externally-timed data one sample late).
+
+    missing_ok=False raises on absent files for enabled receivers (the
+    reference errors there too, receiver.f90:768-774): an enabled
+    receiver with no reference would otherwise be silently misfit
+    against zero.  missing_ok=True returns the missing list instead.
+    """
     dt = engine.store.dt
     missing = []
     for irec, rec in enumerate(engine.receivers):
@@ -147,8 +161,12 @@ def load_ref_seismograms(engine, stem, fmt="mseed"):
             rel = toffset - engine.ref_time
             if abs(rel) > 3600.0 * 24 * 7:
                 raise ValueError(f"start time vs origin differ by > 7 days: {fn}")
-            itmin = int(fnint(np.float32(rel) / np.float32(dt))) + 1
+            itmin = int(fnint(np.float32(rel) / np.float32(dt)))
             engine.set_ref_seismogram(irec, c, data, itmin)
+    if missing and not missing_ok:
+        raise FileNotFoundError(
+            "reference seismograms missing for enabled receivers: "
+            + ", ".join(missing))
     return missing
 
 
@@ -159,9 +177,17 @@ def save_dataset(datadir, engine, which="references", fmt="mseed",
     os.makedirs(datadir, exist_ok=True)
     with open(os.path.join(datadir, "source-origin.table"), "w") as f:
         f.write(f"{engine.src_lat_deg} {engine.src_lon_deg} {engine.ref_time}\n")
+    # depth-bearing 5-column form (prepare.py:133-135) whenever any
+    # receiver carries a depth or name, so a save/standard_setup round
+    # trip preserves the geometry (depth enters the GF lookup)
+    rich = any(r.depth or r.name for r in engine.receivers)
     with open(os.path.join(datadir, "receivers.table"), "w") as f:
-        for r in engine.receivers:
-            f.write(f"{r.lat_deg:.6f} {r.lon_deg:.6f} {r.components}\n")
+        for i, r in enumerate(engine.receivers):
+            if rich:
+                f.write(f"{r.lat_deg:.6f} {r.lon_deg:.6f} {r.depth:.1f} "
+                        f"{r.components} {r.name or f'r{i + 1}'}\n")
+            else:
+                f.write(f"{r.lat_deg:.6f} {r.lon_deg:.6f} {r.components}\n")
     from .io import writeseismogram
 
     stem = stem or ("reference" if which == "references" else "synthetic")
@@ -175,7 +201,7 @@ def save_dataset(datadir, engine, which="references", fmt="mseed",
             irec, c = layout[irc]
             values, itmin = tr
             fn = os.path.join(datadir, f"{stem}-{irec + 1}-{c}.{fmt}")
-            writeseismogram(fn, fmt, values, engine.ref_time + (itmin - 1) * dt, dt,
+            writeseismogram(fn, fmt, values, engine.ref_time + itmin * dt, dt,
                             station=str(irec + 1), channel=c)
     else:
         traces = engine.get_synthetic_seismograms()
@@ -183,6 +209,6 @@ def save_dataset(datadir, engine, which="references", fmt="mseed",
         for irc, (values, itmin) in enumerate(traces):
             irec, c = layout[irc]
             fn = os.path.join(datadir, f"{stem}-{irec + 1}-{c}.{fmt}")
-            writeseismogram(fn, fmt, values, engine.ref_time + (itmin - 1) * dt, dt,
+            writeseismogram(fn, fmt, values, engine.ref_time + itmin * dt, dt,
                             station=str(irec + 1), channel=c)
     return datadir

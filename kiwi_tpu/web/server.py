@@ -44,20 +44,26 @@ class SeismogramApp:
 
     # -- session/generation result dirs (seismograms.pl:47-67, :301-327) -----
 
-    def _gen_dir(self, session, generation):
+    def _gen_dir(self, session, generation, create=False):
+        # create=False by default: GET handlers resolve paths through this,
+        # and a directory-creating GET side effect let any client mint
+        # empty generations that broke the session landing page
         d = os.path.join(self.workdir, f"session-{int(session)}",
                          f"gen-{int(generation)}")
-        os.makedirs(d, exist_ok=True)
+        if create:
+            os.makedirs(d, exist_ok=True)
         return d
 
     def generations(self, session):
+        """Completed generations only (result.json present): partially
+        written directories never surface as openable generations."""
         base = os.path.join(self.workdir, f"session-{int(session)}")
         if not os.path.isdir(base):
             return []
         gens = []
         for name in sorted(os.listdir(base)):
             m = re.match(r"gen-(\d+)$", name)
-            if m:
+            if m and os.path.exists(os.path.join(base, name, "result.json")):
                 gens.append(int(m.group(1)))
         return sorted(gens)
 
@@ -133,7 +139,7 @@ class SeismogramApp:
             # not pick the same generation and clobber each other's result dir
             gens = self.generations(session)
             generation = (gens[-1] + 1) if gens else 1
-            gdir = self._gen_dir(session, generation)
+            gdir = self._gen_dir(session, generation, create=True)
             rows = []
             for (values, itmin), (irec, comp) in zip(traces, layout):
                 rows.append({
@@ -209,6 +215,7 @@ class SeismogramApp:
                 f'<td><input name="param.{name}" value="{val}"></td></tr>'
             )
         recs = html.escape(form.get("receivers", "40.0 30.0 ned"))
+        interp = form.get("interpolation", "bilinear")
         imgs = "".join(
             f'<p><img src="/file?session={session}&generation={generation}'
             f'&name={name}" alt="{name}"></p>'
@@ -225,7 +232,7 @@ class SeismogramApp:
 longitude <input name="source_longitude" value="{html.escape(str(form.get('source_longitude', '30.0')))}"></p>
 <p>effective dt <input name="effective_dt" value="{html.escape(str(form.get('effective_dt', self.store.dt)))}">
 interpolation <select name="interpolation">
-<option value="bilinear" selected>bilinear</option><option value="nearest">nearest</option>
+<option value="bilinear"{'' if interp == 'nearest' else ' selected'}>bilinear</option><option value="nearest"{' selected' if interp == 'nearest' else ''}>nearest</option>
 </select></p>
 <p>receivers (lat lon [components], one per line):<br>
 <textarea name="receivers" rows="4" cols="50">{recs}</textarea></p>
@@ -315,7 +322,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, _SOURCE3D_HTML % {
                 "session": session, "generation": generation})
         if url.path == "/":
-            session = int(q.get("session", os.getpid() % 100000))
+            try:
+                session = int(q.get("session", os.getpid() % 100000))
+            except ValueError:
+                return self._send(400, "malformed parameter")
             gens = self.app.generations(session)
             generation = gens[-1] if gens else 0
             form = {}
@@ -332,7 +342,10 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         length = int(self.headers.get("Content-Length", 0))
         form = dict(urllib.parse.parse_qsl(self.rfile.read(length).decode()))
-        session = int(form.get("session", 0) or 0)
+        try:
+            session = int(form.get("session", 0) or 0)
+        except ValueError:
+            return self._send(400, "malformed parameter")
         try:
             generation = self.app.calculate(session, form)
         except Exception as e:  # render the error like the CGI's error()

@@ -73,6 +73,25 @@ def test_gfdb_downsample(small_store, tmp_path):
     # energy is preserved to first order by the anti-alias decimation
     assert np.abs(v1).max() < 3 * np.abs(v0).max()
 
+    # time-label exactness for q != 4 (round-4 review finding: a fixed
+    # [4::q] keep-phase mislabeled q=2 outputs one coarse sample early):
+    # kept samples must BE fine-grid samples at the labeled coarse times
+    from scipy import signal
+
+    for q in (2, 3, 8):
+        outq = str(tmp_path / f"ds{q}.npz")
+        gfdb_tools.gfdb_downsample([small_store, outq, str(q)])
+        dsq = GFStore.load(outq)
+        vq, itq = dsq.get_trace(0, 0, 0)
+        v_f, it_f = src.get_trace(0, 0, 0)
+        b, a = signal.cheby1(8, 0.05, 0.8 / q)
+        pre = it_f % q
+        filt = signal.lfilter(
+            b, a, np.concatenate([np.zeros(pre, np.float32), v_f]))
+        j0 = q * (-(-4 // q))
+        np.testing.assert_allclose(vq, filt[j0::q], rtol=1e-6)
+        assert itq * q == (it_f - pre) + j0  # same absolute fine-grid time
+
 
 def test_gfdb_specialextract(small_store, tmp_path, capsys, monkeypatch):
     outfn = str(tmp_path / "slice.table")

@@ -234,3 +234,52 @@ def test_prepare_kiwi_dataset(store, tmp_path):
     n0 = traces[0]; e0 = traces[1]
     assert abs((n0.ydata**2 + e0.ydata**2).sum()
                - ((n0.ydata**2 + e0.ydata**2).sum())) < 1e-6
+
+
+def test_file_time_convention_absolute(store, tmp_path):
+    """The file <-> engine itmin convention, pinned ABSOLUTELY (round-4
+    review finding: a copied Fortran 1-based idiom placed externally-timed
+    data one sample late; round trips canceled it, so only an absolute
+    check catches it).  File toffset is the physical time of the first
+    sample; engine itmin is 0-based (time = itmin*dt)."""
+    from kiwi_tpu.dataset import load_ref_seismograms
+    from kiwi_tpu.io import readseismogram, writeseismogram
+
+    eng = Engine(store)
+    olat, olon = 30.0, 70.0
+    la, lo = geo.ne_to_latlon(np.radians(olat), np.radians(olon), 1500.0, 0.0)
+    eng.set_receivers([Receiver(np.degrees(float(la)), np.degrees(float(lo)), "d")])
+    ref_time = 1000.0
+    eng.set_source_location(olat, olon, ref_time)
+    eng.set_effective_dt(0.1)
+    dt = store.dt
+
+    # write: a ref installed at itmin=7 must come out at toffset
+    # ref_time + 7*dt
+    vals = np.arange(1.0, 9.0, dtype=np.float32)
+    eng.set_ref_seismogram(0, "d", vals, 7)
+    save_dataset(str(tmp_path / "o"), eng, which="references", fmt="table")
+    _data, toffset, _ = readseismogram(
+        str(tmp_path / "o" / "reference-1-d.table"), "table")
+    assert abs(toffset - (ref_time + 7 * dt)) < dt / 100
+
+    # read: an externally-authored file with first sample at
+    # ref_time + 3*dt must land at itmin=3
+    writeseismogram(str(tmp_path / "ext-1-d.table"), "table", vals,
+                    ref_time + 3 * dt, dt)
+    eng2 = Engine(store)
+    eng2.set_receivers(
+        [Receiver(np.degrees(float(la)), np.degrees(float(lo)), "d")])
+    eng2.set_source_location(olat, olon, ref_time)
+    load_ref_seismograms(eng2, str(tmp_path / "ext"), "table")
+    got_vals, got_itmin = eng2._refs[0]
+    assert got_itmin == 3
+    np.testing.assert_array_equal(got_vals, vals)
+
+    # missing files for enabled receivers raise (reference behavior)
+    eng3 = Engine(store)
+    eng3.set_receivers(
+        [Receiver(np.degrees(float(la)), np.degrees(float(lo)), "d")])
+    eng3.set_source_location(olat, olon, ref_time)
+    with pytest.raises(FileNotFoundError):
+        load_ref_seismograms(eng3, str(tmp_path / "absent"), "table")

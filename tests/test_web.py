@@ -138,3 +138,45 @@ def test_web_source3d_view(server):
     assert code("/source3d?session=7&generation=999") == 404
     assert code("/source3d.json?session=bad") == 400
     assert data["sourcetype"] == "bilateral"
+
+
+def test_web_get_hardening(server):
+    """Round-4 review fixes: GETs must not mint generation directories,
+    malformed session values get a 400 (not a dropped connection), and the
+    form re-render preserves the interpolation selection."""
+    # /file for a nonexistent generation: 404 AND no directory side effect
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(
+            server + "/file?session=77&generation=9&name=x.png", timeout=30)
+    assert ei.value.code == 404
+    # the landing page for that session must still render (no phantom
+    # generation picked up from a GET-created empty dir)
+    html = urllib.request.urlopen(
+        server + "/?session=77", timeout=30).read().decode()
+    assert "none yet" in html
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(server + "/?session=abc", timeout=30)
+    assert ei.value.code == 400
+
+    data = urllib.parse.urlencode({"session": "abc"}).encode()
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(server + "/", data=data, timeout=30)
+    assert ei.value.code == 400
+
+
+def test_web_interpolation_selection_preserved(server):
+    form = {
+        "session": "9", "sourcetype": "bilateral",
+        "source_latitude": "30.0", "source_longitude": "70.0",
+        "effective_dt": "0.1", "interpolation": "nearest",
+        "receivers": "30.02 70.0 d",
+        "param.depth": "400", "param.moment": "1e12", "param.strike": "91",
+        "param.dip": "87", "param.slip-rake": "164",
+        "param.length-a": "0", "param.length-b": "0", "param.width": "0",
+        "param.rupture-velocity": "2500", "param.rise-time": "0.2",
+        "calculate": "1",
+    }
+    body = _post(server, form)
+    assert re.search(r'value="nearest"[^>]*selected|' 
+                     r'<option value="nearest" selected', body), body[:2000]
