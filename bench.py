@@ -63,11 +63,16 @@ KIWIBENCH_STF = np.array(
 
 
 def get_store(log):
+    """Benchmark store + makedb_seconds (the kiwibench 'makedb' metric,
+    benchmark/kiwibench.py:45-92: build the 200x200x10 analytic fullspace
+    DB and persist it).  The build is timed FRESH every run -- BASELINE.md
+    row 2 tracks it -- unless KIWI_BENCH_MAKEDB=0 and a cache exists
+    (local iteration)."""
     from kiwi_tpu.gf.store import GFStore
 
-    if os.path.exists(CACHE):
+    if os.environ.get("KIWI_BENCH_MAKEDB") == "0" and os.path.exists(CACHE):
         log(f"loading cached benchdb from {CACHE}")
-        return GFStore.load(CACHE)
+        return GFStore.load(CACHE), 0.0
     from kiwi_tpu.gf import elseis
 
     log("building benchdb (200x200x10 analytic fullspace, near+far field)...")
@@ -77,12 +82,13 @@ def get_store(log):
         material=(2300.0, 3200.0, 1600.0), stf=KIWIBENCH_STF,
         progress=lambda i, n: log(f"  distance row {i}/{n}") if i % 50 == 0 else None,
     )
-    log(f"  built in {time.time() - t0:.1f}s")
     try:
         store.save(CACHE)
     except OSError:
         pass
-    return store
+    makedb_seconds = time.time() - t0
+    log(f"  makedb (build + persist): {makedb_seconds:.1f}s")
+    return store, makedb_seconds
 
 
 def make_engine(store):
@@ -452,7 +458,7 @@ def main():
         print(msg, file=sys.stderr, flush=True)
 
     _check_float_scan(log)
-    store = get_store(log)
+    store, makedb_seconds = get_store(log)
     eng = make_engine(store)
 
     point_mps = bench_point(eng, log)
@@ -473,10 +479,14 @@ def main():
         log(f"  mini.inp bench failed: {e}")
         mini_seconds = 0.0
 
+    import jax
+
     print(json.dumps({
         "metric": "kiwibench_syntheseis_mps",
         "value": round(point_mps, 1),
         "unit": "models/sec",
+        "chip": str(jax.devices()[0].device_kind),
+        "date": time.strftime("%Y-%m-%d"),
         "vs_baseline": round(point_mps / MEASURED_FORTRAN_CORE_MPS, 2),
         "fortran_core_mps": MEASURED_FORTRAN_CORE_MPS,
         "vs_fortran_pool4": round(point_mps / (4 * MEASURED_FORTRAN_CORE_MPS), 2),
@@ -488,6 +498,7 @@ def main():
         "finite_long_xla_mps": round(float(long_mps_xla), 1),
         "finite_long_nt_ext": int(long_nt),
         "mini_inp_seconds": round(float(mini_seconds), 3),
+        "makedb_seconds": round(float(makedb_seconds), 1),
         **roofline,
     }))
 

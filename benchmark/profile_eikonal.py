@@ -53,7 +53,7 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 96
 
-    store = get_store(log)
+    store, _mk = get_store(log)
     eng = make_engine(store)
     p = np.array(
         [0.0, 0.0, 0.0, 400.0, 1e12, 30.0, 80.0, 164.0,

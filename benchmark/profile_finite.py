@@ -44,7 +44,7 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 
-    store = get_store(log)
+    store, _mk = get_store(log)
     eng = make_engine(store)
     base = np.array(
         [0, 0, 0, 5000.0, 1e12, 91.0, 87.0, 164.0, 0.0, 900.0, 700.0, 1000.0,

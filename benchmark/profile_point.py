@@ -43,7 +43,7 @@ def main():
 
     nrows = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 
-    store = get_store(log)
+    store, _mk = get_store(log)
     eng = make_engine(store)
     base = np.array(
         [0, 0, 0, 5000.0, 1e12, 91.0, 87.0, 164.0, 0.0, 0.0, 0.0, 0.0,

@@ -50,7 +50,7 @@ def main():
             best = min(best, (time.time() - t0) / reps)
         return best
 
-    store = get_store(log)
+    store, _mk = get_store(log)
     eng = make_engine(store)
     base = np.array(
         [0, 0, 0, 5000.0, 1e12, 91.0, 87.0, 164.0, 0.0, 0.0, 0.0, 0.0,

@@ -241,6 +241,87 @@ def test_gfshard_shared_kinematics_branch(engine):
     eng.set_synthetic_reference()
 
 
+COLLECTIVES = ("all-gather", "all-reduce", "collective-permute", "all-to-all",
+               "reduce-scatter")
+
+
+def _collective_ops(compiled_text):
+    """Collective HLO ops in a compiled module (one entry per op line)."""
+    return [
+        line.strip()
+        for line in compiled_text.splitlines()
+        for c in COLLECTIVES
+        if f" {c}(" in line or f"= {c}" in line or c + "(" in line.split("%")[-1]
+        if not line.strip().startswith("//")
+    ]
+
+
+def test_comm_structure_sharded_forward(engine):
+    """Communication-structure pin (VERDICT r4 item 7): the s-axis data
+    parallel forward must compile to a collective-FREE program -- per-source
+    misfit rows are shard-local; the host consumes the sharded output.  A
+    sharding-propagation regression that replicates the batch or gathers
+    the GF window would show up here as all-gather/all-reduce ops."""
+    eng, p = engine
+    pb = np.tile(p, (16, 1))
+    pb[:, 5] = np.linspace(0.0, 350.0, 16).astype(np.float32)
+    mesh = make_mesh(n_sources=8, n_receivers=1)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kiwi_tpu.parallel.sharding import shard_centroid_batch
+
+    cbatch, moments, risetimes, shape, gsize = eng._discretize_batch(pb)
+    plan = eng._ensure_plan(
+        cbatch, float(np.max(risetimes, initial=0.0)), shape, gsize=gsize)
+    cbatch = shard_centroid_batch(cbatch, mesh)
+    msh = NamedSharding(mesh, P("s"))
+    lowered = plan["forward_batch"].lower(
+        cbatch, jax.device_put(moments, msh), jax.device_put(risetimes, msh))
+    txt = lowered.compile().as_text()
+    ops = _collective_ops(txt)
+    assert ops == [], (
+        "s-axis sharded forward compiled with unexpected collectives:\n"
+        + "\n".join(ops))
+
+
+def test_comm_structure_gfshard_forward(engine):
+    """The distance-sharded (r-axis) forward must also be collective-free:
+    each shard owns its receivers' GF window, synthesis and per-row misfits
+    are shard-local, and outputs STAY sharded (the host combines rows).
+    If a layout change silently replicates the GF store across "r" (the
+    failure mode this test exists for), XLA materializes all-gathers of the
+    window-sized ext array here."""
+    from kiwi_tpu.parallel import gfshard
+
+    eng, p = engine
+    mesh = make_mesh(n_sources=2, n_receivers=4)
+    plan = gfshard.build_plan(eng, mesh, axis="r")
+
+    batch = np.tile(p, (8, 1))
+    batch[:, 5] = np.linspace(20.0, 160.0, 8).astype(np.float32)
+    plan.misfits(batch)  # populate plan._fwds with the real formulation
+    assert plan._fwds, "no forward was built"
+
+    import jax.numpy as jnp
+
+    cbatch, moments, risetimes, _shape, _g = eng._discretize_batch(batch)
+    for key, fwd in plan._fwds.items():
+        lowered = fwd.lower(
+            *plan.sharded_args, cbatch, jnp.asarray(moments),
+            jnp.asarray(risetimes))
+        ops = _collective_ops(lowered.compile().as_text())
+        assert ops == [], (
+            f"gfshard forward {key} compiled with unexpected collectives "
+            f"(GF store silently replicated / gathered?):\n" + "\n".join(ops))
+
+    # the ext window operand really enters sharded: its parameter shape in
+    # the compiled module is the per-device slice, not the stacked array
+    ext = plan.sharded_args[0]
+    assert {s.data.shape for s in ext.addressable_shards} == {
+        (1,) + ext.shape[1:]}
+
+
 def test_sharded_gradient_matches_unsharded(engine):
     """global_misfits_and_grad with the batch axis sharded over the mesh's
     source axis matches the single-device values+gradients (multi-chip
