@@ -109,21 +109,33 @@ def make_engine(store):
 
 
 def steady_state_mps(dispatch, batches, log, label, trials=3):
-    """Pipelined throughput: dispatch all batches (async), fetch at the
+    """Pipelined throughput: dispatch all batches (async), fence at the
     end; tunnel latency overlaps device compute.  min over trials rides
-    out the tunnel's random multi-second stalls."""
+    out the tunnel's random multi-second stalls.
+
+    The fence is a SCALAR FETCH from the last dispatch's output, not
+    block_until_ready: the device executes dispatches in FIFO order, so
+    the fetch proves every dispatch completed, while block_until_ready
+    through the axon tunnel both acks early on occasion (reads too fast)
+    and pays extra fixed round trips (measured +0.55 ms/dispatch at 16
+    in-flight sweeps -- it turned a 1.90 ms steady state into 2.45 ms)."""
     import jax
+    import jax.numpy as jnp
+
+    def fence(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.ravel(leaf)[0])
 
     # warmup/compile
     t0 = time.time()
-    jax.block_until_ready(dispatch(batches[0]))
+    fence(dispatch(batches[0]))
     log(f"  {label}: compile+first batch {time.time() - t0:.1f}s")
     best = np.inf
     n_models = sum(len(b) for b in batches)
     for _ in range(trials):
         t0 = time.time()
         outs = [dispatch(b) for b in batches]
-        jax.block_until_ready(outs)
+        fence(outs[-1])
         best = min(best, time.time() - t0)
     return n_models / best, outs
 

@@ -26,11 +26,12 @@ This benchmark measures the TRANSPOSED fusion:
 Run: python benchmark/micro_fused.py [S RC T B W]
 """
 
-import functools
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, ".")
 
 
 def main():
@@ -205,6 +206,32 @@ def main():
                 )(ref_tiles, vj, wgt_rtb)
 
         return run
+
+    # v5a with the tiles broadcast INSIDE the jit (what the batch path
+    # would pay without prep caching): adds 100 MB of HBM writes+reads
+    @jax.jit
+    def run_v5a_inprog(wgt_rtb):
+        rt = jnp.broadcast_to(
+            refj.reshape(S, RC, W).transpose(1, 0, 2)[..., None],
+            (RC, S, W, BL))
+        vt = jnp.broadcast_to(vj[..., None], (RC, T, W, BL))
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kernel_v5a,
+                grid=(RC, B // BL),
+                in_specs=[
+                    pl.BlockSpec((1, S, W, BL), lambda rc, b: (rc, 0, 0, 0)),
+                    pl.BlockSpec((1, T, W, BL), lambda rc, b: (rc, 0, 0, 0)),
+                    pl.BlockSpec((1, T, BL), lambda rc, b: (rc, 0, b)),
+                ],
+                out_specs=pl.BlockSpec((1, S, BL), lambda rc, b: (rc, 0, b)),
+                out_shape=jax.ShapeDtypeStruct((RC, S, B), jnp.float32),
+            )(rt, vt, wgt_rtb)
+
+    t_ib, oib = timeit(run_v5a_inprog, wgtj)
+    err_ib = float(np.abs(oib.transpose(1, 2, 0) - o0).max() / np.abs(o0).max())
+    print(f"v5a in-program broadcast:     {t_ib*1e3:7.3f} ms  "
+          f"(vs v0 rel err {err_ib:.2e})", flush=True)
 
     for nsplit, name in ((2, "v5m fused MXU bf16x3"), (3, "v5h fused MXU bf16x6")):
         try:

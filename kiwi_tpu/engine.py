@@ -626,6 +626,91 @@ class Engine:
             syn_rc, lo_rc, hi_rc = shared_synth_raw(cbatch)
             return eval_batch(syn_rc, lo_rc, hi_rc, moments, risetimes)
 
+        # fused shared forward (round 5): the synthesis contraction rides
+        # INSIDE the transposed scan kernel (ops/float_scan.fused_scan_sums),
+        # so the [B, RC, nt] synthetic block never exists in HBM and the
+        # scan's lane-tree reduce becomes a sublane reduce shared by 128
+        # models.  Measured at bench shapes: 3.29 -> 1.65 ms per 4096-source
+        # program (benchmark/micro_fused.py).  Requirements: floating norm
+        # + no filters (use_fscan), uniform rec-major rc layout (the weight
+        # rotation fold), batch-uniform risetimes (the STF fold then
+        # commutes with the contraction -- callers gate on host), values
+        # rows that fit VMEM alongside the ref stack, and few enough rows
+        # for the kernel's unrolled contraction loop.
+        from .ops.float_scan import fused_vmem_ok
+
+        tprime = ncent * cfg.ng
+        if eval_win is not None:
+            _i0 = max(int(eval_win[0]) - st.ps0, 0)
+            _i1 = min(int(eval_win[1]) - st.ps0 + 1, st.pl)
+        else:
+            _i0, _i1 = 0, st.pl
+        _wk = min(-(-(_i1 - _i0) // 8) * 8, st.pl)
+        use_fused_scan = (
+            use_fscan
+            and rc_uniform
+            and tprime <= 64
+            and fused_vmem_ok(s2 - s1 + 1, tprime, _wk)
+            and os.environ.get("KIWI_FUSED_SCAN", "1") != "0"
+        )
+
+        def forward_shared_fused_raw(cbatch, moments, risetimes):
+            """forward_shared_raw with synthesis fused into the scan kernel.
+            Callers guarantee batch-uniform risetimes (risetimes[0] is used
+            for the STF fold of the shared values rows)."""
+            cent0 = {k: v[0] for k, v in cbatch.items()}
+            mb = cbatch["m"]  # [B, C, 6]
+
+            def per_rec(rec, chan_k, sign_k):
+                kin = synth._centroid_kinematics(cfg, rec, cent0)
+                v = synth.values_matrix(ext, cfg, kin, group_size=group_size)
+                lo_, hi_ = synth.physical_spans(gfi, gfn, cfg, kin)
+                wv = jax.vmap(
+                    lambda m6: synth.weights_from_angles(kin, m6, cfg.ng)
+                )(mb)  # [B, C, 3, ng]
+                wv = jnp.where(kin["valid"][None, :, None, None], wv, 0.0)
+                cl = jnp.cos(rec["bazi"] + jnp.pi).astype(jnp.float32)
+                sl = jnp.sin(rec["bazi"] + jnp.pi).astype(jnp.float32)
+                one = jnp.float32(1.0)
+                zero = jnp.float32(0.0)
+                basis = jnp.stack([
+                    jnp.stack([one, zero, zero]),    # away
+                    jnp.stack([zero, one, zero]),    # right
+                    jnp.stack([zero, zero, one]),    # down
+                    jnp.stack([cl, -sl, zero]),      # north
+                    jnp.stack([sl, cl, zero]),       # east
+                ])  # [5, 3] (synth.ard_to_components semantics)
+                rot = basis[chan_k] * sign_k[:, None]  # [K, 3]
+                # HIGHEST: tiny contraction, exactness over speed (the
+                # bf16 single-pass default breaks the 1e-5 parity bar)
+                wkw = jnp.einsum("ko,bcog->bkcg", rot, wv,
+                                 precision=synth.HIGHEST)
+                b_, k_, cc, gg = wkw.shape
+                return (v.reshape(cc * gg, -1),
+                        wkw.reshape(b_, k_, cc * gg), lo_, hi_)
+
+            v_all, wk_all, los, his = jax.vmap(per_rec)(
+                recs, rc_chan_rk, rc_sign_rk)
+            # v_all [R, T, nt]; wk_all [R, B, K, T] -> wgt [RC, T, B]
+            bsz = wk_all.shape[1]
+            wgt_rtb = wk_all.transpose(0, 2, 3, 1).reshape(
+                nrec * rc_k, tprime, bsz)
+            lo_rc = los[rc_rec_j, span_idx_j]  # [RC], batch-shared
+            hi_rc = his[rc_rec_j, span_idx_j]
+            if any_taper:
+                v_rows = jnp.repeat(
+                    v_all, rc_k, axis=0, total_repeat_length=nrec * rc_k)
+                kshare = 1
+            else:
+                v_rows = v_all
+                kshare = rc_k
+            return mf.evaluate_misfits_floating_fused(
+                ctx, v_rows, wgt_rtb, cfg.out_it0, lo_rc, hi_rc, method, st,
+                nrec, moments, risetimes[0], fold_nshift_max=fold_max,
+                rctx=rctx, shiftrange=shiftrange, any_taper=any_taper,
+                eval_win=eval_win, k_share=kshare, interpret=not _on_tpu(),
+            )
+
         def _scaled_traces(cent, moment, risetime):
             syn_rc, lo_rc, hi_rc = synth_rc(cent)
             if fold_max > 0:
@@ -649,6 +734,8 @@ class Engine:
             "forward_batch_raw": forward_batch_raw,
             "forward_batch_raw_xla": forward_batch_raw_xla,
             "forward_shared_raw": forward_shared_raw,
+            "forward_shared_fused_raw": forward_shared_fused_raw,
+            "use_fused_scan": use_fused_scan,
             "shared_synth_raw": shared_synth_raw,
             "eval_batch_raw": eval_batch,
             "use_fscan": use_fscan,
@@ -936,12 +1023,19 @@ class Engine:
                 None, float(risetimes.max(initial=0.0)), shape,
                 stats=stats, gsize=gsize,
             )
-            fkey = (self.source_type, shape, self.effective_dt)
             shared = (
                 pb.shape[0] >= 2
                 and model.shared_kin_check is not None
                 and model.shared_kin_check(pb)
             )
+            # fused-scan variant: synthesis contraction inside the scan
+            # kernel.  Needs batch-uniform risetimes (host-checked here;
+            # the STF fold then commutes with the contraction).
+            fuse = bool(
+                shared and plan.get("use_fused_scan")
+                and risetimes.size and (risetimes == risetimes[0]).all()
+            )
+            fkey = (self.source_type, shape, self.effective_dt, fuse)
             cache = plan["fused_shared"] if shared else plan["fused"]
             fwd = cache.get(fkey)
             if fwd is None:
@@ -966,7 +1060,11 @@ class Engine:
                         syn_rc, lo_rc, hi_rc = sy(pbj)
                         return ev(syn_rc, lo_rc, hi_rc, mts, rts)
                 else:
-                    raw = plan["forward_shared_raw" if shared else "forward_batch_raw"]
+                    if fuse:
+                        raw = plan["forward_shared_fused_raw"]
+                    else:
+                        raw = plan[
+                            "forward_shared_raw" if shared else "forward_batch_raw"]
                     fwd = jax.jit(lambda pbj, mts, rts: raw(disc(pbj), mts, rts))
                 cache[fkey] = fwd
 
@@ -1111,12 +1209,20 @@ class Engine:
             return fallback()
         if shared and n > 65536:
             return fallback()
-        key = (self.source_type, shape, self.effective_dt, col, n, shared)
+        # fused-scan variant: the 3-row probe's risetimes bound the sweep's
+        # (post factors depend on the swept column alone), so equal probe
+        # risetimes == batch-uniform risetimes
+        fuse = bool(shared and plan.get("use_fused_scan")
+                    and (r3 == r3[0]).all())
+        key = (self.source_type, shape, self.effective_dt, col, n, shared, fuse)
         sweeps = plan.setdefault("sweep", {})
         fn = sweeps.get(key)
         if fn is None:
             edt = self.effective_dt
-            raw = plan["forward_shared_raw" if shared else "forward_batch_raw"]
+            if fuse:
+                raw = plan["forward_shared_fused_raw"]
+            else:
+                raw = plan["forward_shared_raw" if shared else "forward_batch_raw"]
 
             def sweep_fn(basej, vals):
                 pb = jnp.tile(basej[None, :], (n, 1))

@@ -872,6 +872,148 @@ def evaluate_misfits_floating_batch(
     return m * s0, n * s0, shift_sel
 
 
+def evaluate_misfits_floating_fused(
+    ctx,
+    v_rtw,
+    wgt_rtb,
+    syn_it0,
+    syn_lo,
+    syn_hi,
+    method,
+    st: ProbeStatic,
+    nrec,
+    moments,
+    risetime0,
+    fold_nshift_max=0,
+    rctx=None,
+    shiftrange=(0, 0),
+    any_taper=True,
+    eval_win=None,
+    k_share=1,
+    interpret=False,
+):
+    """Shared-kinematics floating-norm evaluation with the synthesis
+    contraction FUSED into the transposed scan kernel
+    (ops/float_scan.fused_scan_sums): the synthetic block
+    syn[b, rc] = sum_t wgt[rc, t, b] * v[rc, t] is never materialized in
+    HBM.  Mathematically identical to evaluate_misfits_floating_batch on
+    the synthetics that contraction would produce -- every processing
+    step (fold, place_on_probe, taper, syn_factor, moment) is linear and
+    elementwise in time, so it commutes with the weight contraction and
+    is applied to the T values rows once instead of to B synthetics.
+
+    v_rtw: f32[RV, T, NT] raw values rows (receiver GF blend rows) with
+        RV = RC // k_share (k_share > 1 = rows shared across each
+        receiver's channel rows; requires a taper-free plan) or RC.
+    wgt_rtb: f32[RC, T, B] per-source weights (channel rotation + signs
+        folded; moment/syn_factor applied here).
+    moments: f32[B]; risetime0: traced scalar, the batch-UNIFORM risetime
+        (callers gate on host-side uniformity).
+    syn_lo/syn_hi: i32[RC] batch-shared physical spans.
+    Returns (m [B, RC], norm [B, RC], floating_shift [B, R]).
+    """
+    from .ops.float_scan import BL, fused_scan_sums
+
+    assert method in (FLOATING_L2NORM, FLOATING_L1NORM)
+    base = L2NORM if method == FLOATING_L2NORM else L1NORM
+    if rctx is None:
+        rctx = precompute_ref_context(ctx, method, st, shiftrange, any_taper, False)
+
+    RC = wgt_rtb.shape[0]
+    B = wgt_rtb.shape[2]
+    S = rctx["ref_proc"].shape[0]
+
+    if fold_nshift_max > 0:
+        wf = fold_stf_weights(risetime0, jnp.float32(st.dt), fold_nshift_max)
+        v_rtw = apply_fold(v_rtw, wf)
+        syn_lo = syn_lo - fold_nshift_max
+        syn_hi = syn_hi + fold_nshift_max
+
+    v_p = place_on_probe(v_rtw, syn_it0, st)  # [RV, T, PL]
+    if any_taper:
+        assert k_share == 1, "taper rows need per-rc values rows"
+        v_p = jnp.where(
+            ctx["has_taper"][:, None, None], v_p * ctx["taper_w"][:, None, :], v_p
+        )
+    # per-rc syn_factor and per-source moment fold into the weights
+    wgt = (wgt_rtb * ctx["syn_factor"][:, None, None]
+           * moments.astype(F32)[None, None, :])
+
+    # static eval-window slice; W rides SUBLANES in the fused kernel, so
+    # it pads to 8 (not 128 like scan_sums) -- less work on narrow spans
+    if eval_win is not None:
+        i0 = max(int(eval_win[0]) - st.ps0, 0)
+        i1 = min(int(eval_win[1]) - st.ps0 + 1, st.pl)
+    else:
+        i0, i1 = 0, st.pl
+    wk = min(-(-(i1 - i0) // 8) * 8, st.pl)
+    i0 = max(min(i0, st.pl - wk), 0)
+
+    ref_sl = rctx["ref_proc"][..., i0:i0 + wk]  # [S, RC, W]
+    v_sl = v_p[..., i0:i0 + wk]                 # [RV, T, W]
+
+    bp = -(-B // BL) * BL
+    wgt_k = jnp.pad(wgt, ((0, 0), (0, 0), (0, bp - B))) if bp != B else wgt
+    ref_tiles = jnp.broadcast_to(
+        ref_sl.transpose(1, 0, 2)[..., None], (RC, S, wk, BL))
+    v_tiles = jnp.broadcast_to(v_sl[..., None], v_sl.shape + (BL,))
+    out = fused_scan_sums(
+        ref_tiles, v_tiles, wgt_k, k_share=k_share, l2=(base == L2NORM),
+        interpret=interpret,
+    )[..., :B]  # [RC, S, B]
+
+    # exact tail correction (see evaluate_misfits_floating_batch): right of
+    # hi both arrays repeat their edge values (zero for tapered rows)
+    basei = st.ps0 + i0
+    hi = jnp.maximum(rctx["ref_hi_s"], syn_hi[None, :])  # [S, RC]
+    hi_loc = jnp.clip(hi - basei, 0, wk - 1)
+    hi_loc = jnp.where(ctx["has_taper"][None, :], wk - 1, hi_loc)
+    count = (wk - 1 - hi_loc).astype(F32)  # [S, RC]
+    v_edge = v_sl[..., -1]  # [RV, T]
+    if k_share > 1:
+        v_edge = jnp.repeat(v_edge, k_share, axis=0, total_repeat_length=RC)
+    syn_edge = jnp.einsum(
+        "rtb,rt->rb", wgt, v_edge, precision=jax.lax.Precision.HIGHEST
+    )  # [RC, B]
+    dlast = ref_sl[..., -1][:, :, None] - syn_edge[None, :, :]  # [S, RC, B]
+    tail = count[..., None] * (dlast * dlast if base == L2NORM else jnp.abs(dlast))
+
+    dtc = ACCUM(st.dt)
+    sums = jnp.maximum((out.transpose(1, 0, 2) - tail).astype(ACCUM), 0.0)
+    ms = gsqrt(dtc * sums) if base == L2NORM else dtc * sums  # [S, RC, B]
+    ms = jnp.where(ctx["enabled"][None, :, None], ms.astype(F32), 0.0)
+
+    # per-receiver shift selection, exactly as evaluate_misfits_floating_batch
+    # but in [S, RC, B] layout (saves the 10 MB transpose)
+    rlo = jax.ops.segment_min(ctx["shift_lo"], ctx["receiver_ids"], num_segments=nrec)
+    rhi = jax.ops.segment_max(ctx["shift_hi"], ctx["receiver_ids"], num_segments=nrec)
+    allowed = (rctx["shifts"][:, None] >= rlo[None, :]) & (
+        rctx["shifts"][:, None] <= rhi[None, :]
+    )  # [S, R]
+
+    rids = np.asarray(ctx["receiver_ids"])
+    msq = ms**2 if base == L2NORM else ms  # [S, RC, B]
+    ku = uniform_rec_major(rids, nrec)
+    if ku is not None:
+        per_rec = msq.reshape(S, nrec, ku, B).sum(axis=2)  # [S, R, B]
+    else:
+        per_rec = jnp.zeros((S, nrec, B), ACCUM).at[:, rids].add(msq)
+    per_rec = jnp.where(allowed[..., None], per_rec, jnp.inf)
+    iloc = jnp.argmin(per_rec, axis=0)  # [R, B]
+    sel_r = jnp.arange(S, dtype=iloc.dtype)[:, None, None] == iloc[None]  # [S,R,B]
+    shift_sel = jnp.sum(
+        jnp.where(sel_r, rctx["shifts"][:, None, None], 0), axis=0
+    ).astype(rctx["shifts"].dtype).T  # [B, R]
+    if ku is not None:
+        sel_rc = jnp.repeat(sel_r, ku, axis=1, total_repeat_length=RC)
+    else:
+        sel_rc = sel_r[:, rids]
+    m = jnp.sum(jnp.where(sel_rc, ms, 0.0), axis=0).T  # [B, RC]
+    n = jnp.broadcast_to(rctx["norm"][None, :], (B, RC))
+    s0 = ctx.get("amp_scale", jnp.float32(1.0))
+    return m * s0, n * s0, shift_sel
+
+
 def global_misfit(misfits, norms):
     """sqrt(sum m^2)/sqrt(sum n^2) (minimizer_engine.f90:935-942).
 

@@ -155,3 +155,97 @@ def scan_sums(ref_srw, syn_rbw, l2=False, bt=32, interpret=False):
             out_shape=jax.ShapeDtypeStruct((S, B, RC), F32),
             interpret=interpret,
         )(ref_srw, syn_rbw)
+
+
+# ---------------------------------------------------------------------------
+# transposed fused synthesis+scan (round 5)
+# ---------------------------------------------------------------------------
+#
+# For SHARED-KINEMATICS plans the synthetic is a weight contraction
+# syn[b, rc] = sum_t wgt[rc, t, b] * v[rc, t] against a batch-invariant
+# values matrix v (the batched only_moment_changed shortcut).  The round-4
+# pipeline materialized syn [B, RC, W] in HBM (XLA synthesis ~1.6 ms at
+# bench shapes) and re-read it with scan_sums above (~1.6 ms in-program),
+# whose floor is the per-vreg log2(W) LANE tree: 28 of 36 vreg-ops per
+# (shift, rc, 32 models) are reduction, and they cannot amortize across
+# models because each model owns its own vreg rows.
+#
+# This kernel TRANSPOSES the layout -- W on sublanes, B on lanes -- so the
+# reduce over W becomes ~W/8 full-vreg adds + a 3-step sublane tree shared
+# by 128 models, and FUSES the synthesis contraction so the synthetic
+# block lives and dies in VMEM.  The two operand subtleties (measured in
+# benchmark/micro_fused.py; the round-4 v3 attempt died on the first):
+#
+# * ref rows and v rows enter as XLA-PRE-BROADCAST tiles [.., W, 128]:
+#   materializing them costs nothing measurable (the broadcast fuses into
+#   the operand stream), while broadcasting in-kernel is a ~42-op Mosaic
+#   lane relayout per (s, rc) that erases the win;
+# * the weights arrive [T, 128] with b on lanes: a [1, 128] row
+#   sublane-broadcast against [W, 128] is free.
+#
+# Measured at bench shapes (S=21 RC=30 T=30 B=4096 W=128, real v5e):
+# 3.29 ms (XLA synth + v0 scan) -> 1.65 ms fused, f32-exact (2.9e-7 =
+# reduction order).  MXU variants (bf16x3/x6 dots) measured no faster.
+
+BL = 128  # models per lane block
+
+
+def _fused_kernel(ref_ref, vt_ref, wgt_ref, out_ref, *, S, T, l2):
+    syn = vt_ref[0, 0] * wgt_ref[0, 0][None, :]
+    for t in range(1, T):
+        syn = syn + vt_ref[0, t] * wgt_ref[0, t][None, :]
+    for s in range(S):
+        d = ref_ref[0, s] - syn                # [W, BL]
+        u = d * d if l2 else jnp.abs(d)
+        out_ref[0, s] = jnp.sum(u, axis=0)     # [BL]
+
+
+@functools.partial(jax.jit, static_argnames=("k_share", "l2", "interpret"))
+def fused_scan_sums(ref_tiles, v_tiles, wgt, k_share=1, l2=False,
+                    interpret=False):
+    """Fused synthesis + full-window scan sums, transposed layout.
+
+    ref_tiles: f32[RC, S, W, BL] processed+shifted references, value
+        lane-broadcast (jnp.broadcast_to(ref[..., None], (..., BL))).
+    v_tiles:   f32[RV, T, W, BL] processed values rows, lane-broadcast;
+        RV = RC // k_share (rows shared across each receiver's k_share
+        channel rows -- taper-free plans) or RC.
+    wgt:       f32[RC, T, B] weights (moment and syn_factor folded in),
+        B a BL multiple.
+    Returns f32[RC, S, B]: sum over all W window samples of
+    |ref - sum_t wgt*v| (or its square for l2); the caller applies the
+    tail correction, dt, and the floating-shift selection.
+    """
+    RC, S, W, bl = ref_tiles.shape
+    RV, T, W2, bl2 = v_tiles.shape
+    RC3, T3, B = wgt.shape
+    assert (W, bl, bl2, RC3, T3) == (W2, BL, BL, RC, T) and B % BL == 0
+    assert RV * k_share == RC
+
+    if k_share == 1:
+        v_index = lambda rc, b: (rc, 0, 0, 0)  # noqa: E731
+    else:
+        v_index = lambda rc, b: (rc // k_share, 0, 0, 0)  # noqa: E731
+
+    # x64 guard: see scan_sums above
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_fused_kernel, S=S, T=T, l2=l2),
+            grid=(RC, B // BL),
+            in_specs=[
+                pl.BlockSpec((1, S, W, BL), lambda rc, b: (rc, 0, 0, 0)),
+                pl.BlockSpec((1, T, W, BL), v_index),
+                pl.BlockSpec((1, T, BL), lambda rc, b: (rc, 0, b)),
+            ],
+            out_specs=pl.BlockSpec((1, S, BL), lambda rc, b: (rc, 0, b)),
+            out_shape=jax.ShapeDtypeStruct((RC, S, B), F32),
+            interpret=interpret,
+        )(ref_tiles, v_tiles, wgt)
+
+
+def fused_vmem_ok(S, T, W, k_share=1):
+    """Whether the fused kernel's per-step VMEM residency (double-buffered
+    ref + v tiles + small blocks) fits the budget; callers fall back to
+    the two-stage scan_sums path otherwise (wide probes / huge scans)."""
+    tiles = (S + T) * W * BL * 4
+    return 2 * tiles <= 12 << 20
