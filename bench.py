@@ -178,21 +178,83 @@ def bench_point(eng, log):
     log(f"  point sweep: best strike {best:.1f} (true 91.0), MPS {mps:.0f}")
     assert abs(best - 91.0) < 1.0
 
-    # TPU-gated value assertion: the fused shared-kinematics sweep vs the
-    # independent per-source forward.  Guards the f32-exactness of the
-    # shared path's contractions on real hardware (an unpinned einsum
-    # routes f32 through one bf16 MXU pass: measured 2.7e-3 rel err,
-    # invisible to the CPU test suite)
-    pb = np.tile(base, (16, 1))
-    pb[:, 5] = strikes[:16]
-    g_b = np.asarray(eng.global_misfits_for_source_batch(pb))
-    g_s = np.asarray(eng.sweep_global_misfits(base, 5, strikes[:16]))
-    err = float(np.abs(g_s - g_b).max()) / max(float(np.abs(g_b).max()), 1e-30)
-    log(f"  sweep-vs-batch parity: rel err {err:.2e}")
+    # TPU-gated value assertion: the fused sweep (transposed fused kernel)
+    # vs the per-source XLA forward with the scan kernels DISABLED -- the
+    # strongest on-hardware oracle.  Guards both the f32-exactness of the
+    # shared contractions (an unpinned einsum routes f32 through one bf16
+    # MXU pass: measured 2.7e-3 rel err) and the Mosaic lowering of the
+    # fused kernel (pytest only runs it in interpret mode on CPU)
+    err = _sweep_vs_xla_err(eng, base, strikes)
+    log(f"  sweep-vs-XLA parity: rel err {err:.2e}")
     assert err < 1e-5, (
-        f"fused sweep disagrees with the per-source forward on TPU: "
+        f"fused sweep disagrees with the per-source XLA forward on TPU: "
         f"{err:.3e} (tolerance 1e-5)")
     return mps
+
+
+def _sweep_vs_xla_err(eng, base, strikes):
+    """max rel err of the fused sweep against the per-source XLA eval
+    (KIWI_FLOAT_SCAN=0, KIWI_FUSED_SCAN=0) on the first 16 strikes."""
+    g_s = np.asarray(eng.sweep_global_misfits(base, 5, strikes[:16]))
+    pb = np.tile(base, (16, 1))
+    pb[:, 5] = strikes[:16]
+    os.environ["KIWI_FLOAT_SCAN"] = "0"
+    os.environ["KIWI_FUSED_SCAN"] = "0"
+    try:
+        eng._invalidate()
+        g_b = np.asarray(eng.global_misfits_for_source_batch(pb))
+    finally:
+        os.environ.pop("KIWI_FLOAT_SCAN", None)
+        os.environ.pop("KIWI_FUSED_SCAN", None)
+        eng._invalidate()
+    return float(np.abs(g_s - g_b).max()) / max(float(np.abs(g_b).max()), 1e-30)
+
+
+def bench_point_filtered(eng, log):
+    """The realistic inversion shape: band-pass filtered floating_l1norm
+    point sweep (every standard tunguska Step sets spectral filters --
+    reference python/tunguska/inversion.py).  Round 4 dropped this
+    configuration to the vmapped XLA path (a measured 2.4-16x cliff); the
+    fused kernel's in-kernel span masks now cover it.  Reported as its own
+    metric so the configuration users actually run is a tracked number."""
+    import jax
+
+    base = np.array(
+        [0, 0, 0, 5000.0, 1e12, 91.0, 87.0, 164.0, 0.0, 0.0, 0.0, 0.0, 2500.0, 0.2],
+        dtype=np.float32,
+    )
+    eng.set_misfit_filter(None, [0.0, 0.2, 3.0, 4.0], [0.0, 1.0, 1.0, 0.0])
+    try:
+        eng.set_source_params("bilateral", base)
+        eng.set_synthetic_reference()
+        eng.set_floating_shiftrange(-1.0, 1.0)
+        eng.set_misfit_method("floating_l1norm")
+
+        nstrikes = 3610
+        strikes = np.linspace(0.0, 360.0, nstrikes).astype(np.float32)
+
+        def dispatch(sl):
+            return eng.sweep_global_misfits(base, 5, sl)
+
+        batches = [strikes] * 16
+        mps, outs = steady_state_mps(dispatch, batches, log, "point_filtered")
+        g = np.concatenate([np.asarray(o) for o in outs])[:nstrikes]
+        best = float(strikes[int(np.argmin(g))])
+        log(f"  filtered point sweep: best strike {best:.1f} (true 91.0), "
+            f"MPS {mps:.0f}")
+        assert abs(best - 91.0) < 1.0
+
+        # TPU-gated parity: masked fused kernel vs the per-source XLA eval
+        # with the full FFT filter chain
+        err = _sweep_vs_xla_err(eng, base, strikes)
+        log(f"  filtered sweep-vs-XLA parity: rel err {err:.2e}")
+        assert err < 1e-5, (
+            f"filtered fused sweep disagrees with the per-source forward: "
+            f"{err:.3e} (tolerance 1e-5)")
+        return mps
+    finally:
+        eng._filters.clear()
+        eng._invalidate()
 
 
 def bench_finite(eng, log):
@@ -474,6 +536,11 @@ def main():
     eng = make_engine(store)
 
     point_mps = bench_point(eng, log)
+    try:
+        point_filt_mps = bench_point_filtered(eng, log)
+    except Exception as e:  # noqa: BLE001
+        log(f"  filtered point bench failed: {e}")
+        point_filt_mps = 0.0
     finite_mps, roofline = bench_finite(eng, log)
     try:
         eik_mps = bench_eikonal(eng, log)
@@ -502,6 +569,8 @@ def main():
         "vs_baseline": round(point_mps / MEASURED_FORTRAN_CORE_MPS, 2),
         "fortran_core_mps": MEASURED_FORTRAN_CORE_MPS,
         "vs_fortran_pool4": round(point_mps / (4 * MEASURED_FORTRAN_CORE_MPS), 2),
+        "point_filtered_mps": round(point_filt_mps, 1),
+        "filtered_over_unfiltered": round(point_filt_mps / max(point_mps, 1e-9), 3),
         "finite_mps": round(finite_mps, 1),
         "finite_vs_fortran": round(finite_mps / MEASURED_FORTRAN_FINITE_MPS, 2),
         "eikonal_mps": round(eik_mps, 1),

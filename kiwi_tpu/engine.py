@@ -646,11 +646,16 @@ class Engine:
         else:
             _i0, _i1 = 0, st.pl
         _wk = min(-(-(_i1 - _i0) // 8) * 8, st.pl)
+        # unlike use_fscan, the fused path covers FILTERED plans too (the
+        # filter chain is linear and commutes with the contraction; exact
+        # span masks replace the tail correction in-kernel)
         use_fused_scan = (
-            use_fscan
+            method in (mf.FLOATING_L2NORM, mf.FLOATING_L1NORM)
+            and os.environ.get("KIWI_FLOAT_SCAN", "1") != "0"
+            and (_on_tpu() or os.environ.get("KIWI_FLOAT_SCAN_INTERPRET") == "1")
             and rc_uniform
             and tprime <= 64
-            and fused_vmem_ok(s2 - s1 + 1, tprime, _wk)
+            and fused_vmem_ok(s2 - s1 + 1, tprime, _wk, masked=any_filter)
             and os.environ.get("KIWI_FUSED_SCAN", "1") != "0"
         )
 
@@ -697,7 +702,7 @@ class Engine:
                 nrec * rc_k, tprime, bsz)
             lo_rc = los[rc_rec_j, span_idx_j]  # [RC], batch-shared
             hi_rc = his[rc_rec_j, span_idx_j]
-            if any_taper:
+            if any_taper or any_filter:
                 v_rows = jnp.repeat(
                     v_all, rc_k, axis=0, total_repeat_length=nrec * rc_k)
                 kshare = 1
@@ -708,7 +713,8 @@ class Engine:
                 ctx, v_rows, wgt_rtb, cfg.out_it0, lo_rc, hi_rc, method, st,
                 nrec, moments, risetimes[0], fold_nshift_max=fold_max,
                 rctx=rctx, shiftrange=shiftrange, any_taper=any_taper,
-                eval_win=eval_win, k_share=kshare, interpret=not _on_tpu(),
+                any_filter=any_filter, eval_win=eval_win, k_share=kshare,
+                interpret=not _on_tpu(),
             )
 
         def _scaled_traces(cent, moment, risetime):

@@ -888,6 +888,7 @@ def evaluate_misfits_floating_fused(
     rctx=None,
     shiftrange=(0, 0),
     any_taper=True,
+    any_filter=False,
     eval_win=None,
     k_share=1,
     interpret=False,
@@ -898,13 +899,19 @@ def evaluate_misfits_floating_fused(
     syn[b, rc] = sum_t wgt[rc, t, b] * v[rc, t] is never materialized in
     HBM.  Mathematically identical to evaluate_misfits_floating_batch on
     the synthetics that contraction would produce -- every processing
-    step (fold, place_on_probe, taper, syn_factor, moment) is linear and
-    elementwise in time, so it commutes with the weight contraction and
-    is applied to the T values rows once instead of to B synthetics.
+    step (fold, place_on_probe, taper, rfft -> PLF filter -> irfft,
+    syn_factor, moment) is LINEAR, so it commutes with the weight
+    contraction and is applied to the T values rows once instead of to B
+    synthetics.  This is what gives FILTERED plans (the configuration
+    real inversions run: band-pass + floating norms,
+    tunguska/inversion.py set_misfit_filter in every standard Step) the
+    same kernel fast path: the reference stack is masked per (shift, rc)
+    span in-kernel instead of tail-corrected, since irfft ringing breaks
+    the constant-tail decomposition.
 
     v_rtw: f32[RV, T, NT] raw values rows (receiver GF blend rows) with
         RV = RC // k_share (k_share > 1 = rows shared across each
-        receiver's channel rows; requires a taper-free plan) or RC.
+        receiver's channel rows; requires a taper/filter-free plan) or RC.
     wgt_rtb: f32[RC, T, B] per-source weights (channel rotation + signs
         folded; moment/syn_factor applied here).
     moments: f32[B]; risetime0: traced scalar, the batch-UNIFORM risetime
@@ -917,7 +924,8 @@ def evaluate_misfits_floating_fused(
     assert method in (FLOATING_L2NORM, FLOATING_L1NORM)
     base = L2NORM if method == FLOATING_L2NORM else L1NORM
     if rctx is None:
-        rctx = precompute_ref_context(ctx, method, st, shiftrange, any_taper, False)
+        rctx = precompute_ref_context(
+            ctx, method, st, shiftrange, any_taper, any_filter)
 
     RC = wgt_rtb.shape[0]
     B = wgt_rtb.shape[2]
@@ -930,11 +938,22 @@ def evaluate_misfits_floating_fused(
         syn_hi = syn_hi + fold_nshift_max
 
     v_p = place_on_probe(v_rtw, syn_it0, st)  # [RV, T, PL]
-    if any_taper:
-        assert k_share == 1, "taper rows need per-rc values rows"
+    if any_taper or any_filter:
+        assert k_share == 1, "taper/filter rows need per-rc values rows"
         v_p = jnp.where(
             ctx["has_taper"][:, None, None], v_p * ctx["taper_w"][:, None, :], v_p
         )
+    if any_filter:
+        # probe processing chain on the values rows (processed_arrays
+        # semantics, comparator.f90:1171-1263): T*RC small FFTs once per
+        # batch instead of B*RC per batch
+        spec = jnp.fft.rfft(v_p, axis=-1)
+        filt = jnp.fft.irfft(spec * ctx["filter_w"][:, None, :], n=st.pl,
+                             axis=-1).astype(F32)
+        filt = jnp.where(
+            ctx["has_taper"][:, None, None],
+            filt * ctx["taper_zero_one"][:, None, :], filt)
+        v_p = jnp.where(ctx["has_filter"][:, None, None], filt, v_p)
     # per-rc syn_factor and per-source moment fold into the weights
     wgt = (wgt_rtb * ctx["syn_factor"][:, None, None]
            * moments.astype(F32)[None, None, :])
@@ -957,29 +976,53 @@ def evaluate_misfits_floating_fused(
     ref_tiles = jnp.broadcast_to(
         ref_sl.transpose(1, 0, 2)[..., None], (RC, S, wk, BL))
     v_tiles = jnp.broadcast_to(v_sl[..., None], v_sl.shape + (BL,))
-    out = fused_scan_sums(
-        ref_tiles, v_tiles, wgt_k, k_share=k_share, l2=(base == L2NORM),
-        interpret=interpret,
-    )[..., :B]  # [RC, S, B]
 
-    # exact tail correction (see evaluate_misfits_floating_batch): right of
-    # hi both arrays repeat their edge values (zero for tapered rows)
     basei = st.ps0 + i0
-    hi = jnp.maximum(rctx["ref_hi_s"], syn_hi[None, :])  # [S, RC]
-    hi_loc = jnp.clip(hi - basei, 0, wk - 1)
-    hi_loc = jnp.where(ctx["has_taper"][None, :], wk - 1, hi_loc)
-    count = (wk - 1 - hi_loc).astype(F32)  # [S, RC]
-    v_edge = v_sl[..., -1]  # [RV, T]
-    if k_share > 1:
-        v_edge = jnp.repeat(v_edge, k_share, axis=0, total_repeat_length=RC)
-    syn_edge = jnp.einsum(
-        "rtb,rt->rb", wgt, v_edge, precision=jax.lax.Precision.HIGHEST
-    )  # [RC, B]
-    dlast = ref_sl[..., -1][:, :, None] - syn_edge[None, :, :]  # [S, RC, B]
-    tail = count[..., None] * (dlast * dlast if base == L2NORM else jnp.abs(dlast))
+    if any_filter:
+        # exact per-(shift, rc) span masks in-kernel: filtered rows ring to
+        # the probe edges, so the misfit integrates over the taper span or
+        # the union of data spans (evaluate_misfits floating branch), not
+        # full-window-minus-tail
+        lo = jnp.where(
+            ctx["has_taper"][None, :], ctx["taper_lo"][None, :],
+            jnp.minimum(rctx["ref_lo_s"], syn_lo[None, :]))  # [S, RC]
+        hi = jnp.where(
+            ctx["has_taper"][None, :], ctx["taper_hi"][None, :],
+            jnp.maximum(rctx["ref_hi_s"], syn_hi[None, :]))
+        j = basei + jnp.arange(wk)
+        mask = ((j[None, None, :] >= lo[..., None])
+                & (j[None, None, :] <= hi[..., None])).astype(F32)  # [S,RC,W]
+        mask_tiles = jnp.broadcast_to(
+            mask.transpose(1, 0, 2)[..., None], (RC, S, wk, BL))
+        out = fused_scan_sums(
+            ref_tiles, v_tiles, wgt_k, mask_tiles=mask_tiles,
+            k_share=k_share, l2=(base == L2NORM), interpret=interpret,
+        )[..., :B]  # [RC, S, B]
+        sums = jnp.maximum(out.transpose(1, 0, 2).astype(ACCUM), 0.0)
+    else:
+        out = fused_scan_sums(
+            ref_tiles, v_tiles, wgt_k, k_share=k_share, l2=(base == L2NORM),
+            interpret=interpret,
+        )[..., :B]  # [RC, S, B]
+
+        # exact tail correction (see evaluate_misfits_floating_batch): right
+        # of hi both arrays repeat their edge values (zero for tapered rows)
+        hi = jnp.maximum(rctx["ref_hi_s"], syn_hi[None, :])  # [S, RC]
+        hi_loc = jnp.clip(hi - basei, 0, wk - 1)
+        hi_loc = jnp.where(ctx["has_taper"][None, :], wk - 1, hi_loc)
+        count = (wk - 1 - hi_loc).astype(F32)  # [S, RC]
+        v_edge = v_sl[..., -1]  # [RV, T]
+        if k_share > 1:
+            v_edge = jnp.repeat(v_edge, k_share, axis=0, total_repeat_length=RC)
+        syn_edge = jnp.einsum(
+            "rtb,rt->rb", wgt, v_edge, precision=jax.lax.Precision.HIGHEST
+        )  # [RC, B]
+        dlast = ref_sl[..., -1][:, :, None] - syn_edge[None, :, :]  # [S, RC, B]
+        tail = count[..., None] * (
+            dlast * dlast if base == L2NORM else jnp.abs(dlast))
+        sums = jnp.maximum((out.transpose(1, 0, 2) - tail).astype(ACCUM), 0.0)
 
     dtc = ACCUM(st.dt)
-    sums = jnp.maximum((out.transpose(1, 0, 2) - tail).astype(ACCUM), 0.0)
     ms = gsqrt(dtc * sums) if base == L2NORM else dtc * sums  # [S, RC, B]
     ms = jnp.where(ctx["enabled"][None, :, None], ms.astype(F32), 0.0)
 

@@ -200,9 +200,24 @@ def _fused_kernel(ref_ref, vt_ref, wgt_ref, out_ref, *, S, T, l2):
         out_ref[0, s] = jnp.sum(u, axis=0)     # [BL]
 
 
+def _fused_kernel_masked(ref_ref, vt_ref, wgt_ref, msk_ref, out_ref, *,
+                         S, T, l2):
+    """Masked variant: per-(s, rc) span masks replace the closed-form tail
+    correction.  Exact for SPECTRAL-FILTER rows, whose irfft ringing breaks
+    the constant-tail assumption the unmasked kernel leans on; ~16 extra
+    vreg-muls per (s, rc, 128 models)."""
+    syn = vt_ref[0, 0] * wgt_ref[0, 0][None, :]
+    for t in range(1, T):
+        syn = syn + vt_ref[0, t] * wgt_ref[0, t][None, :]
+    for s in range(S):
+        d = ref_ref[0, s] - syn
+        u = d * d if l2 else jnp.abs(d)
+        out_ref[0, s] = jnp.sum(u * msk_ref[0, s], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("k_share", "l2", "interpret"))
-def fused_scan_sums(ref_tiles, v_tiles, wgt, k_share=1, l2=False,
-                    interpret=False):
+def fused_scan_sums(ref_tiles, v_tiles, wgt, mask_tiles=None, k_share=1,
+                    l2=False, interpret=False):
     """Fused synthesis + full-window scan sums, transposed layout.
 
     ref_tiles: f32[RC, S, W, BL] processed+shifted references, value
@@ -212,9 +227,13 @@ def fused_scan_sums(ref_tiles, v_tiles, wgt, k_share=1, l2=False,
         channel rows -- taper-free plans) or RC.
     wgt:       f32[RC, T, B] weights (moment and syn_factor folded in),
         B a BL multiple.
+    mask_tiles: optional f32[RC, S, W, BL] span masks, lane-broadcast like
+        ref_tiles; when given the kernel sums u * mask (filtered plans,
+        where ringing breaks the tail-correction decomposition).
     Returns f32[RC, S, B]: sum over all W window samples of
     |ref - sum_t wgt*v| (or its square for l2); the caller applies the
-    tail correction, dt, and the floating-shift selection.
+    tail correction (unmasked) or nothing (masked), dt, and the
+    floating-shift selection.
     """
     RC, S, W, bl = ref_tiles.shape
     RV, T, W2, bl2 = v_tiles.shape
@@ -227,25 +246,36 @@ def fused_scan_sums(ref_tiles, v_tiles, wgt, k_share=1, l2=False,
     else:
         v_index = lambda rc, b: (rc // k_share, 0, 0, 0)  # noqa: E731
 
+    in_specs = [
+        pl.BlockSpec((1, S, W, BL), lambda rc, b: (rc, 0, 0, 0)),
+        pl.BlockSpec((1, T, W, BL), v_index),
+        pl.BlockSpec((1, T, BL), lambda rc, b: (rc, 0, b)),
+    ]
+    args = [ref_tiles, v_tiles, wgt]
+    if mask_tiles is None:
+        kern = functools.partial(_fused_kernel, S=S, T=T, l2=l2)
+    else:
+        assert mask_tiles.shape == (RC, S, W, BL)
+        kern = functools.partial(_fused_kernel_masked, S=S, T=T, l2=l2)
+        in_specs.append(pl.BlockSpec((1, S, W, BL), lambda rc, b: (rc, 0, 0, 0)))
+        args.append(mask_tiles)
+
     # x64 guard: see scan_sums above
     with jax.enable_x64(False):
         return pl.pallas_call(
-            functools.partial(_fused_kernel, S=S, T=T, l2=l2),
+            kern,
             grid=(RC, B // BL),
-            in_specs=[
-                pl.BlockSpec((1, S, W, BL), lambda rc, b: (rc, 0, 0, 0)),
-                pl.BlockSpec((1, T, W, BL), v_index),
-                pl.BlockSpec((1, T, BL), lambda rc, b: (rc, 0, b)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, S, BL), lambda rc, b: (rc, 0, b)),
             out_shape=jax.ShapeDtypeStruct((RC, S, B), F32),
             interpret=interpret,
-        )(ref_tiles, v_tiles, wgt)
+        )(*args)
 
 
-def fused_vmem_ok(S, T, W, k_share=1):
+def fused_vmem_ok(S, T, W, masked=False):
     """Whether the fused kernel's per-step VMEM residency (double-buffered
-    ref + v tiles + small blocks) fits the budget; callers fall back to
-    the two-stage scan_sums path otherwise (wide probes / huge scans)."""
-    tiles = (S + T) * W * BL * 4
+    ref + v [+ mask] tiles + small blocks) fits the budget; callers fall
+    back to the two-stage scan_sums path otherwise (wide probes / huge
+    scans)."""
+    tiles = ((2 if masked else 1) * S + T) * W * BL * 4
     return 2 * tiles <= 12 << 20

@@ -102,6 +102,42 @@ def test_fused_with_tapers(engine, monkeypatch):
         eng._invalidate()
 
 
+@pytest.mark.parametrize("method", ["floating_l1norm", "floating_l2norm"])
+def test_fused_with_filters(engine, monkeypatch, method):
+    """Spectral band-pass filters: the filter chain commutes with the
+    contraction (applied to the values rows), and in-kernel span masks
+    replace the tail correction (irfft ringing breaks tail constancy).
+    This is the configuration real inversions run -- it previously fell
+    to the vmapped XLA path."""
+    eng, p = engine
+    eng.set_misfit_method(method)
+    for irec in range(4):
+        eng.set_misfit_filter(irec, [0.0, 0.2, 3.0, 4.0], [0.0, 1.0, 1.0, 0.0])
+    try:
+        eng.set_synthetic_reference()
+        _compare(eng, _strike_batch(p), monkeypatch)
+    finally:
+        eng._filters.clear()
+        eng._invalidate()
+
+
+def test_fused_with_filters_and_tapers(engine, monkeypatch):
+    """Filter + taper combined: taper applies before the FFT, the filtered
+    row is re-zeroed by taper_zero_one, and the mask is the taper span."""
+    eng, p = engine
+    eng.set_misfit_method("floating_l1norm")
+    for irec in range(4):
+        eng.set_misfit_filter(irec, [0.0, 0.2, 3.0, 4.0], [0.0, 1.0, 1.0, 0.0])
+        eng.set_misfit_taper(irec, [0.0, 1.0, 6.0, 9.0], [0.0, 1.0, 1.0, 0.0])
+    try:
+        eng.set_synthetic_reference()
+        _compare(eng, _strike_batch(p), monkeypatch)
+    finally:
+        eng._filters.clear()
+        eng._tapers.clear()
+        eng._invalidate()
+
+
 def test_nonuniform_risetimes_fall_back(engine, monkeypatch):
     """A batch sweeping the risetime column cannot fold the STF into the
     shared values rows: the engine must take the unfused path and still
