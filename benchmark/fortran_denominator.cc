@@ -55,9 +55,17 @@
 
 namespace {
 
-constexpr uint32_t kMagicV2 = 0x4B574932u;  // "KWI2"
+constexpr uint32_t kMagicV3 = 0x4B574933u;  // "KWI3"
 
 struct Taper {
+    int irc = -1;
+    float x[4], y[4];
+};
+
+// spectral PLF filter on rfft bins (same wire format as Taper; the
+// coordinate is frequency, weights evaluated at k*df, df = 1/(pl*dt) --
+// comparator.f90:1218-1231)
+struct Filter {
     int irc = -1;
     float x[4], y[4];
 };
@@ -76,6 +84,7 @@ struct Store {
     int nsweep = 0;
     std::vector<std::vector<float>> dump_params;
     std::vector<Taper> tapers;
+    std::vector<Filter> filters;
     // table replay
     int ncent_tab = 0;
     std::vector<float> tab_north, tab_east, tab_depth, tab_time, tab_m6;
@@ -107,7 +116,7 @@ bool load(const char* path, Store& s) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return false;
     uint32_t magic;
-    if (!rd(f, &magic, 4, 1) || magic != kMagicV2) { std::fclose(f); return false; }
+    if (!rd(f, &magic, 4, 1) || magic != kMagicV3) { std::fclose(f); return false; }
     int32_t ihdr[6];
     float fhdr[5];
     if (!rd(f, ihdr, 4, 6) || !rd(f, fhdr, 4, 5)) { std::fclose(f); return false; }
@@ -126,6 +135,15 @@ bool load(const char* path, Store& s) {
         ok = rd(f, &irc, 4, 1) && rd(f, t.x, 4, 4) && rd(f, t.y, 4, 4);
         t.irc = irc;
         s.tapers.push_back(t);
+    }
+    int32_t nfil = 0;
+    ok = ok && rd(f, &nfil, 4, 1);
+    for (int i = 0; ok && i < nfil; ++i) {
+        Filter t;
+        int32_t irc;
+        ok = rd(f, &irc, 4, 1) && rd(f, t.x, 4, 4) && rd(f, t.y, 4, 4);
+        t.irc = irc;
+        s.filters.push_back(t);
     }
     int32_t wl = 0;
     ok = ok && rd(f, &wl, 4, 1);
@@ -614,6 +632,91 @@ void taper_weights(const Taper& t, int j0, int j1, float dt,
     for (int j = std::max(iend0, j0); j <= j1; ++j) w[size_t(j - j0)] = 0.0f;
 }
 
+// plf zero-one mask (plf_taper_array with ip='zero_one'): 1 inside the
+// PLF support, 0 at/before floor(x1/dt), 0 from floor(x4/dt)+1, 0 on
+// flat-zero segments
+void taper_zero_one(const Taper& t, int j0, int j1, float dt,
+                    std::vector<float>& w) {
+    int n = j1 - j0 + 1;
+    w.assign(size_t(n), 1.0f);
+    int ibeg0 = int(std::floor(t.x[0] / dt));
+    if (j0 <= ibeg0)
+        for (int j = j0; j <= std::min(ibeg0, j1); ++j) w[size_t(j - j0)] = 0.0f;
+    int ibegatleast = j0;
+    for (int i = 0; i < 3; ++i) {
+        int ibeg = std::max(int(std::floor(t.x[i] / dt)) + 1,
+                            std::max(j0, ibegatleast));
+        int iend = std::min(int(std::floor(t.x[i + 1] / dt)), j1);
+        float val = (t.y[i] == 0.0f && t.y[i + 1] == 0.0f) ? 0.0f : 1.0f;
+        for (int j = ibeg; j <= iend; ++j) w[size_t(j - j0)] = val;
+        ibegatleast = iend + 1;
+    }
+    int iend0 = int(std::floor(t.x[3] / dt)) + 1;
+    for (int j = std::max(iend0, j0); j <= j1; ++j) w[size_t(j - j0)] = 0.0f;
+}
+
+// radix-2 complex FFT, double precision (pl is a power of two).  The
+// reference uses FFTW3f single precision; double here is strictly more
+// accurate than both sides of the comparison, so differences land in the
+// f32 tolerance band of the parity tests.
+void fft_c2c(std::vector<double>& re, std::vector<double>& im, bool inverse) {
+    int n = int(re.size());
+    for (int i = 1, j = 0; i < n; ++i) {  // bit reversal
+        int bit = n >> 1;
+        for (; j & bit; bit >>= 1) j ^= bit;
+        j ^= bit;
+        if (i < j) { std::swap(re[i], re[j]); std::swap(im[i], im[j]); }
+    }
+    for (int len = 2; len <= n; len <<= 1) {
+        double ang = 2.0 * M_PI / len * (inverse ? 1.0 : -1.0);
+        double wr = std::cos(ang), wi = std::sin(ang);
+        for (int i = 0; i < n; i += len) {
+            double cr = 1.0, ci = 0.0;
+            for (int j = 0; j < len / 2; ++j) {
+                int a = i + j, b = i + j + len / 2;
+                double ur = re[a], ui = im[a];
+                double vr = re[b] * cr - im[b] * ci;
+                double vi = re[b] * ci + im[b] * cr;
+                re[a] = ur + vr; im[a] = ui + vi;
+                re[b] = ur - vr; im[b] = ui - vi;
+                double ncr = cr * wr - ci * wi;
+                ci = cr * wi + ci * wr;
+                cr = ncr;
+            }
+        }
+    }
+    if (inverse)
+        for (int i = 0; i < n; ++i) { re[i] /= n; im[i] /= n; }
+}
+
+// probe processing chain for a filtered row (probe dataflow,
+// comparator.f90:1171-1263 / misfit.processed_arrays): taper (cos) ->
+// rfft -> PLF filter on bins -> irfft -> re-zero by the zero-one taper.
+// filtw: weights at bins 0..pl/2; tw/tz empty when no taper.
+void process_filtered(const float* row, const std::vector<float>& tw,
+                      const std::vector<float>& tz,
+                      const std::vector<float>& filtw, int pl,
+                      std::vector<double>& re, std::vector<double>& im,
+                      std::vector<float>& out) {
+    re.assign(size_t(pl), 0.0);
+    im.assign(size_t(pl), 0.0);
+    for (int j = 0; j < pl; ++j)
+        re[size_t(j)] = double(row[j]) * (tw.empty() ? 1.0 : double(tw[size_t(j)]));
+    fft_c2c(re, im, false);
+    for (int k = 0; k < pl; ++k) {
+        double fw = double(filtw[size_t(std::min(k, pl - k))]);
+        re[size_t(k)] *= fw;
+        im[size_t(k)] *= fw;
+    }
+    fft_c2c(re, im, true);
+    out.resize(size_t(pl));
+    for (int j = 0; j < pl; ++j) {
+        double v = re[size_t(j)];
+        if (!tz.empty()) v *= double(tz[size_t(j)]);
+        out[size_t(j)] = float(v);
+    }
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -669,11 +772,29 @@ int main(int argc, char** argv) {
     for (auto& v : ref) v.assign(size_t(pl), 0.0f);
     for (auto& v : syn) v.assign(size_t(pl), 0.0f);
 
-    // per-rc taper weights over the probe span (cos), or empty
-    std::vector<std::vector<float>> tapw(R * 3);
+    // per-rc taper weights over the probe span (cos + zero-one), or empty
+    std::vector<std::vector<float>> tapw(R * 3), tzw(R * 3);
     for (auto& t : s.tapers)
-        if (t.irc >= 0 && t.irc < R * 3)
+        if (t.irc >= 0 && t.irc < R * 3) {
             taper_weights(t, ps0, ps0 + pl - 1, s.dt, tapw[size_t(t.irc)]);
+            taper_zero_one(t, ps0, ps0 + pl - 1, s.dt, tzw[size_t(t.irc)]);
+        }
+    // per-rc spectral filter weights at rfft bins 0..pl/2 (coordinate
+    // k*df; same cos-PLF evaluator with dt -> df)
+    std::vector<std::vector<float>> filtw(R * 3);
+    float df = 1.0f / (float(pl) * s.dt);
+    for (auto& t : s.filters)
+        if (t.irc >= 0 && t.irc < R * 3) {
+            Taper ft;
+            ft.irc = t.irc;
+            std::memcpy(ft.x, t.x, 16);
+            std::memcpy(ft.y, t.y, 16);
+            taper_weights(ft, 0, pl / 2, df, filtw[size_t(t.irc)]);
+        }
+    std::vector<double> fft_re, fft_im;
+    std::vector<float> prow(static_cast<size_t>(pl));
+    std::vector<float> prow2(static_cast<size_t>(pl));
+    std::vector<std::vector<float>> psyn_f(3);  // filtered syn rows/receiver
 
     Strip away, right, down;
     BilinBuf buf;
@@ -835,13 +956,48 @@ int main(int argc, char** argv) {
             double bm[3] = {0, 0, 0};
             double nsum[3] = {0, 0, 0};  // norm = MEAN over shifts
                                          // (receiver.f90:501)
+            // filtered rows: the processed SYN is shift-independent --
+            // run its FFT chain once per (receiver, component)
+            for (int comp = 0; comp < 3; ++comp) {
+                size_t rc = size_t(ir) * 3 + comp;
+                if (!filtw[rc].empty())
+                    process_filtered(syn[rc].data(), tapw[rc], tzw[rc],
+                                     filtw[rc], pl, fft_re, fft_im,
+                                     psyn_f[size_t(comp)]);
+            }
             for (int isf = 0; isf < NS; ++isf) {
                 int sft = shift0 + isf;
                 double tot = 0.0, cm[3], cn[3];
                 for (int comp = 0; comp < 3; ++comp) {
                     size_t rc = size_t(ir) * 3 + comp;
                     const auto& tw = tapw[rc];
-                    if (!tw.empty()) {
+                    if (!filtw[rc].empty()) {
+                        // spectral-filter rows (comparator.f90:1218-1263):
+                        // shift -> taper -> rfft -> PLF filter -> irfft ->
+                        // taper-zeroing, then integrate the taper span
+                        // (tapered rows vanish outside it) or the union of
+                        // data spans
+                        for (int j = 0; j < pl; ++j) {
+                            int src = std::max(0, std::min(j - sft, pl - 1));
+                            prow2[size_t(j)] = ref[rc][size_t(src)];
+                        }
+                        process_filtered(prow2.data(), tw, tzw[rc],
+                                         filtw[rc], pl, fft_re, fft_im, prow);
+                        const auto& ps = psyn_f[size_t(comp)];
+                        if (!tw.empty()) {
+                            cm[comp] = l1_pair(prow.data(), ps.data(), pl, s.dt);
+                            cn[comp] = l1_one(prow.data(), pl, s.dt);
+                        } else {
+                            int u1 = std::min(ref_lo[rc] + sft, syn_lo[rc]);
+                            int u2 = std::max(ref_hi[rc] + sft, syn_hi[rc]);
+                            cm[comp] = l1_pair(&prow[size_t(u1 - ps0)],
+                                               &ps[size_t(u1 - ps0)],
+                                               u2 - u1 + 1, s.dt);
+                            cn[comp] = l1_one(
+                                &prow[size_t(ref_lo[rc] + sft - ps0)],
+                                ref_hi[rc] - ref_lo[rc] + 1, s.dt);
+                        }
+                    } else if (!tw.empty()) {
                         // taper applied to the (shifted, extended) rows
                         // over the full probe (tapered rows vanish outside
                         // the taper span)
@@ -884,7 +1040,23 @@ int main(int argc, char** argv) {
             for (int comp = 0; comp < 3; ++comp) {
                 size_t rc = size_t(ir) * 3 + comp;
                 const auto& tw = tapw[rc];
-                if (!tw.empty()) {
+                if (!filtw[rc].empty()) {
+                    process_filtered(ref[rc].data(), tw, tzw[rc], filtw[rc],
+                                     pl, fft_re, fft_im, prow);
+                    const auto& ps = psyn_f[size_t(comp)];
+                    if (!tw.empty()) {
+                        mis_l2[rc] = l2_pair(prow.data(), ps.data(), pl, s.dt);
+                        nrm_l2[rc] = l2_one(prow.data(), pl, s.dt);
+                    } else {
+                        int u1 = std::min(ref_lo[rc], syn_lo[rc]);
+                        int u2 = std::max(ref_hi[rc], syn_hi[rc]);
+                        mis_l2[rc] = l2_pair(&prow[size_t(u1 - ps0)],
+                                             &ps[size_t(u1 - ps0)],
+                                             u2 - u1 + 1, s.dt);
+                        nrm_l2[rc] = l2_one(&prow[size_t(ref_lo[rc] - ps0)],
+                                            ref_hi[rc] - ref_lo[rc] + 1, s.dt);
+                    }
+                } else if (!tw.empty()) {
                     for (int j = 0; j < pl; ++j) {
                         trow[size_t(j)] = ref[rc][size_t(j)] * tw[size_t(j)];
                         trow2[size_t(j)] = syn[rc][size_t(j)] * tw[size_t(j)];

@@ -38,10 +38,12 @@ import sys
 import numpy as np
 
 
-def write_blob(out, store, geom, *, nshift=21, tapers=(), workload=None):
+def write_blob(out, store, geom, *, nshift=21, tapers=(), filters=(),
+               workload=None):
     """store: kiwi_tpu.gf.store.GFStore (or any object with dt/dx/dz/
     firstx/firstz/data/itmin/nsamples); geom: (azi, bazi, dist) f64 arrays;
-    tapers: [(irc, x4, y4)]; workload: dict, kind='bilat' with
+    tapers: [(irc, x4, y4)]; filters: [(irc, x4, y4)] spectral PLF filters
+    (frequency coordinates); workload: dict, kind='bilat' with
     ref_params/nsweep/dump_params or kind='table' with north/east/depth/
     time/m6 arrays.  edt in both."""
     data = np.ascontiguousarray(store.data, np.float32)
@@ -52,7 +54,7 @@ def write_blob(out, store, geom, *, nshift=21, tapers=(), workload=None):
     nrec = len(azi)
 
     with open(out, "wb") as f:
-        f.write(struct.pack("<I", 0x4B574932))
+        f.write(struct.pack("<I", 0x4B574933))
         f.write(struct.pack("<6i", nx, nz, ng, ntmax, nrec, nshift))
         f.write(struct.pack("<5f", float(store.dt), float(store.dx),
                             float(store.dz), float(store.firstx),
@@ -62,6 +64,11 @@ def write_blob(out, store, geom, *, nshift=21, tapers=(), workload=None):
         f.write(np.asarray(dist, "<f8").tobytes())
         f.write(struct.pack("<i", len(tapers)))
         for irc, x4, y4 in tapers:
+            f.write(struct.pack("<i", int(irc)))
+            f.write(np.asarray(x4, "<f4").tobytes())
+            f.write(np.asarray(y4, "<f4").tobytes())
+        f.write(struct.pack("<i", len(filters)))
+        for irc, x4, y4 in filters:
             f.write(struct.pack("<i", int(irc)))
             f.write(np.asarray(x4, "<f4").tobytes())
             f.write(np.asarray(y4, "<f4").tobytes())

@@ -101,7 +101,10 @@ class Engine:
         # batch's most demanding members and guarded by the discretizer's
         # async overflow counter (checked one batch later, sync-free).
         self._eik_calib = {}
-        self._eik_pending = None
+        self._eik_pending = []
+        # optional floor on the pow2 probe length (spectral-filter
+        # grid pinning; see _make_plan)
+        self.min_probe_length = 0
         # (per_source_bytes estimates are TPU-pad-aware; a v5e chip has
         # ~16 GB HBM, leaving headroom for the GF window + misfit probes)
 
@@ -335,7 +338,14 @@ class Engine:
             lo = min(lo, itmin + s1)
             hi = max(hi, itmin + len(values) - 1 + s2)
             maxreflen = max(maxreflen, len(values))
-        minlength = 2 * max(cfg.nt_out, maxreflen)
+        # min_probe_length: optional floor on the pow2 probe length.  The
+        # reference grows probes lazily per content (comparator.f90:
+        # 1092-1118), so the exact pow2 size is implementation-path
+        # dependent -- but spectral-filter weights are evaluated at
+        # k/(pl*dt), so cross-implementation FILTER parity (e.g. against
+        # the C++ oracle, tests/test_golden_oracle.py) needs a common grid
+        minlength = max(2 * max(cfg.nt_out, maxreflen),
+                        getattr(self, "min_probe_length", 0))
         ps0, ps1 = mf.allowed_span((lo, hi), minlength)
         st = mf.ProbeStatic(ps0=ps0, pl=ps1 - ps0 + 1, dt=store.dt)
 
@@ -852,7 +862,15 @@ class Engine:
                     hosts[i] = model.discretize(pb[i], self.effective_dt, ctx)
                 ncell = int(static["NC"][0]) * int(static["NC"][1])
                 st = [h["stats"] for h in hosts.values()]
-                ntmax = min(max(s["max_nt"] for s in st) + 1, ntmax_hard)
+                # ntmax = the probed members' measured need, NO +1 margin:
+                # the synthesis kernel pays for every padded table row
+                # (bench rupture: max_nt == 1 for every cell, so the margin
+                # alone doubled C), and a member that does outgrow the
+                # calibration is exactly what the async overflow counter
+                # catches -- one batch ships with clipped time cells (a
+                # warned, discretization-level approximation) and the
+                # budget widens to the rigorous bound
+                ntmax = min(max(s["max_nt"] for s in st), ntmax_hard)
                 budget = -(-int(np.ceil(
                     max(s["n_cells"] for s in st) * 1.2)) // 8) * 8
                 calib = (max(ntmax, 1), budget if budget < ncell else None,
@@ -863,7 +881,7 @@ class Engine:
                 static, arrays, self.effective_dt, ctx, ntmax,
                 ncell_budget=budget,
             ))
-            self._eik_pending = (ckey, cbatch.pop("overflow"))
+            self._eik_pending.append((ckey, cbatch.pop("overflow")))
             # validate K >= 3 randomly chosen batch members (not just
             # source 0) once per (model, table shape, dt): a discretizer
             # regression affecting only members != 0 (e.g. a batch-indexing
@@ -918,18 +936,32 @@ class Engine:
         # host FMM tables have ragged per-cell time runs: no uniform groups
         return out, moments, risetimes, (cmax,), 1
 
-    def _check_eik_overflow(self):
+    def _check_eik_overflow(self, force=False):
         """Deferred (sync-free) guard on the calibrated device-eikonal
-        table budgets: the previous batch's overflow counter has resolved
-        by the time the next batch is discretized.  On overflow the
-        calibration for that shape is widened to the rigorous hard bound
-        (one synthesis-plan recompile); the overflowed batch itself shipped
-        with clipped time cells / dropped cells -- a discretization-level
-        approximation on a few cells, flagged here."""
-        if self._eik_pending is None:
+        table budgets.  On overflow the calibration for that shape is
+        widened to the rigorous hard bound (one synthesis-plan recompile);
+        the overflowed batch itself shipped with clipped time cells /
+        dropped cells -- a discretization-level approximation on a few
+        cells, flagged here.
+
+        Counters are drained only once their device buffer is READY:
+        fetching an unresolved counter would block the host behind the
+        previous batch's whole discretize program -- measured as THE
+        pipeline rate limiter of the eikonal regime (the host spent the
+        full device batch time inside this fetch).  Unresolved counters
+        queue (bounded: the oldest is force-fetched past 8 pending)."""
+        if not self._eik_pending:
             return
-        ckey, ov = self._eik_pending
-        self._eik_pending = None
+        still = []
+        for i, (ckey, ov) in enumerate(self._eik_pending):
+            must = force or len(self._eik_pending) - i > 8
+            if not must and hasattr(ov, "is_ready") and not ov.is_ready():
+                still.append((ckey, ov))
+                continue
+            self._drain_eik_overflow(ckey, ov)
+        self._eik_pending = still
+
+    def _drain_eik_overflow(self, ckey, ov):
         ov = int(np.asarray(ov).max(initial=0))
         if ov > 0:
             import logging
@@ -1083,11 +1115,27 @@ class Engine:
                 cbatch, float(risetimes.max(initial=0.0)), shape,
                 stats=stats, gsize=gsize,
             )
+            # chunk slicing INSIDE the jit: eager per-chunk gathers of the
+            # device cbatch dispatched ~6 tiny device programs per chunk
+            # (~3 ms of host issue each through the tunnel) -- measured as
+            # ~75 ms/batch of host-bound issue on the eikonal regime, the
+            # largest single contributor to its pipeline floor
+            fwd_idx = plan.get("forward_batch_idx")
+            if fwd_idx is None:
+                fb_raw = plan["forward_batch_raw"]
+                fwd_idx = jax.jit(
+                    lambda cb, idx, mts, rts: fb_raw(
+                        {k: v[idx] for k, v in cb.items()}, mts, rts))
+                plan["forward_batch_idx"] = fwd_idx
 
             def run(idx):
-                cb = {k: v[jnp.asarray(idx)] for k, v in cbatch.items()}
-                return plan["forward_batch"](
-                    cb, jnp.asarray(moments[idx]), jnp.asarray(risetimes[idx])
+                if idx.shape[0] == moments.shape[0] and (
+                        idx == np.arange(idx.shape[0])).all():
+                    return plan["forward_batch"](
+                        cbatch, jnp.asarray(moments), jnp.asarray(risetimes))
+                return fwd_idx(
+                    cbatch, jnp.asarray(idx), jnp.asarray(moments[idx]),
+                    jnp.asarray(risetimes[idx])
                 )
 
         b = moments.shape[0]
@@ -1115,9 +1163,12 @@ class Engine:
             fss.append(fs[:keep])
         return jnp.concatenate(ms), jnp.concatenate(ns), jnp.concatenate(fss)
 
+    _gm_batch = staticmethod(jax.jit(jax.vmap(mf.global_misfit)))
+
     def global_misfits_for_source_batch(self, params_batch):
         m, n, _ = self.misfits_for_source_batch(params_batch)
-        return jax.vmap(mf.global_misfit)(m, n)
+        # one jitted dispatch (the eager vmap issued ~8 tiny device ops)
+        return self._gm_batch(m, n)
 
     def sweep_global_misfits(self, base_params, col, values):
         """Global misfits g[N] for a one-column sweep around base_params.

@@ -45,6 +45,9 @@ DUMPS = [
 SHIFTRANGE = (-0.3, 0.3)  # 7-shift scan at dt 0.1
 TAPER_X = (0.5, 1.5, 6.0, 9.0)
 TAPER_Y = (0.0, 1.0, 1.0, 0.0)
+# band-pass spectral filter (PLF over frequency, comparator.f90:1218-1231)
+FILTER_X = (0.0, 0.3, 2.5, 4.0)
+FILTER_Y = (0.0, 1.0, 1.0, 0.0)
 
 
 def boxramp_stf():
@@ -69,7 +72,7 @@ def oracle_bin(tmp_path_factory):
     return out
 
 
-def make_engine(store, taper):
+def make_engine(store, taper, filt=False):
     olat, olon = 30.0, 70.0
     eng = Engine(store)
     offsets = [(1500.0, 0.0), (2300.0, 1.2), (3100.0, -2.0)]
@@ -87,13 +90,19 @@ def make_engine(store, taper):
     eng.set_local_interpolation(True)
     if taper:
         eng.set_misfit_taper(0, TAPER_X, TAPER_Y)
+    if filt:
+        eng.set_misfit_filter(1, FILTER_X, FILTER_Y)
+        # spectral-filter weights live on the k/(pl*dt) grid: pin the
+        # engine's pow2 probe length to the oracle's (both implement the
+        # reference's lazy pow2 growth, but land on different sizes here)
+        eng.min_probe_length = 256
     g = synth.precompute_receiver_geometry(
         np.radians(olat), np.radians(olon), np.asarray(rlat),
         np.asarray(rlon))
     return eng, (np.asarray(g.azi), np.asarray(g.bazi), np.asarray(g.dist))
 
 
-def run_oracle(store, geom, oracle_bin, tmp, taper):
+def run_oracle(store, geom, oracle_bin, tmp, taper, filt=False):
     import sys
     sys.path.insert(0, os.path.join(HERE, "..", "benchmark"))
     from prep_denominator import write_blob
@@ -102,12 +111,17 @@ def run_oracle(store, geom, oracle_bin, tmp, taper):
     if taper:
         for comp in range(3):  # receiver 0's rc rows
             tapers.append((comp, TAPER_X, TAPER_Y))
+    filters = []
+    if filt:
+        for comp in range(3):  # receiver 1's rc rows
+            filters.append((3 + comp, FILTER_X, FILTER_Y))
     blob = os.path.join(tmp, "blob.bin")
     dump = os.path.join(tmp, "dump.bin")
-    write_blob(blob, store, geom, nshift=7, tapers=tapers, workload={
-        "kind": "bilat", "edt": 0.1, "ref_params": REF, "nsweep": 0,
-        "dump_params": DUMPS,
-    })
+    write_blob(blob, store, geom, nshift=7, tapers=tapers, filters=filters,
+               workload={
+                   "kind": "bilat", "edt": 0.1, "ref_params": REF,
+                   "nsweep": 0, "dump_params": DUMPS,
+               })
     subprocess.run([oracle_bin, blob, "0", "--dump", dump], check=True,
                    stdout=subprocess.DEVNULL)
     with open(dump, "rb") as f:
@@ -132,10 +146,18 @@ def run_oracle(store, geom, oracle_bin, tmp, taper):
                 ref_hi=ref_hi, models=models)
 
 
-@pytest.mark.parametrize("taper", [False, True], ids=["plain", "tapered"])
-def test_engine_matches_cpp_oracle(store, oracle_bin, tmp_path, taper):
-    eng, geom = make_engine(store, taper)
-    gold = run_oracle(store, geom, oracle_bin, str(tmp_path), taper)
+@pytest.mark.parametrize(
+    "taper,filt",
+    [(False, False), (True, False), (False, True), (True, True)],
+    ids=["plain", "tapered", "filtered", "tapered+filtered"])
+def test_engine_matches_cpp_oracle(store, oracle_bin, tmp_path, taper, filt):
+    """Engine vs the C++ oracle.  The `filtered` configurations pin the
+    spectral-filter processing chain (taper -> rfft -> PLF filter ->
+    irfft -> taper-zeroing, comparator.f90:1171-1263) cross-language:
+    receiver 1's rows carry a band-pass filter, evaluated in the C++ via
+    an independent double-precision radix-2 FFT."""
+    eng, geom = make_engine(store, taper, filt)
+    gold = run_oracle(store, geom, oracle_bin, str(tmp_path), taper, filt)
     ps0, pl = gold["ps0"], gold["pl"]
 
     # reference traces: engine synthesis of REF vs the C++ ref probes
@@ -169,8 +191,10 @@ def test_engine_matches_cpp_oracle(store, oracle_bin, tmp_path, taper):
         # geodesy (~1e-6 relative at trace level, synth.py
         # centroid_geodesy_fast; the reference itself casts dist to f32
         # at gfdb_get_indices) because the taper downweights the strong
-        # early arrivals -- allow 1e-4 relative there, 1e-5 elsewhere
-        rtol = 1e-4 if taper else 1e-5
+        # early arrivals -- allow 1e-4 relative there, 1e-5 elsewhere.
+        # Filtered rows run f32 FFTs against the oracle's f64 FFT: same
+        # 1e-4 band.
+        rtol = 1e-4 if (taper or filt) else 1e-5
         eng.set_misfit_method("floating_l1norm")
         m, n, fshift = eng.get_misfits()
         ms = max(np.abs(m1).max(), 1e-30)

@@ -334,8 +334,10 @@ def test_eikonal_table_calibration(engine, caplog):
     ntmax, _budget, ntmax_hard = calib
     assert ntmax < ntmax_hard, "calibration should beat the hard bound here"
     assert gsize == ntmax
-    # host stats cover the device tables (no clipping at calibration)
-    engine._check_eik_overflow()
+    # host stats cover the device tables (no clipping at calibration);
+    # force=True drains even not-yet-ready counters (the production path
+    # defers those to stay sync-free)
+    engine._check_eik_overflow(force=True)
     assert engine._eik_calib[ckey] == calib, "overflow guard fired wrongly"
 
     # seed a deliberately too-tight budget: the guard must widen it to the
@@ -344,7 +346,7 @@ def test_eikonal_table_calibration(engine, caplog):
     engine._invalidate()
     engine._discretize_batch(batch)
     with caplog.at_level(logging.WARNING):
-        engine._check_eik_overflow()
+        engine._check_eik_overflow(force=True)
     assert engine._eik_calib[ckey] == (ntmax_hard, None, ntmax_hard)
     assert any("overflow" in r.message for r in caplog.records)
     engine.eikonal_device = False
