@@ -88,6 +88,23 @@ struct Store {
     // table replay
     int ncent_tab = 0;
     std::vector<float> tab_north, tab_east, tab_depth, tab_time, tab_m6;
+    // workload 2: eikonal GOLDEN replay -- self-contained rupture models
+    // (fine grid + geometry), model 0 the reference; the oracle rebuilds
+    // each centroid table itself (FMM + psm_downsample_grid + time cells,
+    // source_eikonal.f90:435-712)
+    struct EikModel {
+        int nfx, nfy, ncx, ncy;
+        double fdx, fdy, ffx, ffy, nuklx, nukly;
+        double cdx, cdy;  // coarse cell size, shipped exactly (the host's
+                          // dims/ncells division; recomputing it can flip
+                          // boundary fine cells into the next coarse cell)
+        double rot[9], center[3];
+        float m6[6], time0;
+        std::vector<float> speed;    // solver field (dead zone 0.5*minspeed)
+        std::vector<uint8_t> inside;
+    };
+    std::vector<EikModel> eik_models;
+
     // optional per-model eikonal solve (the reference runs psm_to_tdsm's
     // FMM + downsample for EVERY model; charging only synthesis would
     // inflate the denominator)
@@ -148,7 +165,29 @@ bool load(const char* path, Store& s) {
     int32_t wl = 0;
     ok = ok && rd(f, &wl, 4, 1);
     s.workload = wl;
-    if (ok && wl == 0) {
+    if (ok && wl == 2) {
+        int32_t nmod = 0;
+        ok = rd(f, &s.edt, 8, 1) && rd(f, &nmod, 4, 1);
+        for (int i = 0; ok && i < nmod; ++i) {
+            Store::EikModel m;
+            int32_t dims[4];
+            double g[8];
+            ok = rd(f, dims, 4, 4) && rd(f, g, 8, 8)
+                && rd(f, m.rot, 8, 9) && rd(f, m.center, 8, 3)
+                && rd(f, m.m6, 4, 6) && rd(f, &m.time0, 4, 1);
+            m.nfx = dims[0]; m.nfy = dims[1];
+            m.ncx = dims[2]; m.ncy = dims[3];
+            m.fdx = g[0]; m.fdy = g[1]; m.ffx = g[2]; m.ffy = g[3];
+            m.nuklx = g[4]; m.nukly = g[5];
+            m.cdx = g[6]; m.cdy = g[7];
+            size_t nf = size_t(m.nfx) * m.nfy;
+            m.speed.resize(nf);
+            m.inside.resize(nf);
+            ok = ok && rd(f, m.speed.data(), 4, nf)
+                && rd(f, m.inside.data(), 1, nf);
+            if (ok) s.eik_models.push_back(std::move(m));
+        }
+    } else if (ok && wl == 0) {
         int32_t nd = 0;
         ok = rd(f, &s.edt, 8, 1) && rd(f, s.ref_params, 4, 14)
             && rd(f, &s.nsweep, 4, 1) && rd(f, &nd, 4, 1);
@@ -601,6 +640,206 @@ double fmm_and_downsample(const Store& s, std::vector<float>& times,
     return chk;
 }
 
+// boxcar STF cell weights/centroids (discretize_subfault_time with
+// risetime = 0, source_eikonal.f90:714-764 + plf_integrate_and_centroid,
+// piecewise_linear_function.f90:163-193)
+void boxcar_cells(double dur, double edt, std::vector<double>& w,
+                  std::vector<double>& toff) {
+    int nt = int(std::floor(dur / edt)) + 1;
+    if (nt <= 1 || dur <= 0.0) {
+        w.assign(1, 1.0);
+        toff.assign(1, 0.0);
+        return;
+    }
+    double xs[4] = {-dur / 2.0, -dur / 2.0, dur / 2.0, dur / 2.0};
+    double ys[4] = {0.0, 1.0 / dur, 1.0 / dur, 0.0};
+    double dt = dur / nt;
+    w.assign(size_t(nt), 0.0);
+    toff.assign(size_t(nt), 0.0);
+    for (int i = 0; i < nt; ++i) {
+        double a = xs[0] + dt * i, b = xs[0] + dt * (i + 1);
+        double area = 0.0, c = 0.0;
+        for (int sg = 0; sg < 3; ++sg) {
+            double lo = std::max(a, xs[sg]), hi = std::min(b, xs[sg + 1]);
+            if (!(hi > lo)) continue;
+            double slope = xs[sg + 1] != xs[sg]
+                ? (ys[sg + 1] - ys[sg]) / (xs[sg + 1] - xs[sg]) : 0.0;
+            double ylo = ys[sg] + slope * (lo - xs[sg]);
+            double yhi = ys[sg] + slope * (hi - xs[sg]);
+            double aseg = (ylo + yhi) * (hi - lo) / 2.0;
+            double ysum = ylo + yhi;
+            double cx = ysum != 0.0
+                ? (lo * (2.0 * ylo + yhi) + hi * (ylo + 2.0 * yhi))
+                    / (3.0 * ysum)
+                : (lo + hi) / 2.0;
+            area += aseg;
+            c += aseg * cx;
+        }
+        w[size_t(i)] = area;
+        toff[size_t(i)] = area != 0.0 ? c / area : (a + b) / 2.0;
+    }
+}
+
+// full psm_to_tdsm eikonal replay for one self-contained model: FMM on
+// the rupture fine grid (double, like the host pipeline), then
+// psm_downsample_grid means/durations/weights (source_eikonal.f90:519-601)
+// and the centroid table with per-cell boxcar time cells (:640-712).
+std::vector<Cent> eik_table(const Store::EikModel& m, double edt) {
+    const int nx = m.nfx, ny = m.nfy;
+    const double dx = m.fdx, dy = m.fdy;
+    const double inf = 3.4028235e38 * 0.1;
+    std::vector<double> times(size_t(nx) * ny, inf);
+    std::vector<int8_t> state(size_t(nx) * ny, -1);
+    int ix = std::min(std::max(int((m.nuklx - m.ffx) / dx), 0), nx - 1);
+    int iy = std::min(std::max(int((m.nukly - m.ffy) / dy), 0), ny - 1);
+    auto at = [&](int i, int j) -> double& { return times[size_t(i) * ny + j]; };
+    at(ix, iy) = 0.0;
+    state[size_t(ix) * ny + iy] = 0;
+
+    typedef std::pair<double, int> HN;
+    std::vector<HN> heap;
+    auto push = [&](double t, int i, int j) {
+        heap.push_back({t, i * ny + j});
+        std::push_heap(heap.begin(), heap.end(),
+                       [](const HN& a, const HN& b) { return a.first > b.first; });
+    };
+    auto update = [&](int i, int j) {
+        if (state[size_t(i) * ny + j] == 0) return;
+        double f = double(m.speed[size_t(i) * ny + j]);
+        double a = i > 0 ? at(i - 1, j) : inf;
+        double b = i < nx - 1 ? at(i + 1, j) : inf;
+        double c = j > 0 ? at(i, j - 1) : inf;
+        double d = j < ny - 1 ? at(i, j + 1) : inf;
+        double t = 0.0;
+        double aa = std::min(a, b), cc = std::min(c, d);
+        if (std::max(aa, cc) != inf) {
+            double q = dx * dx * dy * dy
+                * (dx * dx + dy * dy - (aa - cc) * (aa - cc) * f * f);
+            if (q >= 0.0)
+                t = std::max(t, ((aa * dy * dy + cc * dx * dx) * f
+                                 + std::sqrt(q)) / (f * (dx * dx + dy * dy)));
+        }
+        if (std::min(c, d) == inf) {
+            if (a < inf) t = std::max(t, a + dx / f);
+            if (b < inf) t = std::max(t, b + dx / f);
+        }
+        if (std::min(a, b) == inf) {
+            if (c < inf) t = std::max(t, c + dy / f);
+            if (d < inf) t = std::max(t, d + dy / f);
+        }
+        if (t == 0.0) {  // fallback at sharp contrasts (eikonal.f90:176-183)
+            t = inf;
+            if (a < inf) t = std::min(t, a + dx / f);
+            if (b < inf) t = std::min(t, b + dx / f);
+            if (c < inf) t = std::min(t, c + dy / f);
+            if (d < inf) t = std::min(t, d + dy / f);
+        }
+        if (t != 0.0 && at(i, j) != t) {
+            at(i, j) = t;
+            state[size_t(i) * ny + j] = 1;
+            push(t, i, j);
+        }
+    };
+    const int ni[4] = {-1, 1, 0, 0}, nj[4] = {0, 0, -1, 1};
+    for (int k = 0; k < 4; ++k) {
+        int i = ix + ni[k], j = iy + nj[k];
+        if (i < 0 || i >= nx || j < 0 || j >= ny) continue;
+        double t0 = (j == iy ? dx : dy) / double(m.speed[size_t(i) * ny + j]);
+        at(i, j) = t0;
+        state[size_t(i) * ny + j] = 1;
+        push(t0, i, j);
+    }
+    while (!heap.empty()) {
+        std::pop_heap(heap.begin(), heap.end(),
+                      [](const HN& a, const HN& b) { return a.first > b.first; });
+        HN top = heap.back();
+        heap.pop_back();
+        int fi = top.second, i = fi / ny, j = fi % ny;
+        if (state[size_t(fi)] == 0 || times[size_t(fi)] != top.first) continue;
+        state[size_t(fi)] = 0;
+        for (int k = 0; k < 4; ++k) {
+            int a = i + ni[k], b = j + nj[k];
+            if (a >= 0 && a < nx && b >= 0 && b < ny) update(a, b);
+        }
+    }
+
+    // psm_downsample_grid: per-coarse-cell means of time and NED position,
+    // durations = 4 * mean |t - tbar|, weights = count / npoints
+    const int cx = m.ncx, cy = m.ncy;
+    double cdx = m.cdx, cdy = m.cdy;
+    std::vector<double> csum(size_t(cx) * cy, 0.0), ccnt(size_t(cx) * cy, 0.0);
+    std::vector<double> cn(size_t(cx) * cy, 0.0), ce(size_t(cx) * cy, 0.0),
+        cd(size_t(cx) * cy, 0.0), cdur(size_t(cx) * cy, 0.0);
+    auto cell_of = [&](int i, int j, int& ci, int& cj) {
+        // literally (first + (i+0.5)*delta - first) / cdelta like the host
+        // pipeline: the add/subtract round trip matters at cell boundaries
+        double px = (m.ffx + (i + 0.5) * dx) - m.ffx;
+        double py = (m.ffy + (j + 0.5) * dy) - m.ffy;
+        ci = std::min(std::max(int(std::floor(px / cdx)), 0), cx - 1);
+        cj = std::min(std::max(int(std::floor(py / cdy)), 0), cy - 1);
+    };
+    double npf = 0.0;
+    for (int i = 0; i < nx; ++i)
+        for (int j = 0; j < ny; ++j) {
+            if (!m.inside[size_t(i) * ny + j]) continue;
+            int ci, cj;
+            cell_of(i, j, ci, cj);
+            size_t k = size_t(ci) * cy + cj;
+            csum[k] += at(i, j);
+            ccnt[k] += 1.0;
+            // NED position of the fine point (rupture coords -> NED)
+            double rx = m.ffx + (i + 0.5) * dx, ry = m.ffy + (j + 0.5) * dy;
+            cn[k] += m.rot[0] * rx + m.rot[1] * ry + m.center[0];
+            ce[k] += m.rot[3] * rx + m.rot[4] * ry + m.center[1];
+            cd[k] += m.rot[6] * rx + m.rot[7] * ry + m.center[2];
+            npf += 1.0;
+        }
+    std::vector<double> ctimes(size_t(cx) * cy, -1.0);
+    for (size_t k = 0; k < csum.size(); ++k)
+        if (ccnt[k] > 0) {
+            ctimes[k] = csum[k] / ccnt[k];
+            cn[k] /= ccnt[k]; ce[k] /= ccnt[k]; cd[k] /= ccnt[k];
+        }
+    for (int i = 0; i < nx; ++i)
+        for (int j = 0; j < ny; ++j) {
+            if (!m.inside[size_t(i) * ny + j]) continue;
+            int ci, cj;
+            cell_of(i, j, ci, cj);
+            size_t k = size_t(ci) * cy + cj;
+            cdur[k] += std::fabs(at(i, j) - ctimes[k]);
+        }
+    double centertime = 0.0;
+    for (size_t k = 0; k < csum.size(); ++k)
+        if (ccnt[k] > 0) {
+            cdur[k] = 4.0 / ccnt[k] * cdur[k];
+            centertime += ctimes[k] * (ccnt[k] / npf);
+        }
+
+    // centroid table (psm_to_tdsm_table_eikonal): iy-major cell order like
+    // the host pipeline
+    std::vector<Cent> tab;
+    std::vector<double> w, toff;
+    for (int cj = 0; cj < cy; ++cj)
+        for (int ci = 0; ci < cx; ++ci) {
+            size_t k = size_t(ci) * cy + cj;
+            if (ctimes[k] < 0.0) continue;
+            boxcar_cells(cdur[k], edt, w, toff);
+            double cw = ccnt[k] / npf;
+            for (size_t q = 0; q < w.size(); ++q) {
+                Cent cc;
+                cc.north = float(cn[k]);
+                cc.east = float(ce[k]);
+                cc.depth = float(cd[k]);
+                cc.time = float(ctimes[k] + toff[q] + double(m.time0)
+                                - centertime);
+                for (int e = 0; e < 6; ++e)
+                    cc.m6[e] = float(double(m.m6[e]) * w[q] * cw);
+                tab.push_back(cc);
+            }
+        }
+    return tab;
+}
+
 // plf_taper_array cosine weights (piecewise_linear_function.f90:195-237)
 void taper_weights(const Taper& t, int j0, int j1, float dt,
                    std::vector<float>& w) {
@@ -736,6 +975,11 @@ int main(int argc, char** argv) {
     const int R = s.nrec, NS = s.nshift;
     const int shift0 = -(NS - 1) / 2;
 
+    // workload 2: rebuild every model's centroid table up front (the
+    // probe sizing below needs their time spans)
+    std::vector<std::vector<Cent>> eik_tabs;
+    for (auto& m : s.eik_models) eik_tabs.push_back(eik_table(m, s.edt));
+
     // time-shift margin over the whole workload, so the probe covers every
     // shifted span
     double tmax = 0.0;
@@ -748,6 +992,11 @@ int main(int argc, char** argv) {
         };
         margin(s.ref_params);
         for (auto& p : s.dump_params) margin(p.data());
+    } else if (s.workload == 2) {
+        for (auto& t : eik_tabs)
+            for (auto& c : t)
+                tmax = std::max(tmax, std::fabs(double(c.time)));
+        tmax += 2.0 * s.edt;
     } else {
         for (float t : s.tab_time) tmax = std::max(tmax, std::fabs(double(t)));
         tmax += 2.0 * s.edt;
@@ -1080,6 +1329,12 @@ int main(int argc, char** argv) {
     std::vector<Cent> tab;
     if (s.workload == 0) {
         tab = bilat_discretize(s.ref_params, s.edt);
+    } else if (s.workload == 2) {
+        if (eik_tabs.empty()) {
+            std::fprintf(stderr, "workload 2 blob carries no models\n");
+            return 1;
+        }
+        tab = eik_tabs[0];
     } else {
         tab.resize(size_t(s.ncent_tab));
         for (int i = 0; i < s.ncent_tab; ++i) {
@@ -1098,15 +1353,22 @@ int main(int argc, char** argv) {
         // (floating_l1 AND plain l2), norms, floating shifts
         FILE* df = std::fopen(dump_path, "wb");
         if (!df) { std::fprintf(stderr, "cannot write %s\n", dump_path); return 1; }
-        int32_t hdr[5] = {R, 3, pl, ps0, int32_t(s.dump_params.size())};
+        // workload 2 dumps every model AFTER the reference (model 0)
+        std::vector<std::vector<Cent>> dump_tabs;
+        if (s.workload == 2) {
+            dump_tabs.assign(eik_tabs.begin() + 1, eik_tabs.end());
+        } else {
+            for (auto& p : s.dump_params)
+                dump_tabs.push_back(bilat_discretize(p.data(), s.edt));
+        }
+        int32_t hdr[5] = {R, 3, pl, ps0, int32_t(dump_tabs.size())};
         std::fwrite(hdr, 4, 5, df);
         std::fwrite(&s.dt, 4, 1, df);
         for (int rc = 0; rc < R * 3; ++rc)
             std::fwrite(ref[size_t(rc)].data(), 4, size_t(pl), df);
         std::fwrite(ref_lo.data(), 4, size_t(R * 3), df);
         std::fwrite(ref_hi.data(), 4, size_t(R * 3), df);
-        for (auto& p : s.dump_params) {
-            auto t = bilat_discretize(p.data(), s.edt);
+        for (auto& t : dump_tabs) {
             run_table(t, false, true, true);
             for (int rc = 0; rc < R * 3; ++rc)
                 std::fwrite(syn[size_t(rc)].data(), 4, size_t(pl), df);
@@ -1120,7 +1382,7 @@ int main(int argc, char** argv) {
         }
         std::fclose(df);
         std::printf("{\"dumped\": %d, \"pl\": %d}\n",
-                    int(s.dump_params.size()), pl);
+                    int(dump_tabs.size()), pl);
         return 0;
     }
 

@@ -72,7 +72,32 @@ def write_blob(out, store, geom, *, nshift=21, tapers=(), filters=(),
             f.write(struct.pack("<i", int(irc)))
             f.write(np.asarray(x4, "<f4").tobytes())
             f.write(np.asarray(y4, "<f4").tobytes())
-        if workload["kind"] == "bilat":
+        if workload["kind"] == "eikonal":
+            # workload 2: self-contained eikonal rupture models (model 0 =
+            # reference); the C++ rebuilds each centroid table itself (FMM
+            # + downsample + time cells)
+            f.write(struct.pack("<i", 2))
+            f.write(struct.pack("<d", float(workload["edt"])))
+            models = workload["models"]
+            f.write(struct.pack("<i", len(models)))
+            for m in models:
+                sp = np.asarray(m["speed"], np.float32)
+                ins = np.asarray(m["inside"], np.uint8)
+                ncx, ncy = m["coarse"]
+                f.write(struct.pack("<4i", sp.shape[0], sp.shape[1],
+                                    int(ncx), int(ncy)))
+                f.write(struct.pack(
+                    "<8d", float(m["delta"][0]), float(m["delta"][1]),
+                    float(m["first"][0]), float(m["first"][1]),
+                    float(m["nukl"][0]), float(m["nukl"][1]),
+                    float(m["cdelta"][0]), float(m["cdelta"][1])))
+                f.write(np.asarray(m["rotmat"], "<f8").reshape(-1).tobytes())
+                f.write(np.asarray(m["center"], "<f8").tobytes())
+                f.write(np.asarray(m["m6"], "<f4").tobytes())
+                f.write(struct.pack("<f", float(m["time0"])))
+                f.write(sp.astype("<f4").tobytes())
+                f.write(ins.tobytes())
+        elif workload["kind"] == "bilat":
             f.write(struct.pack("<i", 0))
             f.write(struct.pack("<d", float(workload["edt"])))
             f.write(np.asarray(workload["ref_params"], "<f4").tobytes())

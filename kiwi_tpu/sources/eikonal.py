@@ -163,6 +163,7 @@ def discretize_eikonal_host(p, effective_dt, ctx: EikonalContext, m6_unit,
     cdelta = np.where(cdelta == 0.0, 1.0, cdelta)
     if solve_dump is not None:
         solve_dump["coarse"] = (nx, ny)
+        solve_dump["cdelta"] = cdelta.copy()
 
     ctimes = np.full((nx, ny), -1.0)
     cspeedinv = np.zeros((nx, ny))

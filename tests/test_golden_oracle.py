@@ -124,6 +124,10 @@ def run_oracle(store, geom, oracle_bin, tmp, taper, filt=False):
                })
     subprocess.run([oracle_bin, blob, "0", "--dump", dump], check=True,
                    stdout=subprocess.DEVNULL)
+    return _read_dump(dump)
+
+
+def _read_dump(dump):
     with open(dump, "rb") as f:
         R, ncomp, pl, ps0, nmod = struct.unpack("<5i", f.read(20))
         (dt,) = struct.unpack("<f", f.read(4))
@@ -217,3 +221,116 @@ def test_engine_matches_cpp_oracle(store, oracle_bin, tmp_path, taper, filt):
                                    err_msg=f"model {k} l2 norms")
         eng.set_floating_shiftrange(*SHIFTRANGE)
     del batch
+
+
+# -- eikonal-source replay (VERDICT r4 item 4, eikonal half) ----------------
+
+EIK_REF = np.array(
+    [0.0, 0.0, 0.0, 400.0, 1e12, 30.0, 80.0, 164.0,
+     0.0, 0.0, 250.0, 50.0, -50.0, 0.9, 0.0], np.float32)
+EIK_DUMPS = [
+    np.array([0.0, 0.0, 0.0, 400.0, 1e12, 30.0, 80.0, 164.0,
+              0.0, 0.0, 300.0, 50.0, -50.0, 0.9, 0.0], np.float32),
+    np.array([0.1, 0.0, 0.0, 420.0, 8e11, 45.0, 70.0, 164.0,
+              20.0, -30.0, 260.0, 0.0, 0.0, 0.8, 0.0], np.float32),
+    np.array([-0.1, 30.0, -40.0, 410.0, 1e12, 30.0, 80.0, 120.0,
+              0.0, 0.0, 250.0, -60.0, 40.0, 1.0, 0.0], np.float32),
+]
+EIK_CONSTRAINTS = ([[0, 0, 50.0], [0, 0, 700.0]],
+                   [[0, 0, -1.0], [0, 0, 1.0]])
+
+
+def test_eikonal_matches_cpp_oracle(store, oracle_bin, tmp_path):
+    """Eikonal-source replay vs the C++ oracle: the oracle rebuilds each
+    rupture's centroid table itself (double-precision heap FMM,
+    psm_downsample_grid means/durations, boxcar time cells,
+    source_eikonal.f90:435-712) from the rupture grid, then synthesizes
+    and evaluates misfits.  Pins the engine's host-FMM eikonal pipeline
+    end to end cross-language.  (The rupture GRID -- polygon trim, fine
+    grid, layered speeds -- ships from the engine's own prepare step; its
+    geometry is pinned separately in tests/test_geometry.py against the
+    reference formulas.)"""
+    import sys
+    sys.path.insert(0, os.path.join(HERE, "..", "benchmark"))
+    from prep_denominator import write_blob
+
+    from kiwi_tpu.sources import eikonal as eiksrc
+
+    eng, geom = make_engine(store, False)
+    eng.set_source_constraints(*EIK_CONSTRAINTS)
+    eng.eikonal_device = False  # host FMM path (exact reference semantics)
+    ctx = eng.eikonal_context()
+
+    models = []
+    for p in [EIK_REF] + EIK_DUMPS:
+        named = eiksrc.named_params_batch("eikonal", p[None, :])
+        if isinstance(named, tuple):
+            pv, m6s, rotmats = named
+            pd = {k: float(v[0]) for k, v in pv.items()}
+            m6u, rot = m6s[0], rotmats[0]
+        else:
+            pd, m6u, rot = named[0]
+        sd = {}
+        eiksrc.discretize_eikonal_host(pd, 0.1, ctx, m6u, rot, solve_dump=sd)
+        models.append(dict(
+            speed=sd["speed"], inside=sd["inside"], delta=sd["delta"],
+            first=sd["first"], nukl=sd["nukl"], coarse=sd["coarse"],
+            cdelta=sd["cdelta"], rotmat=rot,
+            center=[pd["north"], pd["east"], pd["depth"]],
+            m6=np.asarray(m6u, np.float64) * float(p[4]),  # moment folded
+            time0=pd["time"],
+        ))
+
+    blob = os.path.join(str(tmp_path), "eik_blob.bin")
+    dump = os.path.join(str(tmp_path), "eik_dump.bin")
+    write_blob(blob, store, geom, nshift=7, workload={
+        "kind": "eikonal", "edt": 0.1, "models": models,
+    })
+    subprocess.run([oracle_bin, blob, "0", "--dump", dump], check=True,
+                   stdout=subprocess.DEVNULL)
+    gold = _read_dump(dump)
+    ps0 = gold["ps0"]
+    # not vacuous: the oracle synthesized real energy and real misfits
+    assert np.abs(gold["ref"]).max() > 0
+    assert all(np.abs(mod[3]).max() > 0 for mod in gold["models"])
+
+    eng.set_source_params("eikonal", EIK_REF)
+    for irc, (values, itmin) in enumerate(eng.get_synthetic_seismograms()):
+        row = gold["ref"][irc]
+        scale = max(np.abs(row).max(), 1e-30)
+        want = row[itmin - ps0 : itmin - ps0 + len(values)]
+        np.testing.assert_allclose(values, want, atol=5e-5 * scale,
+                                   err_msg=f"EIK REF trace rc={irc}")
+
+    eng.set_synthetic_reference()
+    eng.set_floating_shiftrange(*SHIFTRANGE)
+    for k, p in enumerate(EIK_DUMPS):
+        syn, syn_lo, syn_hi, m1, n1, m2, n2, fs = gold["models"][k]
+        eng.set_source_params("eikonal", p)
+        for irc, (values, itmin) in enumerate(
+                eng.get_synthetic_seismograms()):
+            row = syn[irc]
+            scale = max(np.abs(row).max(), 1e-30)
+            want = row[itmin - ps0 : itmin - ps0 + len(values)]
+            np.testing.assert_allclose(values, want, atol=5e-5 * scale,
+                                       err_msg=f"eik model {k} trace rc={irc}")
+
+        eng.set_misfit_method("floating_l1norm")
+        m, n, fshift = eng.get_misfits()
+        ms = max(np.abs(m1).max(), 1e-30)
+        np.testing.assert_allclose(np.asarray(m), m1, rtol=1e-4,
+                                   atol=1e-5 * ms,
+                                   err_msg=f"eik model {k} floating_l1")
+        np.testing.assert_allclose(np.asarray(n), n1, rtol=1e-4,
+                                   err_msg=f"eik model {k} norms")
+        np.testing.assert_array_equal(np.asarray(fshift), fs,
+                                      err_msg=f"eik model {k} shifts")
+
+        eng.set_misfit_method("l2norm")
+        eng.set_floating_shiftrange(0.0, 0.0)
+        m, n, _ = eng.get_misfits()
+        ms = max(np.abs(m2).max(), 1e-30)
+        np.testing.assert_allclose(np.asarray(m), m2, rtol=1e-4,
+                                   atol=1e-5 * ms,
+                                   err_msg=f"eik model {k} l2")
+        eng.set_floating_shiftrange(*SHIFTRANGE)
