@@ -147,6 +147,37 @@ def _bucket_combine(acc, D, BP, L, out_ref):
     out_ref[0, 0, 3:8, :] = jnp.zeros((5, L), F32)
 
 
+class _WRows:
+    """Adapter presenting a [NW*G, L] stacked weight array as the [NW]-
+    indexable w operand _group_math expects (w[i] -> [G, L])."""
+
+    def __init__(self, arr, G):
+        self.arr, self.G = arr, G
+
+    def __getitem__(self, i):
+        return self.arr[i * self.G:(i + 1) * self.G]
+
+
+def _wextract(blk, lp, L, strategy):
+    """Extract lane lp of a compact weight block [WR, 128] and broadcast
+    it across L lanes -> [WR, L].  Exact: the reduce path sums a one-hot
+    mask (single nonzero term); the roll path moves the lane to 0.
+
+    This is the compact-wmeta layout's on-chip half: the host-side
+    lane-broadcast wmeta ([B, R, P, NW, G, 128]) pays an 8/G-fold sublane
+    pad on HBM (G=1 eikonal plans: 6.6 GB physical per 96-source chunk,
+    the whole kernel runtime) while the real information is P*(NW*G+4)
+    scalars; shipping it compact cuts the kernel's HBM traffic ~400x at
+    the cost of ~20 VPU ops per group."""
+    if strategy == "roll":
+        rolled = pltpu.roll(blk, (jnp.int32(128) - lp) % jnp.int32(128), 1)
+        col = rolled[:, 0:1]
+    else:  # reduce
+        lane = jax.lax.broadcasted_iota(I32, blk.shape, 1)
+        col = jnp.sum(jnp.where(lane == lp, blk, 0.0), axis=1, keepdims=True)
+    return jnp.broadcast_to(col, (blk.shape[0], L))
+
+
 def _rep(w, NT):
     """Lane-tile a [.., 128] weight operand to [.., NT*128].  Weight rows
     are lane-constant (broadcast from [.., 1]), so tile-vs-element repeat
@@ -291,6 +322,68 @@ def _kernel(G, ng, ngp, Pb, Ptot, rr, NP, D, T, S, contig,
         _bucket_combine(acc, D, BP, L, out_ref)
 
 
+def _kernel_compact(G, ng, ngp, P, D, T, contig, strategy,
+                    node_ref, kk_ref,  # scalar prefetch (SMEM)
+                    ext_ref, w_ref,  # VMEM: ext + compact weights
+                    out_ref, acc):
+    """Resident-window variant consuming COMPACT weights: w_ref is
+    [1, 1, NPT, WR, 128] with group p's NW*G weight rows + 4 bilinear
+    weights stacked on the WR axis at tile p // 128, lane p % 128
+    (see pack_kinematics(compact=True)).  Each group extracts its lane
+    and broadcasts on-chip (_wextract) instead of streaming the
+    lane-broadcast wmeta from HBM.  S is fixed at 1 (compact packing is
+    for the large-P, small-G regimes where S packing never applies)."""
+    BP = bucket_pitch(T)
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    nb = pl.num_programs(0)
+    kkp = b * jnp.int32(P)
+    sbase = jnp.int32(nb) * pl.num_programs(1) * jnp.int32(P)
+    s1 = node_ref[sbase + 0]
+    s2 = node_ref[sbase + 1]
+    s3 = node_ref[sbase + 2]
+    nbase = (b * pl.num_programs(1) + r) * jnp.int32(P)
+    acc[...] = jnp.zeros((D * BP, T), F32)
+    nwg = NW * G
+
+    def group(p):
+        tile = p // jnp.int32(128)
+        lp = p - tile * jnp.int32(128)
+        wfull = _wextract(w_ref[0, 0, tile], lp, T, strategy)  # [WR, T]
+        ws = wfull[nwg:nwg + 4]
+        nd = node_ref[nbase + p]
+        if contig:
+            m1 = ext_ref[pl.ds(nd * jnp.int32(ngp), 2 * ngp), :]
+            m2 = ext_ref[pl.ds((nd + s2) * jnp.int32(ngp), 2 * ngp), :]
+            blend = (
+                ws[0:1] * m1[0:ng] + ws[1:2] * m1[ngp:ngp + ng]
+                + ws[2:3] * m2[0:ng] + ws[3:4] * m2[ngp:ngp + ng]
+            )  # [ng, T]
+        else:
+            blend = (
+                ws[0:1] * ext_ref[pl.ds(nd * jnp.int32(ngp), ng), :]
+                + ws[1:2] * ext_ref[pl.ds((nd + s1) * jnp.int32(ngp), ng), :]
+                + ws[2:3] * ext_ref[pl.ds((nd + s2) * jnp.int32(ngp), ng), :]
+                + ws[3:4] * ext_ref[pl.ds((nd + s3) * jnp.int32(ngp), ng), :]
+            )
+        ca, cr, cd = _group_math(_WRows(wfull, G), blend, ng, T)
+        _scatter_group(G, BP, acc, kk_ref, (kkp + p) * jnp.int32(G),
+                       ca, cr, cd)
+
+    K = _k_blocking(G, T // 128)
+
+    def block(i, _):
+        for j in range(K):
+            group(i * K + jnp.int32(j))
+        return 0
+
+    jax.lax.fori_loop(0, P // K, block, 0)
+    for j in range(P % K):
+        group(jnp.int32((P // K) * K + j))
+
+    _bucket_combine(acc, D, BP, T, out_ref)
+
+
 def _kernel_dma(G, ng, ngp, Pb, Ptot, rr, NP, D, T, contig,
                 node_ref, kk_ref,  # scalar prefetch (SMEM)
                 ext_ref, wsp_ref, w_ref,  # ext in HBM/ANY; rest VMEM
@@ -388,10 +481,11 @@ VMEM_BUDGET_BYTES = 11 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("G", "ng", "ngp", "nshift",
-                                             "S", "contig", "interpret"))
+                                             "S", "contig", "compact",
+                                             "interpret"))
 def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
                    G, ng, nshift, ngp=None, S=1, contig=False,
-                   interpret=False):
+                   compact=False, interpret=False):
     """ard f32[B, Rp, 3, T] from a GF window (VMEM-resident when it fits,
     HBM + double-buffered row DMA otherwise).
 
@@ -418,6 +512,46 @@ def window_forward(ext_flat, node_rows, strides3, kks, wsp, wmeta,
     unspecified (see _group_math).
     """
     bb, rp, P = node_rows.shape
+    if compact:
+        # compact weights: wmeta is [B, RP, NPT, WR, 128] (wsp folded in,
+        # wsp arg ignored); whole-P single block, no ip grid axis
+        if S != 1:
+            raise ValueError("window_forward: compact weights require S=1")
+        T = int(ext_flat.shape[1])
+        if int(ext_flat.shape[0]) * T * 4 > VMEM_RESIDENT_BYTES:
+            raise ValueError("window_forward: compact weights require a "
+                             "VMEM-resident window")
+        if ngp is None:
+            ngp = ng if T <= 128 else -(-ng // 8) * 8
+        D = int(nshift)
+        bp = bucket_pitch(T)
+        npt, wr = int(wmeta.shape[2]), int(wmeta.shape[3])
+        strategy = os.environ.get("KIWI_WEXTRACT", "reduce")
+        with jax.enable_x64(False):
+            nodes_flat = jnp.concatenate(
+                [node_rows.reshape(-1).astype(I32), strides3.astype(I32)]
+            )
+            kernel = functools.partial(
+                _kernel_compact, G, ng, ngp, P, D, T, contig, strategy)
+            out = pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2,
+                    grid=(bb, rp),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, 1, npt, wr, 128),
+                                     lambda b, r, *_: (b, r, 0, 0, 0)),
+                    ],
+                    out_specs=pl.BlockSpec((1, 1, 8, T),
+                                           lambda b, r, *_: (b, r, 0, 0)),
+                    scratch_shapes=[pltpu.VMEM((D * bp, T), F32)],
+                ),
+                out_shape=jax.ShapeDtypeStruct((bb, rp, 8, T), F32),
+                interpret=interpret,
+            )(nodes_flat, kks.reshape(-1).astype(I32), ext_flat,
+              wmeta.astype(F32))
+        return out[:, :, :3, :]
     if G > 8:
         raise ValueError(
             f"window_forward: G={G} exceeds the 8-sublane stack; split "
@@ -578,7 +712,7 @@ def choose_s(cfg, nrec):
     return 1
 
 
-def pack_kinematics(cfg, kin, G, S=1):
+def pack_kinematics(cfg, kin, G, S=1, compact=False):
     """Batched kinematics dict ([B, R, C, ...] arrays) -> kernel operands.
 
     kin must carry f [.., C, 6], cos_l, sin_l (from _centroid_kinematics),
@@ -639,6 +773,25 @@ def pack_kinematics(cfg, kin, G, S=1):
     # group-major weight rows: each weight row slices to a [Gp, lanes]
     # sublane stack in the kernel
     wrows = jnp.swapaxes(wrows, -1, -2)  # [B, R, P, NW, Gp]
+    if compact:
+        # compact layout [B, R, NPT, WR, 128]: group p's NW*Gp weight rows
+        # + 4 bilinear weights stacked on the WR (sublane) axis at tile
+        # p // 128, lane p % 128.  ~400x less HBM footprint than the
+        # lane-broadcast wmeta at G=1 shapes; the kernel broadcasts
+        # on-chip (_wextract)
+        if S != 1:
+            raise ValueError("pack_kinematics: compact requires S=1")
+        gp = wrows.shape[-1]
+        wr = NW * gp + 4
+        wrp = -(-wr // 8) * 8
+        npt = -(-P // 128)
+        rows = jnp.concatenate(
+            [wrows.reshape(bb, rr, P, NW * gp), wsp4], axis=-1)
+        rows = jnp.pad(
+            rows, ((0, 0), (0, 0), (0, npt * 128 - P), (0, wrp - wr)))
+        wpack = jnp.swapaxes(
+            rows.reshape(bb, rr, npt, 128, wrp), -1, -2).astype(F32)
+        return node_rows, strides3, kk[:, :1], None, wpack
     if S == 1:
         wmeta = jnp.broadcast_to(wrows[..., None], wrows.shape + (128,))
         wsp = jnp.broadcast_to(wsp4[..., None], wsp4.shape + (128,))
@@ -670,16 +823,41 @@ def pack_kinematics(cfg, kin, G, S=1):
     return node_rows, strides3, kk, wsp, wmeta
 
 
+def choose_compact(cfg, bb, nrec, C, G):
+    """Compact-vs-broadcast weight packing.  The lane-broadcast wmeta
+    pays an (8/Gp)-fold sublane pad on top of its 128x lane redundancy;
+    at small-G large-P shapes (the eikonal regime: G=1, P=169, 96-source
+    chunks) that is ~6.6 GB of HBM traffic per chunk -- the entire kernel
+    runtime.  Compact packing ships the P*(NW*G+4) real scalars and
+    broadcasts on-chip for ~20 extra VPU ops per group.  Auto rule:
+    compact once the broadcast wmeta's PHYSICAL bytes cross the threshold
+    where streaming time exceeds the extraction overhead (measured on
+    v5e; override with KIWI_WMETA=compact|bcast)."""
+    env = os.environ.get("KIWI_WMETA", "auto")
+    if env in ("compact", "bcast"):
+        return env == "compact"
+    t, ngp = ext_layout(cfg)
+    if cfg.nxw * cfg.nzw * ngp * t * 4 > VMEM_RESIDENT_BYTES:
+        return False  # DMA-variant windows keep the broadcast layout
+    gw = packed_g(G)
+    p = (C // G) * (-(-G // 8))
+    phys = bb * nrec * p * NW * (-(-gw // 8) * 8) * 128 * 4
+    return phys > 256 * 1024 * 1024
+
+
 def synthesize_ard_batch(ext_flat, cfg, kin, G, interpret=False):
     """ard f32[B, R, 3, nt_out] for a (source, receiver) batch."""
-    nrec = kin["ish"].shape[1]
+    bb, nrec, C = kin["ish"].shape
     S = choose_s(cfg, nrec)
-    node_rows, strides3, kk, wsp, wmeta = pack_kinematics(cfg, kin, G, S=S)
+    compact = S == 1 and choose_compact(cfg, bb, nrec, C, G)
+    node_rows, strides3, kk, wsp, wmeta = pack_kinematics(
+        cfg, kin, G, S=S, compact=compact)
+    # compact pack returns wsp=None, wmeta=the combined compact array
     # kk is clipped to [0, nt_ext - nt_out - 1] => s_len shift buckets
     _t, ngp = ext_layout(cfg)
     contig = (cfg.zunder if cfg.interpolate else 1) == 1
     out = window_forward(ext_flat, node_rows, strides3, kk, wsp, wmeta,
                          G=packed_g(G), ng=cfg.ng, ngp=ngp,
                          nshift=cfg.s_len, S=S, contig=contig,
-                         interpret=interpret)
+                         compact=compact, interpret=interpret)
     return out[:, :nrec, :, : cfg.nt_out]

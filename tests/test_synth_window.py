@@ -514,6 +514,64 @@ def test_g_split_matches_grouped_xla():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=scale * 1e-5)
 
 
+@pytest.mark.parametrize("nt_out,s_len", [(40, 24), (260, 40)])
+@pytest.mark.parametrize("strategy", ["reduce", "roll"])
+def test_compact_wmeta_matches_grouped_xla(monkeypatch, nt_out, s_len,
+                                           strategy):
+    """Compact weight packing (the eikonal-regime fast path: G=1, P past
+    the 128-lane tile boundary so _wextract's tile/lane split is
+    exercised) against the XLA grouped oracle, single- and multi-tile T,
+    both extraction strategies."""
+    from kiwi_tpu.synth import SynthConfig
+
+    monkeypatch.setenv("KIWI_WMETA", "compact")
+    monkeypatch.setenv("KIWI_WEXTRACT", strategy)
+    rng = np.random.default_rng(31)
+    B, R, G = 2, 2, 1
+    P, ng = 169, 10
+    C = P * G
+    nxw, nzw = 7, 6
+    s_base = -8
+    nt_ext = nt_out + s_len
+    cfg = SynthConfig(
+        dt=0.1, dx=100.0, dz=100.0, firstx=100.0, firstz=0.0, ng=ng,
+        nt=nt_ext, ix0=0, iz0=0, nxw=nxw, nzw=nzw, out_it0=0,
+        nt_out=nt_out, s_base=s_base, s_len=s_len,
+    )
+    ext = jnp.asarray(
+        rng.normal(size=(nxw, nzw, ng, nt_ext)).astype(np.float32))
+
+    ix0 = rng.integers(0, nxw - 1, size=(B, R, P))
+    iz0 = rng.integers(0, nzw - 1, size=(B, R, P))
+    kin = {
+        "ixs": jnp.asarray(np.stack([ix0, ix0 + 1], axis=-1).astype(np.int32)),
+        "izs": jnp.asarray(np.stack([iz0, iz0 + 1], axis=-1).astype(np.int32)),
+        "wsp": jnp.asarray(rng.random((B, R, P, 4)).astype(np.float32)),
+        "ish": jnp.asarray(np.broadcast_to(rng.integers(
+            s_base, s_base + s_len, size=(B, 1, C)).astype(np.int32),
+            (B, R, C))),
+        "frac": jnp.asarray(rng.random((B, R, C)).astype(np.float32)),
+        "valid": jnp.asarray(rng.random((B, R, C)) > 0.2),
+        "f": jnp.asarray(rng.normal(size=(B, R, C, 6)).astype(np.float32)),
+        "cos_l": jnp.asarray(rng.random((B, R, C)).astype(np.float32)),
+        "sin_l": jnp.asarray(rng.random((B, R, C)).astype(np.float32)),
+    }
+    ext_flat = sw.pack_ext(ext, cfg)
+    got = np.asarray(
+        sw.synthesize_ard_batch(ext_flat, cfg, kin, G, interpret=True))
+    assert got.shape == (B, R, 3, nt_out)
+    sw.window_forward.clear_cache()
+
+    def oracle_one(k):
+        k = dict(k)
+        k["wg"] = synth._group_weights(k["f"], k["cos_l"], k["sin_l"], ng)
+        return synth._grouped_accumulate(ext, cfg, k, G)
+
+    ref = np.asarray(jax.vmap(jax.vmap(oracle_one))(kin))[..., :nt_out]
+    scale = max(np.abs(ref).max(), 1e-30)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=scale * 1e-5)
+
+
 def test_receiver_lane_packing_matches_grouped_xla(monkeypatch):
     """S > 1 (receivers packed into the lane axis, R not a multiple of S):
     parity against the XLA grouped path, including the zero-weight pad
