@@ -160,20 +160,25 @@ def bench_point(eng, log):
     def dispatch(sl):
         # fused on-device sweep: the batch is tiled inside the jit, the
         # global-misfit reduction rides the same program, and the host
-        # ships/receives 3610 floats per dispatch (round 4: the old
-        # host-built batch path issued slower than the device computed;
-        # measured 410k -> 1.0M+ MPS on the same chip/day).  The jit
-        # specializes to n=3610 -- every row dispatched is a row counted
-        # (the old path padded to a 4096-row compiled shape, donating 12%)
+        # ships/receives one float per model per dispatch (round 4: the
+        # old host-built batch path issued slower than the device
+        # computed; measured 410k -> 1.0M+ MPS on the same chip/day).
+        # The jit specializes to len(sl) -- every row dispatched is a row
+        # counted (the old path padded to a 4096-row compiled shape,
+        # donating 12%)
         return eng.sweep_global_misfits(base, 5, sl)
 
-    # 16 sweep replicas in flight: the sweep is ONE dispatch (3610 rows),
-    # so a single replica would time host-issue + device + a full tunnel
-    # round trip (~25 ms) against a ~5 ms device program; sustained grid
-    # searches pipeline dispatches, so the bench does too
-    batches = [strikes] * 16
+    # 16 sweep replicas in flight, 4 replicas PER dispatch: sustained
+    # grid searches dispatch many sweeps, and each dispatch carries a
+    # fixed ~0.6-1.6 ms of host issue + tunnel cost against a ~2 ms
+    # device program at n=3610, so packing 4 sweeps into one 14440-row
+    # program amortizes the fixed cost 4x (measured on the v5e: K=1
+    # 1.30M, K=2 1.63M, K=4 1.66M, K=8 1.49M MPS -- K=8's program
+    # overruns the fused kernel's VMEM-friendly tile set)
+    pack = int(os.environ.get("KIWI_BENCH_SWEEP_PACK", "4"))
+    batches = [np.concatenate([strikes] * pack)] * max(16 // pack, 2)
     mps, outs = steady_state_mps(dispatch, batches, log, "point")
-    g = np.concatenate([np.asarray(o) for o in outs])[:nstrikes]
+    g = np.asarray(outs[0])[:nstrikes]
     best = float(strikes[int(np.argmin(g))])
     log(f"  point sweep: best strike {best:.1f} (true 91.0), MPS {mps:.0f}")
     assert abs(best - 91.0) < 1.0
