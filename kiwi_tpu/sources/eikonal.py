@@ -20,6 +20,7 @@ using kiwi_tpu.eikonal.sweep_solve is the planned fast path.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -667,6 +668,12 @@ def make_device_discretizer(static, effective_dt, ctx: EikonalContext,
     import jax.numpy as jnp
 
     from .. import eikonal as eik
+    from ..synth import on_tpu
+
+    use_kernel = (
+        os.environ.get("KIWI_SWEEP_KERNEL", "1") != "0"
+        and (on_tpu() or os.environ.get("KIWI_SWEEP_INTERPRET") == "1")
+    )
 
     nfx, nfy = static["NF"]
     ncx, ncy = static["NC"]
@@ -676,7 +683,10 @@ def make_device_discretizer(static, effective_dt, ctx: EikonalContext,
     cons_n = jnp.asarray(np.array([n for _p, n in ctx.constraints]), jnp.float32)
     edt = jnp.float32(effective_dt)
 
-    def one(a):
+    def _geom(a):
+        """Fine-grid points + rupture-area mask (recomputed on both sides
+        of the solver call: cheap fused VPU work, cheaper than a [B, nfx,
+        nfy, 3] HBM round trip between the pre and post stages)."""
         first = a["first"].astype(jnp.float32)
         delta = a["delta"].astype(jnp.float32)
         nd = a["ndims"]
@@ -701,15 +711,18 @@ def make_device_discretizer(static, effective_dt, ctx: EikonalContext,
                 jnp.einsum("j,xyj->xy", cons_n[k], cons_p[k][None, None, :] - pts) >= 0.0
             )
         inside = inside & inbounds
+        return px, py, pts, inside
 
+    def pre(a):
+        _px, _py, pts, inside = _geom(a)
         k = jnp.searchsorted(layer_depths, pts[..., 2], side="left")
         vs = layer_vs[jnp.minimum(k, layer_vs.shape[0] - 1)]
         speed = jnp.where(inside, vs * a["relv"].astype(jnp.float32), 0.0)
         minspeed = a["minspeed"].astype(jnp.float32)
-        speed_solver = jnp.where(speed == 0.0, 0.5 * minspeed, speed)
+        return jnp.where(speed == 0.0, 0.5 * minspeed, speed)
 
-        times = eik.sweep_solve(speed_solver, delta, first, a["nukl"].astype(jnp.float32),
-                                n_rounds=n_rounds)
+    def one(a, times):
+        px, py, pts, inside = _geom(a)
         valid = inside & (times < eik.BIG * 0.5)
 
         # downsample fine -> coarse (psm_downsample_grid).  The coarse cell
@@ -717,6 +730,7 @@ def make_device_discretizer(static, effective_dt, ctx: EikonalContext,
         # ciy only on y, both grids being regular), so the per-cell sums are
         # two tiny 0/1 matmuls instead of a 235k-point scatter -- the
         # segment_sum formulation dominated the whole discretizer on TPU.
+        first = a["first"].astype(jnp.float32)
         cdelta = a["cdelta"].astype(jnp.float32)
         cix1 = jnp.clip(jnp.floor((px - first[0]) / cdelta[0]).astype(jnp.int32),
                         0, ncx - 1)  # [nfx]
@@ -787,7 +801,26 @@ def make_device_discretizer(static, effective_dt, ctx: EikonalContext,
             "overflow": overflow,
         }
 
-    return jax.jit(jax.vmap(one))
+    def batched(adev):
+        speeds = jax.vmap(pre)(adev)
+        if use_kernel:
+            from ..ops import eik_sweep
+
+            times = eik_sweep.sweep_solve_batch(
+                speeds, adev["delta"].astype(jnp.float32),
+                adev["first"].astype(jnp.float32),
+                adev["nukl"].astype(jnp.float32),
+                n_rounds=n_rounds, interpret=not on_tpu())
+        else:
+            times = jax.vmap(
+                lambda s, d, f, p: eik.sweep_solve(s, d, f, p,
+                                                   n_rounds=n_rounds)
+            )(speeds, adev["delta"].astype(jnp.float32),
+              adev["first"].astype(jnp.float32),
+              adev["nukl"].astype(jnp.float32))
+        return jax.vmap(one)(adev, times)
+
+    return jax.jit(batched)
 
 
 def discretize_device_batch(static, arrays, effective_dt, ctx, nt_cell_max,

@@ -178,3 +178,81 @@ def test_named_params_batch_matches_loop():
             assert pv[k][i] == v, k
         np.testing.assert_array_equal(m6s[i], m6)
         np.testing.assert_array_equal(rotm[i], r)
+
+
+def test_sweep_kernel_matches_xla_batch():
+    """The Pallas column-scan solver (ops/eik_sweep.py) must reproduce the
+    vmapped XLA fast-sweeping solver to fp rounding: same Godunov stencil,
+    same Zhao (2005) diagonal ordering, different execution engine."""
+    import jax
+
+    from kiwi_tpu.ops import eik_sweep
+
+    rng = np.random.default_rng(3)
+    B, nx, ny = 5, 48, 40  # B deliberately not a lane multiple
+    speed = rng.uniform(1000.0, 4000.0, (B, nx, ny)).astype(np.float32)
+    delta = rng.uniform(50.0, 300.0, (B, 2)).astype(np.float32)
+    first = rng.uniform(-1000.0, 0.0, (B, 2)).astype(np.float32)
+    ip = first + rng.uniform(0.2, 0.8, (B, 2)).astype(np.float32) * (
+        delta * [nx - 1, ny - 1])
+
+    ref = np.asarray(jax.vmap(
+        lambda s, d, f, p: eikonal.sweep_solve(s, d, f, p, n_rounds=2)
+    )(jnp.asarray(speed), jnp.asarray(delta), jnp.asarray(first),
+      jnp.asarray(ip)))
+    got = np.asarray(eik_sweep.sweep_solve_batch(
+        speed, delta, first, ip, n_rounds=2, interpret=True))
+
+    finite = ref < 1e29
+    assert finite.all()
+    rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-6)
+    assert rel.max() < 1e-4, rel.max()
+
+
+def test_device_discretizer_kernel_path(monkeypatch):
+    """discretize_device_batch with the Pallas sweep (interpret mode on
+    CPU) must match the XLA-sweep path on every output."""
+    from kiwi_tpu.sources import eikonal as eiksrc
+
+    ctx = eiksrc.EikonalContext(
+        constraints=[
+            (np.array([0.0, 0.0, 50.0]), np.array([0.0, 0.0, -1.0])),
+            (np.array([0.0, 0.0, 700.0]), np.array([0.0, 0.0, 1.0])),
+        ],
+        layer_depths=np.array([100.0, 400.0, 900.0]),
+        layer_vs=np.array([1500.0, 2400.0, 3200.0, 3800.0]),
+    )
+    rng = np.random.default_rng(11)
+    B = 3
+    named = []
+    for i in range(B):
+        p = np.array(
+            [0.1 * i, 8.0 * i, -15.0 * i, 300.0 + 10.0 * i, 1e12,
+             10.0 * i, 30.0 + 2.0 * i, 40.0, 10.0 * rng.random(),
+             10.0 * rng.random(), 150.0 + 8.0 * i,
+             20.0 * rng.random(), -20.0 * rng.random(),
+             0.7 + 0.01 * i, 0.3],
+            dtype=np.float32,
+        )
+        named.append(eiksrc.NAMED_PARAMS["eikonal"](p))
+    static, arrays = eiksrc.prepare_batch(named, 0.5, ctx)
+
+    monkeypatch.setenv("KIWI_SWEEP_KERNEL", "0")
+    ref = eiksrc.discretize_device_batch(
+        static, arrays, 0.5, ctx, nt_cell_max=8, _cache={})
+    monkeypatch.setenv("KIWI_SWEEP_KERNEL", "1")
+    monkeypatch.setenv("KIWI_SWEEP_INTERPRET", "1")
+    got = eiksrc.discretize_device_batch(
+        static, arrays, 0.5, ctx, nt_cell_max=8, _cache={})
+
+    assert set(ref) == set(got)
+    np.testing.assert_array_equal(np.asarray(ref["active"]),
+                                  np.asarray(got["active"]))
+    for k in ("north", "east", "depth", "m"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-5, atol=1e-5,
+            err_msg=k)
+    # arrival times inherit the solver's fp-order differences
+    np.testing.assert_allclose(
+        np.asarray(got["time"]), np.asarray(ref["time"]),
+        rtol=1e-4, atol=1e-3)
