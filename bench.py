@@ -468,11 +468,11 @@ def bench_eikonal(eng, log):
 
     # grid searches sweep hundreds of ruptures per round; large B amortizes
     # the fast-sweeping solver's sequential diagonal steps and the
-    # window-kernel per-chunk fixed cost over the batch (measured on one
-    # chip/day: B=96 965 MPS, 192 1044, 384 1198, 768 1084 -- the decline
-    # past 384 is host prep no longer hiding behind device work).  4
-    # batches in flight so the host-side polygon prep of batch i+1
-    # overlaps batch i's device work
+    # window-kernel per-chunk fixed cost over the batch.  Round 5 (Pallas
+    # sweep kernel + vectorized host prep): B=384 2225 MPS, B=768 2401 --
+    # monotone now; 384 stays the default as the production grid-search
+    # shape.  4 batches in flight so the host-side polygon prep of batch
+    # i+1 overlaps batch i's device work
     B = int(os.environ.get("KIWI_BENCH_EIK_B", "384"))
     nbatches = 4
 
